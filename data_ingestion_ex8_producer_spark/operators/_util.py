@@ -1,0 +1,80 @@
+"""Shared helpers for the operator surface.
+
+Cross-engine determinism notes (this is the backbone of the correctness gate):
+
+* Per-row double arithmetic (a*b, a-b) is IEEE-754 and bit-identical across
+  Spark and DuckDB for identical inputs — safe without rounding.
+* Multi-row double AGGREGATION is order-dependent; parallel engines sum in
+  different orders, so raw double sums/avgs may differ in the last ulps and can
+  flip a post-hoc round() at a tie boundary.  Therefore every sum is computed
+  over exact DECIMAL casts: double -> decimal(12,4) is a single deterministic
+  rounding, decimal addition is associative and exact, and the final
+  cast-to-double of the exact sum is deterministic.  Both engines produce
+  bit-identical doubles.
+* Averages are computed as exact-decimal-sum / count in double (identical
+  inputs -> identical IEEE division), never decimal division (scale rules
+  differ between engines).
+* DuckDB sum(INTEGER) widens to HUGEINT/DECIMAL; oracles cast to BIGINT
+  explicitly to match Spark's sum(int) -> long.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---- Spark side -----------------------------------------------------------
+
+def dec4(col: str | Column) -> Column:
+    """Deterministic decimal view of a money/quantity double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(12,4)")
+
+
+def dsum(col: str | Column, alias: str) -> Column:
+    """Exact sum of a double column, returned as double."""
+    return F.sum(dec4(col)).cast("double").alias(alias)
+
+
+def davg(col: str | Column, alias: str) -> Column:
+    """Exact-sum average of a double column, returned as double."""
+    return (F.sum(dec4(col)).cast("double") / F.count(col if isinstance(col, str) else col)).alias(alias)
+
+
+def revenue_dec() -> Column:
+    """l_extendedprice * (1 - l_discount) as exact decimal (scale 8)."""
+    return (dec4("l_extendedprice") * (F.lit(1) - dec4("l_discount"))).cast("decimal(24,8)")
+
+
+def charge_dec() -> Column:
+    """l_extendedprice * (1-l_discount) * (1+l_tax) as exact decimal (scale 12)."""
+    return (revenue_dec() * (F.lit(1) + dec4("l_tax"))).cast("decimal(38,12)")
+
+
+# ---- DuckDB oracle side ---------------------------------------------------
+
+def sql_dec4(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(12,4))"
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM({sql_dec4(expr)}) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return f"(CAST(SUM({sql_dec4(expr)}) AS DOUBLE) / COUNT({expr})) AS {alias}"
+
+
+SQL_REVENUE_DEC = (
+    f"CAST({sql_dec4('l_extendedprice')} * (1 - {sql_dec4('l_discount')}) AS DECIMAL(24,8))"
+)
+SQL_CHARGE_DEC = (
+    f"CAST({SQL_REVENUE_DEC} * (1 + {sql_dec4('l_tax')}) AS DECIMAL(38,12))"
+)

@@ -1,0 +1,190 @@
+"""Event-time windowing over the ``events`` table — batch twins of the
+Structured Streaming queries in ``streaming/events.py``.
+
+``F.window`` / ``F.session_window`` work identically on batch DataFrames, so
+the driver-scored batch results here pin the exact same grouping semantics the
+streaming pipeline produces per micro-batch (SIGMOD'18 Structured Streaming
+model: a streaming query result == the batch query over the prefix).
+
+DuckDB oracles rebuild the windows arithmetically: tumbling/sliding via
+``time_bucket`` (both engines align windows to the epoch), sessions via the
+classic lag + gap-flag + cumulative-sum session-id construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ._util import t
+
+
+@register(
+    "q_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("events", "window", "bench"),
+    bench=True,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type."""
+    win = F.window("ts", "1 hour")
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_sliding_window",
+    oracle="""
+    WITH slid AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+                 AS window_start,
+               value
+        FROM events
+        CROSS JOIN (SELECT UNNEST([0, 1]) AS k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM slid
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window"),
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands in two
+    overlapping windows.  The oracle expands each event into its two windows
+    explicitly; Spark's window() does the same expansion internally."""
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(win)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS new_session,
+               event_id
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("events", "session"),
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 10-minute inactivity gap per user.  Spark's
+    session_window end = last event + gap; the oracle reproduces that with the
+    lag/cumsum sessionization idiom."""
+    win = F.session_window("ts", "10 minutes")
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", win)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_event_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    """,
+    tags=("events", "dedup"),
+)
+def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct over a projected key set — the batch twin of streaming
+    dropDuplicates (which additionally bounds state with a watermark)."""
+    return t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@register(
+    "q_enrich_events",
+    oracle="""
+    SELECT n.n_name,
+           e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, e.event_type
+    ORDER BY n.n_name, e.event_type
+    """,
+    tags=("events", "join"),
+)
+def q_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment shape (events joined to dimension tables),
+    run in batch: broadcast the dims, aggregate by enriched keys."""
+    ev = t(spark, sf_dir, "events")
+    cust = F.broadcast(t(spark, sf_dir, "customer"))
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("n_name", "event_type")
+    )

@@ -1,0 +1,159 @@
+"""Window-function surface: ranking, lag/lead, running aggregates, frame
+specs (rows + range), and per-group top-k.
+
+Scale notes: a window spec shuffles once on partitionBy keys; all functions
+over the same (partitionBy, orderBy) share that single shuffle+sort.  Ordering
+keys always include a unique tiebreaker so results are deterministic under
+ties (required by the cross-engine value-hash gate, and good hygiene anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ._util import dec4, t
+
+_ORDER_W = Window.partitionBy("o_custkey").orderBy(
+    F.col("o_totalprice").desc(), F.col("o_orderkey")
+)
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           RANK()       OVER w AS price_rank,
+           DENSE_RANK() OVER w AS price_dense_rank,
+           ROW_NUMBER() OVER w AS price_row_number
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window", "rank"),
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number over one shared window spec (single
+    shuffle + sort serves all three)."""
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(_ORDER_W).alias("price_rank"),
+        F.dense_rank().over(_ORDER_W).alias("price_dense_rank"),
+        F.row_number().over(_ORDER_W).alias("price_row_number"),
+    )
+
+
+@register(
+    "q_window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spent,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS order_seq
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (prefix) sum per customer with an explicit ROWS frame; exact
+    decimal accumulation keeps prefix sums engine-identical."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec4("o_totalprice")).over(frame).cast("double").alias("running_spent"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "q_window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, ts, value,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           value - COALESCE(LAG(value) OVER w, value) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "lag"),
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation along each user's event timeline (per-row double
+    subtraction is IEEE-identical; no rounding needed)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    value = F.col("value")
+    return t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (value - F.coalesce(F.lag("value").over(w), value)).alias("delta"),
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    )
+    WHERE rk <= 3
+    """,
+    tags=("window", "topk"),
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k = row_number <= k.  Spark pushes the rank limit into
+    the sort (WindowGroupLimit) so each partition only keeps k rows — the
+    scalable alternative to a global sort."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(_ORDER_W).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY date_part('epoch', o_orderdate)
+                          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+             AS orders_trailing_30d
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time: trailing-30-day order count per customer,
+    ordering on epoch seconds so the frame bound is a plain interval."""
+    ts = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(ts)
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("orders_trailing_30d"),
+    )

@@ -1,0 +1,122 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registered query on Spark and its DuckDB oracle on the same
+parquet, then compares row count, column names, and an order-insensitive
+value hash (columns sorted by name, rows stringified canonically and sorted).
+Strictness here >= the driver's: if this passes, the driver should too.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from data_ingestion_ex8_producer_spark.plans.registry import all_specs  # noqa: E402
+from data_ingestion_ex8_producer_spark.session import build_session  # noqa: E402
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def canon(value) -> str:
+    if value is None:
+        return "NULL"
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return repr(value)
+    if isinstance(value, bytes):
+        return value.hex()
+    if isinstance(value, list):
+        return "[" + ",".join(canon(v) for v in value) + "]"
+    return str(value)
+
+
+def frame_fingerprint(columns: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted("|".join(canon(row[i]) for i in order) for row in rows)
+    digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    return len(rows), sorted(columns), digest
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = build_session("check_correctness")
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+
+    specs = all_specs()
+    failures = []
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.builder(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if spec.oracle is None:
+            print(f"ok    {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"WARN  {name}: zero rows from rows-only query")
+            continue
+        try:
+            cur = con.execute(spec.oracle)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {exc}")
+            continue
+
+        sn, sc, sh = frame_fingerprint(scols, srows)
+        on, oc, oh = frame_fingerprint(ocols, orows)
+        status = []
+        if sn != on:
+            status.append(f"rows {sn} != {on}")
+        if sc != oc:
+            status.append(f"cols {sc} != {oc}")
+        if sh != oh:
+            status.append("value-hash mismatch")
+        if status:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(status)} ({time.time()-t0:.1f}s)")
+            if sn == on and sc == oc:
+                srt = sorted(srows, key=lambda r: tuple(canon(v) for v in r))
+                ort = sorted(orows, key=lambda r: tuple(canon(v) for v in r))
+                shown = 0
+                for a, b in zip(srt, ort):
+                    if tuple(map(canon, a)) != tuple(map(canon, b)):
+                        print(f"      spark:  {a}\n      oracle: {b}")
+                        shown += 1
+                        if shown >= 3:
+                            break
+        else:
+            print(f"ok    {name}: {sn} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
