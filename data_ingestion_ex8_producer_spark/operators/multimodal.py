@@ -1,1 +1,158 @@
-"""Placeholder — filled in later this round."""
+"""Multimodal column plumbing: opaque ``binary`` payloads with typed
+metadata, decoded via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio libraries, so the decode step is a
+clearly-marked deterministic fake (md5-derived dimensions) behind the same
+interface a real decoder would use; the Spark-side plumbing — binary column
+construction, schema, mapInPandas batch shape, partitioning — is real and
+oracle-checked.  ``decode_image_real`` shows where a PIL/ffmpeg call slots in
+and raises NotImplementedError until those libs exist.
+
+Scale notes: binary payloads ride normal parquet BYTE_ARRAY columns;
+mapInPandas streams Arrow batches (no per-row Python overhead) and keeps
+memory bounded by spark.sql.execution.arrow.maxRecordsPerBatch.  Partition by
+a content-hash prefix when payload sizes are heavily skewed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ._util import t
+
+# --------------------------------------------------------------------------
+# Binary payload construction + byte-level stats (pure Catalyst exprs)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm_binary_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CASE WHEN n_chars % 3 = 0 THEN 'image'
+                WHEN n_chars % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat content as an opaque binary payload: byte length, content md5,
+    and a typed ``kind`` tag (synthetic here — real pipelines carry it as
+    ingest metadata).  Everything stays JVM-side."""
+    payload = F.col("text").cast("binary")
+    kind = (
+        F.when(F.col("n_chars") % 3 == 0, "image")
+        .when(F.col("n_chars") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+        kind.alias("kind"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fake decode via mapInPandas (the real-decoder seam)
+# --------------------------------------------------------------------------
+
+_DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, n_frames int"
+)
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real decoder seam: requires an image library not present in this
+    container.  STUB — do not call on the scored path."""
+    raise NotImplementedError(
+        "image decoding requires PIL/libvips; wire them here on a real cluster"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: md5-derived (width, height, n_frames) —
+    same arithmetic as the SQL oracle, so the mapInPandas plumbing is fully
+    value-checked."""
+    digest = hashlib.md5(payload).hexdigest()
+    width = 64 + int(digest[0:4], 16) % 960
+    height = 64 + int(digest[4:8], 16) % 960
+    n_frames = 1 + int(digest[8:12], 16) % 120
+    return width, height, n_frames
+
+
+@register(
+    "mm_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 960 AS INTEGER)
+             AS width,
+           CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 960 AS INTEGER)
+             AS height,
+           CAST(1 + CAST('0x' || substr(md5(text), 9, 4) AS INTEGER) % 120 AS INTEGER)
+             AS n_frames
+    FROM documents
+    """,
+    tags=("multimodal", "mapinpandas"),
+)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over binary payloads with Arrow-batched
+    mapInPandas — the canonical multimodal hot path.  The decoder itself is
+    the deterministic fake above (no media libs in the container); swap
+    ``_fake_decode`` for ``decode_image_real`` on a real cluster."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            decoded = [_fake_decode(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                }
+            )
+
+    binary_docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return binary_docs.mapInPandas(decode_batches, _DECODE_SCHEMA)
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST(1 + CAST('0x' || substr(md5(text), 9, 4) AS INTEGER) % 120 AS INTEGER)
+                 AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, CAST(unnest(range(0, n_frames, 30)) AS INTEGER) AS frame_idx
+    FROM meta
+    """,
+    tags=("multimodal", "frames"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plan for video payloads: one output row per sampled
+    frame index (every 30th frame of the decoded n_frames).  The explode
+    happens JVM-side from the decoded metadata — the expensive per-frame
+    decode would then run on exactly these (doc_id, frame_idx) tasks."""
+    meta = mm_decode_meta(spark, sf_dir).select("doc_id", "n_frames")
+    return meta.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(30))).alias("fi"),
+    ).select("doc_id", F.col("fi").cast("int").alias("frame_idx"))

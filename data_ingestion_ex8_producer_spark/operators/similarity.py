@@ -1,1 +1,266 @@
-"""Placeholder — filled in later this round."""
+"""Vector similarity search over the ``embeddings`` table (array<float>
+column): brute-force cosine top-k as the exactness baseline, and a
+random-hyperplane LSH-bucketed variant as the scale path.
+
+Everything is built-in Catalyst array expressions (zip_with / aggregate):
+the dot products run JVM-side per row — no Python, no UDF.  Determinism:
+both engines fold the 64-element products left-to-right in double, so even
+the floating cosine values are bit-identical and the oracle can hash them.
+
+Scale story: brute force is O(|Q| x |corpus|) — fine for |Q| small after a
+broadcast, unusable for all-pairs.  The LSH variant buckets vectors by the
+sign pattern of dot products against H fixed hyperplanes (4 tables x 8 bits
+here): the join key becomes (table, bucket), shuffle volume collapses to
+O(n x tables), and recall follows the angular-LSH collision curve.  The
+hyperplanes are derived from the portable 48-bit md5 hash — fully
+deterministic, reproducible on any engine, no RNG state to ship.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ._util import t
+
+_DIM = 64
+_N_QUERIES = 8  # vec_id < 8 are the query vectors
+_TOP_K = 10
+_LSH_TABLES = 4
+_LSH_BITS = 8
+
+
+def _hp_weight(table: int, bit: int, i: int) -> float:
+    """Deterministic hyperplane component in [-1, 1): md5-derived uniform.
+    Same arithmetic as the SQL twin: hash48 / 2^47 - 1."""
+    h = int(hashlib.md5(f"hp:{table}:{bit}:{i}".encode()).hexdigest()[:12], 16)
+    return h / float(2**47) - 1.0
+
+
+def _sql_hp_list(table: int, bit: int) -> str:
+    """The hyperplane as a DuckDB list literal.  Python float repr round-trips
+    (repr -> parse -> identical double), so the literal equals the Spark-side
+    value bit-for-bit."""
+    return "[" + ", ".join(repr(_hp_weight(table, bit, i)) for i in range(_DIM)) + "]"
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-fold double dot product (order-stable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+_SQL_COSINE = f"""
+    {_sql_dot('q.embedding', 'c.embedding')}
+      / (sqrt({_sql_dot('q.embedding', 'q.embedding')})
+         * sqrt({_sql_dot('c.embedding', 'c.embedding')}))
+"""
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               c.label  AS neighbor_label,
+               {_SQL_COSINE} AS cosine
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {_TOP_K}
+    """,
+    tags=("similarity", "knn", "bench"),
+    bench=True,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for each query vector (vec_id < 8):
+    broadcast the queries, score the corpus in one pass, rank per query
+    with WindowGroupLimit pruning."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    scored = (
+        queries.join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "neighbor_label", cosine.alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rk")
+    )
+
+
+def _bucket_expr(emb: Column, table: int) -> Column:
+    """LSH bucket id for one table: sign bits of _LSH_BITS hyperplane dots."""
+    bucket = F.lit(0)
+    for bit in range(_LSH_BITS):
+        hp = F.array(*[F.lit(_hp_weight(table, bit, i)) for i in range(_DIM)])
+        bucket = bucket + F.when(_dot(emb, hp) >= 0, F.lit(2**bit)).otherwise(0)
+    return bucket
+
+
+def _sql_bucket(alias: str, table: int) -> str:
+    bits = []
+    for bit in range(_LSH_BITS):
+        dot = (
+            f"list_sum(list_transform(range(1, {_DIM + 1}), i -> "
+            f"CAST({alias}.embedding[i] AS DOUBLE) * ({_sql_hp_list(table, bit)}[i])))"
+        )
+        bits.append(f"CASE WHEN {dot} >= 0 THEN {2**bit} ELSE 0 END")
+    return " + ".join(bits)
+
+
+@register(
+    "sim_lsh_topk",
+    oracle=None,  # oracle generated below (heavy SQL, built programmatically)
+    tags=("similarity", "lsh", "ann"),
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN cosine top-k via random-hyperplane LSH: 4 tables x 8 sign bits;
+    candidates = corpus vectors sharing any table's bucket with the query;
+    exact cosine + rank within candidates.  Recall < 1 by design — the
+    oracle replicates the same deterministic hyperplanes, so results still
+    compare exactly."""
+    emb = t(spark, sf_dir, "embeddings")
+
+    def with_buckets(df: DataFrame, id_out: str) -> DataFrame:
+        table_structs = [
+            F.struct(
+                F.lit(tb).alias("tb"), _bucket_expr(F.col("embedding"), tb).alias("bucket")
+            )
+            for tb in range(_LSH_TABLES)
+        ]
+        return df.select(
+            F.col("vec_id").alias(id_out),
+            F.col("embedding"),
+            F.col("label"),
+            F.explode(F.array(*table_structs)).alias("bs"),
+        ).select(
+            id_out,
+            "embedding",
+            "label",
+            F.col("bs.tb").alias("tb"),
+            F.col("bs.bucket").alias("bucket"),
+        )
+
+    queries = with_buckets(
+        emb.filter(F.col("vec_id") < _N_QUERIES), "query_id"
+    ).select(
+        "query_id", F.col("embedding").alias("q_emb"), "tb", "bucket"
+    )
+    corpus = with_buckets(emb, "neighbor_id").select(
+        "neighbor_id",
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("neighbor_label"),
+        "tb",
+        "bucket",
+    )
+    cand = (
+        F.broadcast(queries)
+        .join(corpus, ["tb", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "neighbor_id", "neighbor_label", "c_emb")
+        .distinct()
+    )
+    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", "neighbor_label", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rk")
+    )
+
+
+def _lsh_oracle() -> str:
+    per_table = "\n            UNION ALL\n            ".join(
+        f"SELECT vec_id, embedding, label, {tb} AS tb, {_sql_bucket('e', tb)} AS bucket "
+        f"FROM embeddings e"
+        for tb in range(_LSH_TABLES)
+    )
+    return f"""
+    WITH bucketed AS (
+            {per_table}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, q.embedding AS q_embedding,
+                        c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                        c.embedding AS c_embedding
+        FROM bucketed q
+        JOIN bucketed c ON q.tb = c.tb AND q.bucket = c.bucket
+                        AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, neighbor_label,
+               {_sql_dot('cand.q_embedding', 'cand.c_embedding')}
+                 / (sqrt({_sql_dot('cand.q_embedding', 'cand.q_embedding')})
+                    * sqrt({_sql_dot('cand.c_embedding', 'cand.c_embedding')})) AS cosine
+        FROM cand
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {_TOP_K}
+    """
+
+
+from ..plans import registry as _registry  # noqa: E402
+
+_spec = _registry._REGISTRY["sim_lsh_topk"]
+_registry._REGISTRY["sim_lsh_topk"] = _registry.QuerySpec(
+    name=_spec.name,
+    builder=_spec.builder,
+    oracle=_lsh_oracle(),
+    tags=_spec.tags,
+    bench=_spec.bench,
+    doc=_spec.doc,
+)

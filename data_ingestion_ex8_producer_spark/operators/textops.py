@@ -1,1 +1,228 @@
-"""Placeholder — filled in later this round."""
+"""Text-analysis operators over ``documents``: token statistics, quality
+scoring, heuristic language ID, and document fingerprinting.
+
+All data-path computation is built-in Catalyst expressions (split/filter/
+aggregate over arrays) — no Python UDFs: the hot path stays inside
+whole-stage codegen, and each operator has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import hash48, sql_hash48, sql_shingle_list, sql_tokens, tokens
+from ..plans.registry import register
+from ._util import t
+
+# --------------------------------------------------------------------------
+# Token statistics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, length(text) AS n_chars_actual,
+                         {sql_tokens()} AS ts
+                  FROM documents)
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           n_chars_actual AS n_chars,
+           CAST(list_sum(list_transform(ts, x -> length(x))) AS BIGINT) AS n_token_chars,
+           CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE) / len(ts)
+             AS avg_token_len,
+           CAST(len(list_distinct(ts)) AS BIGINT) AS n_unique_tokens,
+           CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS type_token_ratio
+    FROM toks
+    """,
+    tags=("text", "stats"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens, char totals, average
+    token length, unique-token (type/token) ratio — the basic quality /
+    length-filter signals of a training-data pipeline."""
+    ts = tokens()
+    token_chars = F.aggregate(
+        F.transform(ts, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    n_tokens = F.size(ts)
+    n_unique = F.size(F.array_distinct(ts))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        token_chars.cast("long").alias("n_token_chars"),
+        (token_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        n_unique.cast("long").alias("n_unique_tokens"),
+        (n_unique.cast("double") / n_tokens).alias("type_token_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+
+_STOPWORDS = (
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this", "be",
+)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, text, {sql_tokens()} AS ts FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(len(list_filter(ts, x -> list_contains({list(_STOPWORDS)}, x))) AS DOUBLE)
+                 / len(ts) AS stopword_ratio,
+               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text) AS punct_ratio,
+               CAST(len(ts) AS BIGINT) AS n_tokens
+        FROM toks
+    )
+    SELECT doc_id, stopword_ratio, punct_ratio, n_tokens,
+           CASE WHEN n_tokens >= 20 THEN 1.0 ELSE 0.0 END * 0.4
+             + least(stopword_ratio * 4, 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 10, 1.0)) * 0.2 AS quality_score
+    FROM feat
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality score from length, stopword density and
+    punctuation density (the C4/Gopher-style cheap filters, reduced to
+    deterministic arithmetic).  Score = 0.4*length_ok + 0.4*min(4*stopword
+    ratio,1) + 0.2*(1 - min(10*punct_ratio,1))."""
+    ts = tokens()
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tokens = F.size(ts)
+    stop_ratio = (
+        F.size(F.filter(ts, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / n_tokens
+    )
+    text_len = F.length("text")
+    punct_ratio = (
+        (text_len - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))).cast("double")
+        / text_len
+    )
+    quality = (
+        F.when(n_tokens >= 20, 1.0).otherwise(0.0) * 0.4
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        n_tokens.cast("long").alias("n_tokens"),
+        quality.alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Heuristic language ID
+# --------------------------------------------------------------------------
+
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "las", "un"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "ist"),
+    "fr": ("le", "la", "les", "de", "et", "des", "un", "une", "du", "est"),
+}
+
+
+def _hit_count(ts: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(ts, lambda x: F.array_contains(arr, x)))
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {sql_tokens()} AS ts FROM documents),
+    hits AS (
+        SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+               len(list_filter(ts, x -> list_contains({list(_LANG_PROFILES['en'])}, x))) AS hits_en,
+               len(list_filter(ts, x -> list_contains({list(_LANG_PROFILES['es'])}, x))) AS hits_es,
+               len(list_filter(ts, x -> list_contains({list(_LANG_PROFILES['de'])}, x))) AS hits_de,
+               len(list_filter(ts, x -> list_contains({list(_LANG_PROFILES['fr'])}, x))) AS hits_fr
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(hits_en AS BIGINT) AS hits_en, CAST(hits_es AS BIGINT) AS hits_es,
+           CAST(hits_de AS BIGINT) AS hits_de, CAST(hits_fr AS BIGINT) AS hits_fr,
+           CASE WHEN hits_en + hits_es + hits_de + hits_fr = 0 THEN 'und'
+                WHEN hits_en >= greatest(hits_es, hits_de, hits_fr) THEN 'en'
+                WHEN hits_es >= greatest(hits_de, hits_fr) THEN 'es'
+                WHEN hits_de >= hits_fr THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM hits
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram-free heuristic): count hits
+    against tiny per-language function-word lists, argmax with a fixed
+    tie-break order, 'und' when nothing matches.  A real pipeline swaps the
+    profiles for char-n-gram models; the Spark shape (pure array exprs,
+    no shuffle) is identical."""
+    ts = tokens()
+    hits = {lang: _hit_count(ts, words) for lang, words in _LANG_PROFILES.items()}
+    total = sum(hits.values(), F.lit(0))
+    predicted = (
+        F.when(total == 0, "und")
+        .when(hits["en"] >= F.greatest(hits["es"], hits["de"], hits["fr"]), "en")
+        .when(hits["es"] >= F.greatest(hits["de"], hits["fr"]), "es")
+        .when(hits["de"] >= hits["fr"], "de")
+        .otherwise("fr")
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ts).cast("long").alias("n_tokens"),
+        hits["en"].cast("long").alias("hits_en"),
+        hits["es"].cast("long").alias("hits_es"),
+        hits["de"].cast("long").alias("hits_de"),
+        hits["fr"].cast("long").alias("hits_fr"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {sql_shingle_list(5)} AS shingle_list FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(shingle_list) AS BIGINT) AS n_shingles,
+           CASE WHEN len(shingle_list) = 0 THEN NULL
+                ELSE list_min(list_transform(shingle_list, s -> {sql_hash48('s')}))
+           END AS fingerprint
+    FROM sh
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: minimum 48-bit hash over word
+    5-gram shingles (content-defined, robust to reordering of far-apart
+    sections; NULL for documents shorter than 5 tokens)."""
+    from ..functions.text import with_shingles
+
+    docs = with_shingles(t(spark, sf_dir, "documents"), 5)
+    hashes = F.transform(F.col("shingle_set"), lambda s: hash48(s))
+    return docs.select(
+        "doc_id",
+        F.size("shingle_set").cast("long").alias("n_shingles"),
+        F.when(F.size("shingle_set") == 0, F.lit(None).cast("long"))
+        .otherwise(F.array_min(hashes))
+        .alias("fingerprint"),
+    )
