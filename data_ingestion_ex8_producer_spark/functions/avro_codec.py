@@ -1,0 +1,121 @@
+"""Minimal Avro *binary datum* codec for flat string/nullable-string records.
+
+Implements exactly the wire format the reference emits per row
+(``app.py:147-153``): a raw Avro binary datum — no object-container header,
+no Confluent 5-byte wire framing — encoded against the reclamacoes schema
+(every field ``string`` or union ``["null","string"]``).
+
+Written from the public Avro 1.12 specification (binary encoding section):
+
+* ``long`` — zig-zag then base-128 varint, little-endian 7-bit groups;
+* ``string`` — long byte-length prefix + UTF-8 bytes;
+* ``union`` — long index of the branch (0 = null here), then the branch datum;
+* ``record`` — field datums concatenated in schema order, no framing.
+
+Kept dependency-free on purpose: the container ships no avro-python /
+spark-avro, and 30 lines of spec beat a vendored library.  On a cluster with
+the spark-avro package loaded, ``streaming/ingest.py`` uses the built-in
+``to_avro`` instead (same bytes — the golden tests pin that equivalence).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from ..schemas import RECLAMACOES_FIELDS
+
+
+def zigzag_varint(n: int) -> bytes:
+    """Avro long: zig-zag mapping then base-128 varint."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        bits = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(bits | 0x80)
+        else:
+            out.append(bits)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        byte = buf[pos]
+        pos += 1
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def encode_string(value: str) -> bytes:
+    data = value.encode("utf-8")
+    return zigzag_varint(len(data)) + data
+
+
+def encode_record(values: dict[str, str | None]) -> bytes:
+    """One raw binary datum in reclamacoes field order.
+
+    Non-nullable fields raise TypeError on None — the same failure surface as
+    the reference's DatumWriter (``app.py:157-158`` catches and drops); callers
+    choose quarantine-or-drop policy.
+    """
+    out = bytearray()
+    for name, nullable in RECLAMACOES_FIELDS:
+        value = values.get(name)
+        if nullable:
+            if value is None:
+                out += b"\x00"  # union index 0 = null (zigzag(0))
+            else:
+                out += b"\x02"  # union index 1 = string (zigzag(1))
+                out += encode_string(value)
+        else:
+            if value is None:
+                raise TypeError(f"field {name!r} is non-nullable but got None")
+            out += encode_string(value)
+    return bytes(out)
+
+
+def decode_record(datum: bytes) -> dict[str, str | None]:
+    """Inverse of encode_record (tests + Kafka read-back path)."""
+    values: dict[str, str | None] = {}
+    pos = 0
+    for name, nullable in RECLAMACOES_FIELDS:
+        if nullable:
+            index, pos = _read_varint(datum, pos)
+            if index == 0:
+                values[name] = None
+                continue
+        length, pos = _read_varint(datum, pos)
+        values[name] = datum[pos : pos + length].decode("utf-8")
+        pos += length
+    if pos != len(datum):
+        raise ValueError(f"trailing bytes: consumed {pos} of {len(datum)}")
+    return values
+
+
+def encode_batches(batches: Iterator, columns: list[str]) -> Iterator:
+    """mapInPandas body: DataFrame[bronze columns] -> DataFrame[value binary].
+
+    Arrow-batched; emits one raw Avro datum per row, skipping rows that fail
+    to encode (parity with the reference's skip-and-log policy, but per-ROW
+    instead of per-chunk — a documented strict improvement, SURVEY.md §3).
+    """
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for row in pdf[columns].itertuples(index=False):
+            try:
+                out.append(
+                    encode_record(
+                        {c: (None if pd.isna(v) else v) for c, v in zip(columns, row)}
+                    )
+                )
+            except TypeError:
+                continue
+        yield pd.DataFrame({"value": out}, dtype=object)

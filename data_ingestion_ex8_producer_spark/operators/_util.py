@@ -49,13 +49,23 @@ def davg(col: str | Column, alias: str) -> Column:
 
 
 def revenue_dec() -> Column:
-    """l_extendedprice * (1 - l_discount) as exact decimal (scale 8)."""
-    return (dec4("l_extendedprice") * (F.lit(1) - dec4("l_discount"))).cast("decimal(24,8)")
+    """l_extendedprice * (1 - l_discount) as exact decimal.
+
+    The source data is 2-decimal money (verified against testdata), so the
+    product is EXACT at scale 4 and the scale-4 cast never rounds.  Keeping
+    the minimal exact scale matters: it keeps aggregate sums' integer
+    representation under 2^53, where DuckDB's int->double cast is exact and
+    both engines' decimal->double conversions agree bit-for-bit.  (At scale
+    8/12 the sf0.001 run exposed 1-ulp divergence in DuckDB's int128->double
+    path.)
+    """
+    return (dec4("l_extendedprice") * (F.lit(1) - dec4("l_discount"))).cast("decimal(20,4)")
 
 
 def charge_dec() -> Column:
-    """l_extendedprice * (1-l_discount) * (1+l_tax) as exact decimal (scale 12)."""
-    return (revenue_dec() * (F.lit(1) + dec4("l_tax"))).cast("decimal(38,12)")
+    """l_extendedprice * (1-l_discount) * (1+l_tax): exact at scale 6 for
+    2-decimal inputs (see revenue_dec on why minimal scale)."""
+    return (revenue_dec() * (F.lit(1) + dec4("l_tax"))).cast("decimal(24,6)")
 
 
 # ---- DuckDB oracle side ---------------------------------------------------
@@ -73,8 +83,8 @@ def sql_davg(expr: str, alias: str) -> str:
 
 
 SQL_REVENUE_DEC = (
-    f"CAST({sql_dec4('l_extendedprice')} * (1 - {sql_dec4('l_discount')}) AS DECIMAL(24,8))"
+    f"CAST({sql_dec4('l_extendedprice')} * (1 - {sql_dec4('l_discount')}) AS DECIMAL(20,4))"
 )
 SQL_CHARGE_DEC = (
-    f"CAST({SQL_REVENUE_DEC} * (1 + {sql_dec4('l_tax')}) AS DECIMAL(38,12))"
+    f"CAST({SQL_REVENUE_DEC} * (1 + {sql_dec4('l_tax')}) AS DECIMAL(24,6))"
 )

@@ -15,9 +15,12 @@ from pyspark.sql import functions as F
 from ..plans.registry import register
 from ._util import dec4, t
 
-_ORDER_W = Window.partitionBy("o_custkey").orderBy(
-    F.col("o_totalprice").desc(), F.col("o_orderkey")
-)
+def _order_w():
+    """Per-customer price ranking window (lazy: Window exprs need an active
+    session, and operator modules import at registry-collection time)."""
+    return Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
 
 
 @register(
@@ -39,9 +42,9 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.rank().over(_ORDER_W).alias("price_rank"),
-        F.dense_rank().over(_ORDER_W).alias("price_dense_rank"),
-        F.row_number().over(_ORDER_W).alias("price_row_number"),
+        F.rank().over(_order_w()).alias("price_rank"),
+        F.dense_rank().over(_order_w()).alias("price_dense_rank"),
+        F.row_number().over(_order_w()).alias("price_row_number"),
     )
 
 
@@ -125,7 +128,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(_ORDER_W).alias("rk"),
+            F.row_number().over(_order_w()).alias("rk"),
         )
         .filter(F.col("rk") <= 3)
     )

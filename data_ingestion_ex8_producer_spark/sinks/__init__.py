@@ -1,0 +1,1 @@
+from .encode import avro_value_frame  # noqa: F401

@@ -1,0 +1,96 @@
+"""Streaming event-time analytics: the Structured Streaming twins of the
+batch queries in ``operators/events.py`` (same groupings, same results per
+the prefix-consistency model), plus the stateful pieces that only exist in
+streaming: watermarks, late-data drop, stateful dropDuplicates.
+
+These functions take an already-streaming DataFrame (file/kafka/rate source,
+or a replayed parquet fixture via ``stream_events_fixture``) so tests can
+drive them deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events_fixture(spark: SparkSession, sf_dir: str, staging_dir: str) -> DataFrame:
+    """Replay the events parquet as a file-source stream (one file = one
+    micro-batch input).  Nanosecond ts is converted exactly as in the batch
+    loader."""
+    import shutil
+    from pathlib import Path
+
+    staging = Path(staging_dir)
+    staging.mkdir(parents=True, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", staging / "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(str(staging / "events.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(str(staging))
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1 h windows per event type; rows later than the
+    watermark past the window end are dropped and their state reclaimed."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_values(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Watermarked session windows per user (state merges as events arrive;
+    sessions close when the watermark passes start+gap)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exact dedup on event_id within the watermark horizon —
+    bounded state, the streaming twin of distinct()."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory(streaming_df: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drive a streaming frame over all currently-available input into an
+    in-memory table, then stop (availableNow trigger).  Aggregations need
+    output_mode="complete"; row-wise streams use "append"."""
+    query = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    query.stop()
+
+
+__all__ = [
+    "stream_events_fixture",
+    "tumbling_counts",
+    "session_values",
+    "dedup_stream",
+    "run_to_memory",
+]

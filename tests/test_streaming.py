@@ -1,0 +1,147 @@
+"""Structured Streaming tests: the ingestion pipeline end-to-end through a
+real StreamingQuery (file source -> Avro encode -> parquet sink, checkpointed
+once-per-file), and event-time analytics streams vs their batch twins
+(SURVEY.md §5.2 item 5).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import pytest
+
+from data_ingestion_ex8_producer_spark.functions.avro_codec import decode_record
+from data_ingestion_ex8_producer_spark.operators.events import q_tumbling_window
+from data_ingestion_ex8_producer_spark.streaming.events import (
+    dedup_stream,
+    stream_events_fixture,
+    tumbling_counts,
+)
+from data_ingestion_ex8_producer_spark.streaming.ingest import build_ingest_stream
+
+SF = "/root/testdata/sf0.001"
+
+CSV_HEADER = (
+    "Ano;Trimestre;Categoria;Tipo;CNPJ IF;Instituição financeira;Índice;"
+    "Quantidade de reclamações reguladas procedentes;"
+    "Quantidade de reclamações reguladas - outras;"
+    "Quantidade de reclamações não reguladas;"
+    "Quantidade total de reclamações;"
+    "Quantidade total de clientes  CCS e SCR;"
+    "Quantidade de clientes  CCS;"
+    "Quantidade de clientes  SCR"
+)
+
+
+def _write_csv(path: Path, rows: list[str]) -> None:
+    path.write_bytes(("\n".join([CSV_HEADER, *rows]) + "\n").encode("iso-8859-1"))
+
+
+@pytest.mark.slow
+def test_ingest_stream_parquet_sink(spark, tmp_path: Path) -> None:
+    src = tmp_path / "landing"
+    src.mkdir()
+    _write_csv(
+        src / "a.csv",
+        ["2024;1º;Cat;Tipo;123;BANCO A;1,0;1;1;1;3;10;5;5"],
+    )
+    _write_csv(
+        src / "b.csv",
+        [
+            "2024;2º;Cat;Tipo;456;BANCO B;2,0;2;2;2;6;20;10;10",
+            "2024;2º;Cat;Tipo;;BANCO C;3,0;3;;;3;30;;",
+        ],
+    )
+    out = tmp_path / "out"
+    checkpoint = tmp_path / "ckpt"
+
+    query = build_ingest_stream(
+        spark,
+        str(src),
+        str(checkpoint),
+        sink="parquet",
+        output_path=str(out),
+        trigger_seconds=1,
+    )
+    # Wait for both files to be processed through micro-batches.
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(str(out)).count() >= 3:
+                break
+        except Exception:  # noqa: BLE001 — sink dir not created yet
+            pass
+        time.sleep(1)
+    query.stop()
+    query.awaitTermination(30)
+
+    datums = [bytes(r["value"]) for r in spark.read.parquet(str(out)).collect()]
+    decoded = {d["instituicao_financeira"] for d in map(decode_record, datums)}
+    assert decoded == {"BANCO A", "BANCO B", "BANCO C"}
+
+    # Once-per-file semantics: restarting against the same checkpoint with no
+    # new files must process nothing new (unlike the reference's re-ingest-
+    # forever loop, SURVEY.md §3 delta 1).
+    n_before = len(datums)
+    query2 = build_ingest_stream(
+        spark,
+        str(src),
+        str(checkpoint),
+        sink="parquet",
+        output_path=str(out),
+        trigger_seconds=1,
+    )
+    time.sleep(5)
+    query2.stop()
+    query2.awaitTermination(30)
+    assert spark.read.parquet(str(out)).count() == n_before
+
+
+@pytest.mark.slow
+def test_streaming_tumbling_equals_batch(spark, tmp_path: Path) -> None:
+    events = stream_events_fixture(spark, SF, str(tmp_path / "events_stage"))
+    agg = tumbling_counts(events)
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("stream_tumbling")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    query.stop()
+
+    got = {
+        (r["window_start"], r["window_end"], r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.sql("SELECT * FROM stream_tumbling").collect()
+    }
+    expected = {
+        (r["window_start"], r["window_end"], r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in q_tumbling_window(spark, SF).collect()
+    }
+    assert got == expected  # prefix-consistency: stream result == batch result
+
+
+@pytest.mark.slow
+def test_stream_dedup(spark, tmp_path: Path) -> None:
+    events = stream_events_fixture(spark, SF, str(tmp_path / "events_stage2"))
+    deduped = dedup_stream(events)
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    query.stop()
+    n = spark.sql("SELECT count(*) AS n FROM stream_dedup").collect()[0]["n"]
+    n_distinct = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert n == n_distinct  # event_ids unique in fixture -> nothing dropped
