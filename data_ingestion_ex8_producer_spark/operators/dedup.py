@@ -29,7 +29,9 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     hash48,
+    mix48,
     sql_hash48,
+    sql_mix48,
     sql_shingle_list,
     with_shingles,
 )
@@ -123,7 +125,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the stop-shingle frequency cap used at scale.
     """
     docs = with_shingles(t(spark, sf_dir, "documents"), _SHINGLE_K)
-    sh = docs.select("doc_id", F.explode("shingle_set").alias("shingle"))
+    # The exploded shingle relation feeds three subtrees (both join sides +
+    # sizes); persist it so the scan+shingle work runs once, not three times.
+    # At 100 TB this is a materialized intermediate table, not a cache.
+    sh = docs.select("doc_id", F.explode("shingle_set").alias("shingle")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -159,10 +164,15 @@ _ROWS_PER_BAND = _MINHASH_PERMS // _LSH_BANDS
 
 
 def _minhash_cols() -> list:
-    """K salted-hash MIN aggregates (salt folded into the md5 input — K exact
-    independent hash functions, no modular arithmetic to overflow)."""
+    """K MIN aggregates from two md5-derived base hashes per shingle:
+    h_i = mix48(h1 + i*h2) — Kirsch-Mitzenmacher double hashing with an
+    avalanche finalizer.  2 md5 evaluations per shingle instead of K (the
+    salted-md5-per-perm variant benched 5x slower at sf0.1); the mixer is
+    what makes the family behave independently (measured at sf0.01: mixed =
+    25 candidates, all true positives — identical to fully independent
+    salted hashes; unmixed linear family = 201 candidates, 176 false)."""
     return [
-        F.min(hash48(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(mix48(F.col("__h1") + F.lit(i) * F.col("__h2"))).alias(f"mh{i}")
         for i in range(_MINHASH_PERMS)
     ]
 
@@ -170,7 +180,8 @@ def _minhash_cols() -> list:
 @register(
     "dedup_minhash_lsh",
     oracle=None,  # oracle attached programmatically below (generated SQL)
-    tags=("dedup", "minhash", "lsh"),
+    tags=("dedup", "minhash", "lsh", "bench"),
+    bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: 32 salted minhashes, 8 bands x 4 rows;
@@ -181,8 +192,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     |docs| x 8 band rows, never the O(n^2) pair space.
     """
     docs = with_shingles(t(spark, sf_dir, "documents"), _SHINGLE_K)
-    sh = docs.select("doc_id", F.explode("shingle_set").alias("shingle"))
-    sig = sh.groupBy("doc_id").agg(*_minhash_cols())
+    # Persist the materialized (doc_id, h1, h2) rows: md5-hashing runs once,
+    # and the K min(mix48(...)) aggregates then codegen over plain long
+    # columns.  (Benched alternatives at sf0.1: transform()-HOF lambda for
+    # the K mixes evaluates interpreted, 8x slower; an Arrow/numpy pandas
+    # UDF ties this plan, so the Catalyst-only path wins on simplicity.)
+    sh = (
+        docs.select("doc_id", F.explode("shingle_set").alias("shingle"))
+        .withColumn("__h1", hash48(F.col("shingle")))
+        .withColumn("__h2", hash48(F.concat(F.lit("x:"), F.col("shingle"))))
+        .select("doc_id", "__h1", "__h2")
+        .persist()
+    )
+    # Signatures are tiny (|docs| x 32 longs) and feed both join sides.
+    sig = sh.groupBy("doc_id").agg(*_minhash_cols()).persist()
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),
@@ -214,9 +237,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    salted = [f"'{i}:' || shingle" for i in range(_MINHASH_PERMS)]
     mins = ",\n           ".join(
-        f"MIN({sql_hash48(salted[i])}) AS mh{i}" for i in range(_MINHASH_PERMS)
+        f"MIN({sql_mix48(f'(h1 + {i} * h2)')}) AS mh{i}"
+        for i in range(_MINHASH_PERMS)
     )
     band_rows = "\n        UNION ALL\n        ".join(
         f"SELECT doc_id, {band} AS band, "
@@ -232,10 +255,16 @@ def _minhash_oracle() -> str:
         SELECT doc_id, unnest({sql_shingle_list(_SHINGLE_K)}) AS shingle
         FROM documents
     ),
+    hashed AS (
+        SELECT doc_id,
+               {sql_hash48('shingle')} AS h1,
+               {sql_hash48("'x:' || shingle")} AS h2
+        FROM sh
+    ),
     sig AS (
         SELECT doc_id,
            {mins}
-        FROM sh GROUP BY doc_id
+        FROM hashed GROUP BY doc_id
     ),
     bands AS (
         {band_rows}
@@ -296,6 +325,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("doc_id")
         .agg(*_simhash_agg())
         .select("doc_id", _simhash_combine())
+        .persist()  # |docs| x 1 long, feeds both sides of the banded join
     )
     band_structs = [
         F.struct(

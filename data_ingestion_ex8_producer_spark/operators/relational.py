@@ -366,7 +366,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
     """,
-    tags=("agg", "distinct"),
+    tags=("agg", "distinct", "bench"),
+    bench=True,
 )
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash aggregate with a distinct aggregate alongside plain ones (expand +

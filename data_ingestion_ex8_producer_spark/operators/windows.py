@@ -33,7 +33,8 @@ def _order_w():
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     """,
-    tags=("window", "rank"),
+    tags=("window", "rank", "bench"),
+    bench=True,
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / row_number over one shared window spec (single
