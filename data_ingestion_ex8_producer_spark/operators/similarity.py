@@ -264,3 +264,44 @@ _registry._REGISTRY["sim_lsh_topk"] = _registry.QuerySpec(
     bench=_spec.bench,
     doc=_spec.doc,
 )
+
+
+_NEARDUP_COSINE = 0.45  # demonstration threshold for this synthetic corpus
+                        # (max pairwise cosine ~0.51); production near-dup
+                        # detection uses ~0.95 on real embedding spaces.
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_sql_dot('a.embedding', 'b.embedding')}
+             / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
+                * sqrt({_sql_dot('b.embedding', 'b.embedding')})) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_sql_dot('a.embedding', 'b.embedding')}
+             / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
+                * sqrt({_sql_dot('b.embedding', 'b.embedding')})) >= {_NEARDUP_COSINE}
+    """,
+    tags=("dedup", "embedding", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs variant.
+
+    This is the verification kernel; at 100 TB the pair space is first cut
+    by the LSH bucketing of sim_lsh_topk (same deterministic hyperplanes)
+    and THIS exact cosine filter runs only on bucket-collision candidates —
+    the two-stage candidate/verify shape every near-dup operator here uses.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    cosine = _dot(F.col("e_a"), F.col("e_b")) / (
+        F.sqrt(_dot(F.col("e_a"), F.col("e_a"))) * F.sqrt(_dot(F.col("e_b"), F.col("e_b")))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _NEARDUP_COSINE)
+    )

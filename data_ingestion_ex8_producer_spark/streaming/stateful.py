@@ -1,0 +1,89 @@
+"""Custom stateful streaming operators (applyInPandasWithState) and
+stream-stream joins — the streaming surface that has no SQL equivalent
+(driver records rows-only checks for these; the tests pin semantics against
+batch twins instead).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def _update_user_totals(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running per-user event count + value sum across micro-batches.
+
+    State is one (n, total) pair per user — constant size, no watermark
+    needed.  Emits the updated running totals once per user per batch.
+    """
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful aggregation: exact running totals per user,
+    emitted every micro-batch (update mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def purchases_after_signup(events: DataFrame, horizon: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: purchases within 2 h after the same
+    user's signup.  Both sides watermarked; the time-bound condition lets
+    Spark expire join state instead of buffering streams forever."""
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("signup_ts"),
+            F.col("event_id").alias("signup_id"),
+        )
+        .withWatermark("signup_ts", "4 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", "4 hours")
+    )
+    return signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("s_user").alias("user_id"),
+        "signup_id",
+        "purchase_id",
+        "signup_ts",
+        "purchase_ts",
+        "amount",
+    )

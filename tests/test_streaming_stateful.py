@@ -1,0 +1,88 @@
+"""Custom stateful operator + stream-stream join semantics, pinned against
+their batch twins (the streaming model's prefix-consistency guarantee).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_ingestion_ex8_producer_spark.streaming.events import stream_events_fixture
+from data_ingestion_ex8_producer_spark.streaming.stateful import (
+    purchases_after_signup,
+    user_running_totals,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(streaming_df, name: str, mode: str) -> None:
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+
+def _batch_events(spark):
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "events")
+
+
+@pytest.mark.slow
+def test_stateful_running_totals_match_batch(spark, tmp_path: Path) -> None:
+    events = stream_events_fixture(spark, SF, str(tmp_path / "st1"))
+    _run(user_running_totals(events), "stateful_totals", "update")
+    # Last emitted row per user == final totals (update mode emits per batch;
+    # with availableNow over one file there is exactly one emission per user).
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM stateful_totals").collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,4)")).cast("double"), 2).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.slow
+def test_stream_stream_join_matches_batch(spark, tmp_path: Path) -> None:
+    events = stream_events_fixture(spark, SF, str(tmp_path / "st2"))
+    _run(purchases_after_signup(events), "ss_join", "append")
+    got = {
+        (r["signup_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    ev = _batch_events(spark)
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("sts"), F.col("event_id").alias("sid")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    expected = {
+        (r["sid"], r["pid"])
+        for r in s.join(
+            p,
+            (F.col("s_user") == F.col("p_user"))
+            & (F.col("pts") >= F.col("sts"))
+            & (F.col("pts") <= F.col("sts") + F.expr("INTERVAL 2 HOURS")),
+        ).collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
