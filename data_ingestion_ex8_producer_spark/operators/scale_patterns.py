@@ -1,0 +1,156 @@
+"""Scale-pattern operators: plans written the way they must be written at
+100 TB — salted two-phase aggregation for skewed keys, exact percentiles,
+positional explode, and the array-function battery.
+
+The salted variants return IDENTICAL results to their naive forms (the
+oracle is the plain SQL), so the pattern's correctness is driver-verified,
+not just asserted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ._util import t
+
+_SALT_BUCKETS = 16
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew", "salting"),
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a LOW-cardinality (hence maximally
+    skewed) key: phase 1 aggregates on (key, salt) spreading each hot key
+    over 16 reducers, phase 2 merges the partials.  Result is identical to
+    the naive groupBy (the oracle IS the naive query); only the shuffle
+    distribution differs.  Every aggregate here must be decomposable
+    (count->sum, sum->sum, max->max)."""
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "__salt", (F.crc32(F.col("l_orderkey").cast("string")) % _SALT_BUCKETS)
+    )
+    partial = (
+        li.groupBy("l_returnflag", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("l_quantity").cast("decimal(12,4)")).alias("pq"),
+            F.max("l_extendedprice").alias("pm"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").alias("n_rows"),
+            F.sum("pq").cast("double").alias("sum_qty"),
+            F.max("pm").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont: both linearly interpolate on the sorted values, and the
+    interpolation arithmetic is IEEE-identical for identical inputs).
+    At scale prefer approx_percentile (KLL/GK sketch, one pass, mergeable) —
+    engine-specific output, so the exact form carries the oracle."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q_posexplode",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, len(ts))) AS INTEGER) AS pos,
+           unnest(ts) AS token
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+          FROM documents WHERE doc_id < 20) d
+    """,
+    tags=("explode", "array"),
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token stream with 0-based positions (oracle zips a
+    parallel range() unnest — DuckDB 1.0 has no WITH ORDINALITY)."""
+    from ..functions.text import tokens
+
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(tokens()).alias("pos", "token"))
+    )
+
+
+@register(
+    "q_array_funcs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+                  FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           ts[1] AS first_token,
+           ts[len(ts)] AS last_token,
+           CAST(len(ts) AS INTEGER) AS n_tokens,
+           list_sort(ts[1:5]) AS head_sorted,
+           list_contains(ts, 'data') AS has_data,
+           CAST(nullif(list_position(ts, 'the'), 0) AS INTEGER) AS first_the,
+           array_to_string(ts[1:3], '-') AS head_joined,
+           list_reverse(ts[1:3]) AS head_reversed
+    FROM toks
+    """,
+    tags=("scalar", "array"),
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery: indexing, slice, sort, containment, position,
+    join, reverse — all Catalyst array expressions.  Both engines return 0
+    for a missing element's position; normalized to NULL on both sides."""
+    from ..functions.text import tokens
+
+    ts = tokens()
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.element_at(ts, 1).alias("first_token"),
+            F.element_at(ts, -1).alias("last_token"),
+            F.size(ts).alias("n_tokens"),
+            F.sort_array(F.slice(ts, 1, 5)).alias("head_sorted"),
+            F.array_contains(ts, "data").alias("has_data"),
+            F.nullif(F.array_position(ts, "the").cast("int"), F.lit(0)).alias("first_the"),
+            F.array_join(F.slice(ts, 1, 3), "-").alias("head_joined"),
+            F.reverse(F.slice(ts, 1, 3)).alias("head_reversed"),
+        )
+    )

@@ -41,6 +41,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _OPERATOR_MODULES = (
     "data_ingestion_ex8_producer_spark.operators.relational",
     "data_ingestion_ex8_producer_spark.operators.subqueries",
+    "data_ingestion_ex8_producer_spark.operators.scale_patterns",
     "data_ingestion_ex8_producer_spark.operators.windows",
     "data_ingestion_ex8_producer_spark.operators.scalars",
     "data_ingestion_ex8_producer_spark.operators.events",

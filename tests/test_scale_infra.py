@@ -1,0 +1,120 @@
+"""Scale-infrastructure behaviors that don't fit the query registry:
+bucketed co-located joins (no shuffle), corrupt-record quarantine, and the
+partitioned silver layer with partition pruning.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.slow
+def test_bucketed_join_has_no_shuffle(spark, tmp_path: Path) -> None:
+    """Bucketing both fact tables on the join key co-locates matching rows:
+    the sort-merge join runs without any Exchange (shuffle) — the physical
+    plan every big fact-fact join should have at 100 TB."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("bt_lineitem")
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("bt_orders")
+    )
+    joined = (
+        spark.table("bt_lineitem")
+        .join(
+            spark.table("bt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # No shuffle may appear between the two bucketed scans and the join.
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    # And the result is right.
+    got = {r["o_orderstatus"]: r["n"] for r in joined.collect()}
+    expected = {
+        r["o_orderstatus"]: r["n"]
+        for r in li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+    spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+
+
+def test_json_corrupt_record_quarantine(spark, tmp_path: Path) -> None:
+    """PERMISSIVE scan + columnNameOfCorruptRecord: bad records land in a
+    quarantine column instead of killing the file — the engine's replacement
+    for the reference's log-and-abandon-file error policy (app.py:136-139)."""
+    path = tmp_path / "events.json"
+    path.write_text(
+        '{"event_id": 1, "value": 10.5}\n'
+        "this is not json at all\n"
+        '{"event_id": 2, "value": null}\n'
+        '{"event_id": 3, "value": "NaN-ish"}\n'
+    )
+    df = (
+        spark.read.schema("event_id bigint, value double, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(str(path))
+    )
+    # Spark disallows filtering on ONLY the corrupt-record column of a raw
+    # scan; cache() (the documented workaround) materializes it first.
+    df = df.cache()
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt"] is None]
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    assert {r["event_id"] for r in good} == {1, 2}
+    assert len(bad) == 2  # the garbage line and the type-mismatched line
+    # Quarantine split: the pipeline writes these to a dead-letter sink.
+    assert df.filter(F.col("_corrupt").isNotNull()).count() == 2
+    df.unpersist()
+
+
+def test_silver_layer_partitioned(spark, tmp_path: Path) -> None:
+    """Silver view: typed casts realizing the reference's dead-code type map
+    (settings.py:22-37), written partitioned by year with partition pruning
+    verified in the scan."""
+    from data_ingestion_ex8_producer_spark.schemas import BRONZE_SCHEMA, silver_columns
+
+    bronze = spark.createDataFrame(
+        [
+            ("2023", "2º", "Cat", "T", None, "BANCO A", "25,74",
+             "10", "4", "7", "21", "1000", "600", "400"),
+            ("2024", "1º", "Cat", "T", "123", "BANCO B", "9,10",
+             "1", None, None, "1", "50", None, None),
+        ],
+        BRONZE_SCHEMA,
+    )
+    silver = bronze.select(*silver_columns())
+    out = tmp_path / "silver"
+    silver.write.partitionBy("ano").parquet(str(out))
+
+    back = spark.read.parquet(str(out)).filter(F.col("ano") == 2024)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # pruning reaches the scan
+    row = back.collect()[0]
+    assert row["instituicao_financeira"] == "BANCO B"
+    assert float(row["indice"]) == 9.10  # decimal-comma parsed
+    assert str(row["quarter_start"]) == "2024-01-01"
+    assert row["quantidade_total_de_reclamacoes"] == 1  # int cast
+
+    shutil.rmtree(out)
