@@ -226,3 +226,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array_min(hashes))
         .alias("fingerprint"),
     )
+
+
+@register(
+    "text_bpeish_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS n_bpeish_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_div4
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex (word runs,
+    single digits, punctuation) counted per document, plus the chars/4
+    rule-of-thumb — the cheap LLM-cost estimators, all via regexp_count
+    (JVM regex, no Python).  Pattern restricted to the class syntax where
+    Java regex and RE2 agree."""
+    token_re = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count("text", F.lit(token_re)).cast("long").alias("n_bpeish_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]+")).cast("long").alias("n_word_tokens"),
+        F.regexp_count("text", F.lit(r"[0-9]")).cast("long").alias("n_digit_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("n_chars_div4"),
+    )
