@@ -534,3 +534,41 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return cust.subtract(urgent)
+
+
+@register(
+    "q_argminmax",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+                               + o_orderkey) AS cheapest_order,
+           arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+                               + o_orderkey) AS priciest_order,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "argminmax"),
+)
+def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by (argmin/argmax aggregates) over a deterministic
+    surrogate ordering key: price ties are broken by order key, encoded as
+    one exact BIGINT (2-decimal price * 100 shifted + key stays < 2^53,
+    so both engines see identical integers)."""
+    surrogate = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(100000000)
+        + F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderkey", surrogate).alias("cheapest_order"),
+            F.max_by("o_orderkey", surrogate).alias("priciest_order"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

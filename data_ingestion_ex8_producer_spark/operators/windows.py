@@ -161,3 +161,29 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.count(F.lit(1)).over(w).alias("orders_trailing_30d"),
     )
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           NTILE(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "distribution"),
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist.
+    (rank-1)/(n-1) and rank/n are single IEEE divisions of identical
+    integers — bit-identical across engines."""
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
