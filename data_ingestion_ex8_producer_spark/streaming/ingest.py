@@ -65,6 +65,23 @@ def build_ingest_stream(
         if not output_path:
             raise ValueError("output_path required for parquet sink")
         return writer.format("parquet").option("path", output_path).start()
+    if sink == "foreachBatch":
+        if not output_path:
+            raise ValueError("output_path required for foreachBatch sink")
+
+        def write_with_audit(batch_df: DataFrame, epoch_id: int) -> None:
+            # Transactional-ish pattern: write the payload, then append one
+            # audit row per epoch (epoch_id makes redeliveries idempotent
+            # on the audit side too).
+            batch_df.persist()
+            batch_df.write.mode("append").parquet(f"{output_path}/data")
+            spark_b = batch_df.sparkSession
+            spark_b.createDataFrame(
+                [(int(epoch_id), batch_df.count())], "epoch_id long, n_rows long"
+            ).write.mode("append").parquet(f"{output_path}/audit")
+            batch_df.unpersist()
+
+        return writer.foreachBatch(write_with_audit).start()
     if sink == "memory":
         return writer.format("memory").queryName("reclamacoes_ingest").start()
     raise ValueError(f"unknown sink {sink!r}")
