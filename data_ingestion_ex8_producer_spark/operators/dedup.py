@@ -406,3 +406,104 @@ for _name, _sql in (
         bench=_spec.bench,
         doc=_spec.doc,
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster resolution (connected components)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest({sql_shingle_list(_SHINGLE_K)}) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges
+    ),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM sym),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id,
+           MIN(b) AS cluster_id,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS cluster_size
+    FROM reach
+    GROUP BY a
+    """,
+    tags=("dedup", "clusters", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup (Jaccard >= 0.6) pair graph:
+    each document in any near-dup pair is labeled with its cluster's minimum
+    doc_id — the canonical keeper — plus the cluster size.
+
+    Spark side is Pregel-style iterative min-label propagation: each round
+    joins labels to the symmetric edge list, takes min(own, neighbors'), and
+    stops at fixpoint.  Rounds = graph diameter (near-dup clusters are tiny,
+    so 2-4 rounds); localCheckpoint() truncates the growing lineage each
+    round — the standard iterative-algorithm discipline on Spark.  The
+    oracle computes the same components with a recursive-CTE transitive
+    closure (fine for the oracle's small graph; closure is O(n^2) per
+    component and would NOT be the engine-side plan).
+    """
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = sym.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    ).localCheckpoint()
+
+    for _ in range(20):  # cap >> any real near-dup cluster diameter
+        neighbor_min = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy(sym.doc_a.alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+
+    cluster_sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(cluster_sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

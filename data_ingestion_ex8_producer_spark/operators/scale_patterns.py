@@ -154,3 +154,25 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.reverse(F.slice(ts, 1, 3)).alias("head_reversed"),
         )
     )
+
+
+@register(
+    "q_approx_percentile",
+    oracle=None,  # sketch (GK/KLL) results are engine-specific; rows-only
+    tags=("agg", "approx", "percentile"),
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: the one-pass mergeable-sketch quantile — the scale
+    path q_percentiles' exact form replaces at 100 TB (exact percentile
+    needs a full sort per group)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+                "price_quantiles"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
