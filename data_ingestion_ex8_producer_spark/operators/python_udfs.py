@@ -1,0 +1,138 @@
+"""Python-UDF surface: vectorized scalar pandas_udf, grouped-map
+applyInPandas (batch UDAF shape), and a Python UDTF — the three sanctioned
+Python extension points, each Arrow-batched, each with an exact oracle.
+
+These exist to pin the PLUMBING (Arrow batches, schemas, grouping, lateral
+expansion); the hot-path guidance stands: everything expressible as a
+Catalyst expression elsewhere in this package stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..plans.registry import register
+from ._util import t
+
+
+# ---- scalar pandas UDF ----------------------------------------------------
+
+
+@pandas_udf("string")
+def _fold_accents(texts: pd.Series) -> pd.Series:
+    """NFKD accent folding, vectorized per Arrow batch."""
+    def fold(s: str) -> str:
+        decomposed = unicodedata.normalize("NFKD", s)
+        return "".join(ch for ch in decomposed if not unicodedata.combining(ch))
+
+    return texts.map(fold)
+
+
+@register(
+    "udf_accent_fold",
+    oracle="""
+    SELECT doc_id,
+           strip_accents(text) AS folded,
+           length(strip_accents(text)) AS folded_len
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("udf", "pandas-udf"),
+)
+def udf_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf: data-level accent folding (the data-plane twin of
+    the schema-level sanitize_name port).  Arrow-batched; DuckDB's
+    strip_accents is the oracle."""
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            _fold_accents("text").alias("folded"),
+            F.length(_fold_accents("text")).alias("folded_len"),
+        )
+    )
+
+
+# ---- grouped-map applyInPandas (batch UDAF shape) -------------------------
+
+
+@register(
+    "udaf_minmax_normalize",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END AS norm_value
+    FROM (
+        SELECT event_id, user_id, value,
+               MIN(value) OVER (PARTITION BY user_id) AS mn,
+               MAX(value) OVER (PARTITION BY user_id) AS mx
+        FROM events
+    )
+    """,
+    tags=("udf", "applyinpandas"),
+)
+def udaf_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user min-max normalization of event
+    values.  min/max are exact and the per-row normalization is a single
+    IEEE division of identical doubles — oracle-exact, unlike mean/std
+    (whose accumulation order would diverge).  One shuffle on the group key,
+    one Arrow batch per group."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = pdf["value"].min()
+        hi = pdf["value"].max()
+        norm = (pdf["value"] - lo) / (hi - lo) if hi != lo else 0.0
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "norm_value": norm}
+        )
+
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(normalize, "event_id bigint, user_id bigint, norm_value double")
+    )
+
+
+# ---- Python UDTF ----------------------------------------------------------
+
+
+@register(
+    "udtf_bigrams",
+    oracle="""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+                  FROM documents WHERE doc_id < 20)
+    SELECT doc_id,
+           CAST(unnest(range(0, len(ts) - 1)) AS INTEGER) AS pos,
+           unnest(ts[1:len(ts)-1]) || ' ' || unnest(ts[2:len(ts)]) AS bigram
+    FROM toks
+    WHERE len(ts) >= 2
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one input document row -> many (pos, bigram) output rows
+    via a lateral join.  (The same expansion is a posexplode of a zip_with
+    elsewhere — this entry pins the UDTF API surface itself.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class BigramUDTF:
+        def eval(self, text: str):  # noqa: ANN001
+            toks = text.strip().split()
+            for i in range(len(toks) - 1):
+                yield i, f"{toks[i]} {toks[i + 1]}"
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("doc_bigrams", BigramUDTF)
+    return spark.sql(
+        "SELECT d.doc_id, b.pos, b.bigram "
+        "FROM udtf_docs d, LATERAL doc_bigrams(d.text) b"
+    )
