@@ -24,14 +24,19 @@ from ._util import t
 # ---- scalar pandas UDF ----------------------------------------------------
 
 
-@pandas_udf("string")
-def _fold_accents(texts: pd.Series) -> pd.Series:
-    """NFKD accent folding, vectorized per Arrow batch."""
-    def fold(s: str) -> str:
-        decomposed = unicodedata.normalize("NFKD", s)
-        return "".join(ch for ch in decomposed if not unicodedata.combining(ch))
+def _make_fold_accents():
+    """Built lazily: the pandas_udf decorator parses its schema and needs an
+    active session, and operator modules import at registry-collection time."""
 
-    return texts.map(fold)
+    @pandas_udf("string")
+    def fold_accents(texts: pd.Series) -> pd.Series:
+        def fold(s: str) -> str:
+            decomposed = unicodedata.normalize("NFKD", s)
+            return "".join(ch for ch in decomposed if not unicodedata.combining(ch))
+
+        return texts.map(fold)
+
+    return fold_accents
 
 
 @register(
@@ -49,13 +54,14 @@ def udf_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas_udf: data-level accent folding (the data-plane twin of
     the schema-level sanitize_name port).  Arrow-batched; DuckDB's
     strip_accents is the oracle."""
+    fold_accents = _make_fold_accents()
     return (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 100)
         .select(
             "doc_id",
-            _fold_accents("text").alias("folded"),
-            F.length(_fold_accents("text")).alias("folded_len"),
+            fold_accents("text").alias("folded"),
+            F.length(fold_accents("text")).alias("folded_len"),
         )
     )
 
