@@ -31,8 +31,19 @@ def main() -> None:
     spark = build_session("bench")
     specs = {n: s for n, s in all_specs().items() if s.bench}
 
-    # Warm the JVM + parquet footers once, outside the timed region.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm-up, outside the timed region: run the whole headline set once at
+    # the smallest SF so JVM/codegen/broadcast machinery is initialized and
+    # the timed numbers reflect steady-state per-query cost (first-query
+    # session warm-up otherwise lands on whichever query runs first).
+    warm_dir = "/root/testdata/sf0.001"
+    for name in sorted(specs):
+        try:
+            specs[name].builder(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001 — warm-up must never fail the bench
+            pass
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in sorted(specs):

@@ -192,20 +192,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     |docs| x 8 band rows, never the O(n^2) pair space.
     """
     docs = with_shingles(t(spark, sf_dir, "documents"), _SHINGLE_K)
-    # Persist the materialized (doc_id, h1, h2) rows: md5-hashing runs once,
-    # and the K min(mix48(...)) aggregates then codegen over plain long
-    # columns.  (Benched alternatives at sf0.1: transform()-HOF lambda for
+    sh = docs.select("doc_id", F.explode("shingle_set").alias("shingle")).persist()
+    # md5-hash each DISTINCT shingle once (vocabulary << occurrences: ~27k
+    # distinct vs 260k rows at sf0.1) and broadcast the tiny hash dictionary
+    # back — ties the hash-per-occurrence plan at this SF and wins wherever
+    # vocabulary/occurrence ratio drops further.  The K min(mix48(...))
+    # aggregates then codegen over plain long columns.
+    # (Rejected alternatives, benched at sf0.1: transform()-HOF lambda for
     # the K mixes evaluates interpreted, 8x slower; an Arrow/numpy pandas
-    # UDF ties this plan, so the Catalyst-only path wins on simplicity.)
-    sh = (
-        docs.select("doc_id", F.explode("shingle_set").alias("shingle"))
+    # UDF ties the Catalyst path.)
+    hash_dict = (
+        sh.select("shingle")
+        .distinct()
         .withColumn("__h1", hash48(F.col("shingle")))
         .withColumn("__h2", hash48(F.concat(F.lit("x:"), F.col("shingle"))))
+    )
+    hashed = (
+        sh.join(F.broadcast(hash_dict), "shingle")
         .select("doc_id", "__h1", "__h2")
         .persist()
     )
     # Signatures are tiny (|docs| x 32 longs) and feed both join sides.
-    sig = sh.groupBy("doc_id").agg(*_minhash_cols()).persist()
+    sig = hashed.groupBy("doc_id").agg(*_minhash_cols()).persist()
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),
