@@ -188,3 +188,50 @@ def q_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "event_type")
     )
+
+
+@register(
+    "q_time_series_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+               CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start
+        FROM bounds
+    ),
+    actual AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT h.hour_start,
+           COALESCE(a.n_events, 0) AS n_events,
+           CAST(a.n_events IS NULL AS BOOLEAN) AS is_gap
+    FROM hours h LEFT JOIN actual a ON h.hour_start = a.hour_start
+    """,
+    tags=("events", "timeseries", "gapfill"),
+)
+def q_time_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a generated dense hour spine left-joined to
+    the actual hourly counts, so silent empty hours become explicit zero
+    rows.  The spine generation (sequence + explode of an aggregated
+    min/max) is one tiny row exploded — no data-volume cost at any scale."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    actual = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n_actual")
+    )
+    return hours.join(actual, "hour_start", "left").select(
+        "hour_start",
+        F.coalesce(F.col("n_actual"), F.lit(0)).alias("n_events"),
+        F.col("n_actual").isNull().alias("is_gap"),
+    )

@@ -176,3 +176,41 @@ def test_ingest_foreachbatch_sink_with_audit(spark, tmp_path: Path) -> None:
     assert data.count() == 1
     # audit row count matches data written across epochs
     assert sum(r["n_rows"] for r in audit.collect()) == 1
+
+
+@pytest.mark.slow
+def test_stream_static_join(spark, tmp_path: Path) -> None:
+    """Stream-static join: the streaming events enriched against the static
+    customer dimension must equal the batch join (dimension broadcast per
+    micro-batch, no state)."""
+    from pyspark.sql import functions as F
+
+    events = stream_events_fixture(spark, SF, str(tmp_path / "ss_stage"))
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    enriched = events.join(
+        F.broadcast(cust), events.user_id == cust.c_custkey
+    ).select("event_id", "c_mktsegment")
+    query = (
+        enriched.writeStream.format("memory")
+        .queryName("stream_static")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    query.stop()
+    got = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in spark.sql("SELECT * FROM stream_static").collect()
+    }
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+
+    batch = load_table(spark, SF, "events")
+    expected = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in batch.join(cust, batch.user_id == cust.c_custkey)
+        .select("event_id", "c_mktsegment")
+        .collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
