@@ -235,3 +235,60 @@ def q_time_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_actual"), F.lit(0)).alias("n_events"),
         F.col("n_actual").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "q_session_window_dynamic",
+    oracle="""
+    WITH gapped AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN INTERVAL '30 minutes'
+                    ELSE INTERVAL '10 minutes' END AS gap
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts >= MAX(ts + gap) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id
+                                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                                            AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_session,
+               ts + gap AS this_end
+        FROM gapped
+    ),
+    numbered AS (
+        SELECT user_id, ts, this_end,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(this_end) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("events", "session", "dynamic-gap"),
+)
+def q_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap (purchases hold the
+    session open 30 min, everything else 10): sessions are the union of
+    overlapping [ts, ts+gap) intervals.  The oracle reproduces interval-union
+    semantics with a running-max window (new session iff the event starts at
+    or after every previous interval's end)."""
+    gap = F.when(F.col("event_type") == "purchase", "30 minutes").otherwise(
+        "10 minutes"
+    )
+    win = F.session_window("ts", gap)
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", win)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
