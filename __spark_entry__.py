@@ -11,11 +11,19 @@ this module is a thin adapter over it.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_ingestion_ex8_producer_spark.plans.registry import all_specs
+# Defensive: the driver may import this module by file path from any CWD;
+# the engine package lives next to this file.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from data_ingestion_ex8_producer_spark.plans.registry import all_specs  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -292,3 +292,35 @@ def q_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "q_multi_grain_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN CAST(date_trunc('hour', ts) AS TIMESTAMP) END AS hour_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    HAVING GROUPING(date_trunc('day', ts)) = 0
+    """,
+    tags=("events", "rollup", "timeseries"),
+)
+def q_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hourly AND daily aggregates
+    of the event stream in ONE pass (ROLLUP over two time truncations;
+    day-level subtotal rows carry NULL hour_start).  The continuous-aggregate
+    pattern for time-series stores, expressed as a single Expand+aggregate."""
+    day = F.date_trunc("day", "ts")
+    hour = F.date_trunc("hour", "ts")
+    return (
+        t(spark, sf_dir, "events")
+        .rollup(day.alias("day_start"), hour.alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("total_value"),
+        )
+        .filter(F.col("day_start").isNotNull())
+    )
