@@ -44,12 +44,20 @@ def read_reclamacoes_batch(spark: SparkSession, path: str) -> DataFrame:
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
-    probe = (
-        spark.read.options(sep=";", encoding="ISO-8859-1", header="false")
-        .csv(path)
-        .limit(1)
-        .collect()
-    )
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        probe = (
+            spark.read.options(sep=";", encoding="ISO-8859-1", header="false")
+            .csv(path)
+            .limit(1)
+            .collect()
+        )
+    except AnalysisException:
+        # Empty landing zone: schema inference has nothing to read.  The
+        # reference would loop forever doing nothing (app.py:187); batch mode
+        # returns an empty bronze frame with the full schema.
+        probe = []
     if not probe:
         return spark.createDataFrame([], BRONZE_SCHEMA)
     raw_names = [v if v is not None else "" for v in probe[0]]

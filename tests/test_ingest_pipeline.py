@@ -93,3 +93,35 @@ def test_duplicate_header_last_wins(spark, tmp_path: Path) -> None:
     assert row["ano"] == "2024"
     assert row["indice"] == "1,0"
     assert row["categoria"] is None  # missing column materializes as NULL
+
+
+def test_empty_landing_dir(spark, tmp_path: Path) -> None:
+    """An empty landing zone yields an empty bronze frame with the full
+    schema (the reference would just loop forever doing nothing)."""
+    empty = tmp_path / "empty_landing"
+    empty.mkdir()
+    df = read_reclamacoes_batch(spark, str(empty))
+    assert df.columns == FIELD_ORDER
+    assert df.count() == 0
+
+
+def test_header_only_file(spark, tmp_path: Path) -> None:
+    """A file with only a header row produces zero records, not an error."""
+    path = tmp_path / "header_only.csv"
+    path.write_bytes((RAW_HEADER + "\n").encode("iso-8859-1"))
+    df = read_reclamacoes_batch(spark, str(path))
+    assert df.count() == 0
+
+
+def test_short_rows_pad_with_nulls(spark, tmp_path: Path) -> None:
+    """Rows with fewer fields than the header pad with NULLs (PERMISSIVE),
+    instead of killing the rest of the file like the reference's
+    abandon-on-error policy (app.py:136-139)."""
+    path = tmp_path / "short.csv"
+    content = RAW_HEADER + "\n2024;1º;Cat\n"
+    path.write_bytes(content.encode("iso-8859-1"))
+    df = read_reclamacoes_batch(spark, str(path))
+    row = df.collect()[0]
+    assert row["ano"] == "2024"
+    assert row["categoria"] == "Cat"
+    assert row["tipo"] is None
