@@ -1,0 +1,442 @@
+"""Advanced relational surface: as-of join, higher-order array/map functions,
+ntile windows, by-name/multiset set ops, and two multi-join TPC-H-style
+benchmark queries (Q3/Q10 shapes).
+
+None of these exist in the reference (SURVEY.md §2.2 absence matrix — its
+only operators are S3-CSV scan, header sanitize, projection, empty→null,
+Avro encode, Kafka produce; `app.py:87-196`); they are engine surface
+mandated by the build contract.
+
+Scale notes (100 TB posture):
+
+* as-of join: implemented as union + single window pass — ONE shuffle on the
+  join key, never the O(|left| x |right-per-key|) expanded candidate join a
+  naive `ON a.key = b.key AND b.ts <= a.ts` plan would produce.  This is the
+  canonical Spark formulation for point-in-time/as-of semantics.
+* higher-order functions run inside codegen over the array without exploding
+  rows — no shuffle at all; per-element lambdas stay JVM-side.
+* Q3/Q10 are the join-heavy bench anchors: dim filters reach the parquet
+  scans (PushedFilters), small sides broadcast, fact-fact joins shuffle on
+  their natural keys with AQE handling skew/coalescing at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ._util import revenue_dec, t
+
+# --------------------------------------------------------------------------
+# As-of (point-in-time) join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+        SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.click_ts DESC, c.click_id DESC
+               ) AS rn
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id AND c.click_ts <= p.ts
+    )
+    SELECT event_id, user_id, ts,
+           click_id AS asof_click_id, click_ts AS asof_click_ts
+    FROM cand WHERE rn = 1
+    """,
+    tags=("join", "asof", "temporal"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event paired with the latest click event by
+    the same user at-or-before the purchase time (ties: highest event_id).
+
+    Spark plan: tag both sides, union, ONE window pass per user ordered by
+    (ts, side, click_id) carrying `last(click, ignorenulls=True)` — a single
+    shuffle on user_id regardless of per-user history length.  The oracle
+    spells the same semantics as an expanded join + row_number, which is
+    O(candidates) and exactly what we avoid at scale.
+    """
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("click_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.last("click_id", ignorenulls=True).over(w).alias("asof_click_id"),
+            F.last("click_ts", ignorenulls=True).over(w).alias("asof_click_ts"),
+            "side",
+        )
+        .filter(F.col("side") == 1)
+        .drop("side")
+    )
+
+
+# --------------------------------------------------------------------------
+# Higher-order array functions (transform / filter / aggregate / zip_with)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_higher_order_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n_dims,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a, b) -> a + b) AS l2_sq,
+           list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(list_zip(embedding, list_reverse(embedding)),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+               (a, b) -> a + b) AS rev_dot,
+           CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               AS max_abs
+    FROM embeddings
+    """,
+    tags=("scalar", "higher_order", "array"),
+)
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: transform,
+    filter, aggregate (left fold), zip_with, array_max — all evaluated
+    JVM-side inside codegen, no explode and no shuffle.
+
+    Determinism: per-element float→double casts and products are exact IEEE;
+    the fold is an explicitly sequential left fold in BOTH engines (Spark
+    `aggregate`, DuckDB `list_reduce` seeded via list_prepend), so double
+    sums are bit-identical — no rounding shims needed.
+    """
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq = F.transform(xd, lambda x: x * x)
+    zipped = F.zip_with(xd, F.reverse(xd), lambda x, y: x * y)
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long").alias("n_pos"),
+        fold(sq).alias("l2_sq"),
+        fold(zipped).alias("rev_dot"),
+        F.array_max(F.transform(xd, F.abs)).alias("max_abs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Map functions (map_from_entries / element_at / map_filter / map_values)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           MAX(CASE WHEN event_type = 'click' THEN cnt END) AS n_clicks,
+           MAX(CASE WHEN event_type = 'purchase' THEN cnt END) AS n_purchases,
+           CAST(SUM(cnt) AS BIGINT) AS total_events,
+           CAST(COUNT(*) FILTER (WHERE cnt >= 5) AS BIGINT) AS n_heavy_types
+    FROM per GROUP BY user_id
+    """,
+    tags=("scalar", "map"),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a per-user event_type→count map with
+    map_from_entries, then read it back via element_at / map_values /
+    map_filter / size.  The map is an intra-row structure, so everything
+    after the one counting aggregation is shuffle-free; lookups by key are
+    independent of the (nondeterministic) collect_list order.
+    """
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.element_at("m", F.lit("click")).alias("n_clicks"),
+        F.element_at("m", F.lit("purchase")).alias("n_purchases"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("total_events"),
+        F.size(F.map_filter("m", lambda _, v: v >= 5)).cast("long").alias(
+            "n_heavy_types"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# ntile window
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(NTILE(4) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey) AS BIGINT) AS balance_quartile,
+           CAST(NTILE(10) OVER (
+               ORDER BY c_acctbal, c_custkey) AS BIGINT) AS global_decile
+    FROM customer
+    """,
+    tags=("window", "ntile"),
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing: account-balance quartiles within each market segment
+    plus global deciles.  Tie order is pinned with the unique c_custkey so
+    bucket assignment is deterministic in both engines.  (The global ntile is
+    a single-partition window — fine for dim-sized inputs, replaced by
+    approx percentile cuts on fact-sized data at scale.)
+    """
+    c = t(spark, sf_dir, "customer")
+    seg = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    glob = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(seg).cast("long").alias("balance_quartile"),
+        F.ntile(10).over(glob).cast("long").alias("global_decile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops: by-name union, multiset intersect/except
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+    SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment
+    FROM customer
+    UNION ALL BY NAME
+    SELECT s_name AS name, s_acctbal AS acctbal FROM supplier
+    """,
+    tags=("setop", "union"),
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: customers and suppliers stacked by column NAME
+    with allowMissingColumns=True (suppliers have no segment → null), the
+    idiomatic way to union tables whose schemas drifted."""
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal")
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_totalprice < 250000
+    INTERSECT ALL
+    SELECT o_orderpriority, o_orderstatus FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    tags=("setop", "intersect"),
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): keeps duplicate rows up to the
+    minimum multiplicity on each side — distinct from q_intersect's set
+    semantics."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") < 250000).select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    b = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")).select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    return a.intersectAll(b)
+
+
+@register(
+    "q_except_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_totalprice < 250000
+    EXCEPT ALL
+    SELECT o_orderpriority, o_orderstatus FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+    tags=("setop", "except"),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): multiplicity-aware subtraction —
+    a row appearing 3 times left and 1 time right survives twice."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") < 250000).select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    b = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")).select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    return a.exceptAll(b)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 / Q10 shapes (join-heavy bench anchors)
+# --------------------------------------------------------------------------
+
+_Q3_CUTOFF = "1998-06-01"
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(20,4)))
+                AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_Q3_CUTOFF} 00:00:00'
+      AND l_shipdate > TIMESTAMP '{_Q3_CUTOFF} 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk", "bench"),
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with selective dim filter, aggregate,
+    global top-10 (TakeOrderedAndProject — no full sort materialization).
+
+    Plan shape at scale: the segment filter reaches the customer scan, the
+    filtered customer side broadcasts into orders, and only the orders x
+    lineitem equi-join shuffles; revenue ties are broken by the unique
+    l_orderkey so the LIMIT is deterministic.
+    """
+    cutoff = F.lit(_Q3_CUTOFF).cast("timestamp")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue_dec()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(20,4)))
+                AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk", "bench"),
+    bench=True,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join (two facts + two dims), returned-item
+    revenue per customer, top 20.  nation broadcasts (25 rows always);
+    the returnflag and orderdate filters push into the fact scans before
+    the shuffle join; c_custkey breaks revenue ties deterministically.
+    """
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue_dec()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

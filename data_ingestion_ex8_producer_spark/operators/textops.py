@@ -8,7 +8,7 @@ whole-stage codegen, and each operator has an exact DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash48, sql_hash48, sql_shingle_list, sql_tokens, tokens
@@ -254,4 +254,64 @@ def text_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(r"[A-Za-z]+")).cast("long").alias("n_word_tokens"),
         F.regexp_count("text", F.lit(r"[0-9]")).cast("long").alias("n_digit_tokens"),
         F.ceil(F.length("text") / 4.0).alias("n_chars_div4"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({sql_tokens()}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, token, tf, df,
+               CAST(tf AS DOUBLE) * n_docs / df AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY CAST(tf AS DOUBLE) * n_docs / df DESC, token
+               ) AS rn
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf FROM scored WHERE rn <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF.
+
+    tf = in-doc term count; df = number of documents containing the term;
+    score = tf * N / df — the raw inverse-document-frequency ratio, which is
+    order-equivalent to tf*log(N/df) per fixed tf but transcendental-free:
+    all inputs are exact integers so the single double division is
+    bit-identical across engines (ln() is only ~1-ulp-accurate and could
+    flip ranking ties in a cross-engine compare).  Ranking ties are broken
+    by token text.
+
+    Scale shape: explode -> two counting aggregations sharing the
+    (doc_id, token) shuffle -> broadcast-joined doc count -> per-doc top-k
+    window.  The df table is vocabulary-sized; at 100 TB it is still the
+    small side and the tf-df join shuffles on token with AQE skew handling
+    (stopword tokens are the classic skew keys).
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.col("tf").cast("double") * F.col("n_docs") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf")
     )
