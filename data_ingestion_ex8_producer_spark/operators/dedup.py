@@ -192,25 +192,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     |docs| x 8 band rows, never the O(n^2) pair space.
     """
     docs = with_shingles(t(spark, sf_dir, "documents"), _SHINGLE_K)
-    sh = docs.select("doc_id", F.explode("shingle_set").alias("shingle")).persist()
-    # md5-hash each DISTINCT shingle once (vocabulary << occurrences: ~27k
-    # distinct vs 260k rows at sf0.1) and broadcast the tiny hash dictionary
-    # back — ties the hash-per-occurrence plan at this SF and wins wherever
-    # vocabulary/occurrence ratio drops further.  The K min(mix48(...))
-    # aggregates then codegen over plain long columns.
-    # (Rejected alternatives, benched at sf0.1: transform()-HOF lambda for
-    # the K mixes evaluates interpreted, 8x slower; an Arrow/numpy pandas
-    # UDF ties the Catalyst path.)
-    hash_dict = (
-        sh.select("shingle")
-        .distinct()
-        .withColumn("__h1", hash48(F.col("shingle")))
-        .withColumn("__h2", hash48(F.concat(F.lit("x:"), F.col("shingle"))))
-    )
-    hashed = (
-        sh.join(F.broadcast(hash_dict), "shingle")
-        .select("doc_id", "__h1", "__h2")
-        .persist()
+    # md5-hash per shingle OCCURRENCE, fused straight into the explode — one
+    # codegen stage scan->explode->hash->partial-min, no intermediate
+    # materialization.  The K min(mix48(...)) aggregates codegen over plain
+    # long columns.  (Rejected alternatives, benched at sf0.1 steady-state:
+    # hashing only DISTINCT shingles and broadcast-joining the dictionary
+    # back costs 2 persists + a join and ran ~10% slower — md5 is cheaper
+    # than the materialization it saves; transform()-HOF lambda for the K
+    # mixes evaluates interpreted, 8x slower; an Arrow/numpy pandas UDF ties
+    # the Catalyst path.  The dictionary variant wins only when vocabulary
+    # << occurrences AND the hash is far costlier than md5.)
+    hashed = docs.select("doc_id", F.explode("shingle_set").alias("shingle")).select(
+        "doc_id",
+        hash48(F.col("shingle")).alias("__h1"),
+        hash48(F.concat(F.lit("x:"), F.col("shingle"))).alias("__h2"),
     )
     # Signatures are tiny (|docs| x 32 longs) and feed both join sides.
     sig = hashed.groupBy("doc_id").agg(*_minhash_cols()).persist()
