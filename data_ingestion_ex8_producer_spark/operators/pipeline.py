@@ -1,0 +1,333 @@
+"""Training-data pipeline patterns: deterministic sampling, train/test
+splitting, frequency-capped near-dup candidates, vector normalization, and
+per-label centroids — the curation ops a 100 TB LLM-data pipeline runs between
+raw ingestion and tokenization.
+
+Nothing here exists in the reference (its whole data plane is CSV→Avro→Kafka,
+`app.py:112-173`); this is mandated engine surface.
+
+Determinism doctrine (everything below is exactly DuckDB-oracled):
+
+* sampling/splitting hash on md5-derived 48-bit keys (functions/text.py) —
+  content-stable, engine-independent, and reshard-safe: adding executors or
+  repartitioning cannot change which rows are sampled, unlike rand()-based
+  sampling.
+* vector math follows operators/_util.py's exact-arithmetic rules: sequential
+  double folds (bit-identical both engines), sqrt/division (correctly-rounded
+  IEEE), and integer quantization for cross-row sums (double-sum order is the
+  ONLY nondeterminism; quantized BIGINT sums are associative and exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import hash48, sql_hash48, sql_shingle_list, with_shingles
+from ..plans.registry import register
+from ._util import t
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+# Per-language keep rates: downsample the dominant language, keep the rest —
+# the standard corpus-rebalancing move.
+_SAMPLE_RATES = {"en": 0.35, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+_HASH_SPACE = float(1 << 48)
+
+
+@register(
+    "q_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST({sql_hash48("'sample:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+          / {_HASH_SPACE}
+          < CASE lang WHEN 'en' THEN 0.35 ELSE 1.0 END
+    """,
+    tags=("pipeline", "sampling"),
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc when
+    hash48('sample:'||doc_id)/2^48 < rate(lang) — here downsampling English
+    to 35% and keeping other languages whole.
+
+    Unlike df.sample()/rand(), the keep decision is a pure function of the
+    row key: stable across reruns, repartitioning, and engines (so it has an
+    exact oracle), and a different salt gives an independent sample.  The
+    filter is a narrow map — no shuffle, fully pushed into the scan stage.
+    """
+    u = hash48(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))).cast(
+        "double"
+    ) / F.lit(_HASH_SPACE)
+    rate = F.when(F.col("lang") == "en", F.lit(0.35)).otherwise(F.lit(1.0))
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(u < rate)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "q_train_test_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               CAST({sql_hash48("'split:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+               / {_HASH_SPACE} AS u
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+    tags=("pipeline", "split"),
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by salted content-key
+    hash.  Same guarantees as q_hash_sample: a document's split never changes
+    under reshuffling or scale-out, and train/test leakage checks can re-derive
+    membership from the key alone.  Narrow map, no shuffle.
+    """
+    u = hash48(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))).cast(
+        "double"
+    ) / F.lit(_HASH_SPACE)
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Frequency-capped Jaccard candidates (the scale-out variant)
+# --------------------------------------------------------------------------
+
+_DF_CAP = 20
+_CAPPED_THRESHOLD = 0.5
+_SHINGLE_K = 3
+
+
+@register(
+    "dedup_jaccard_df_capped",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({sql_shingle_list(_SHINGLE_K)}) AS shingle
+        FROM documents
+    ),
+    df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    kept AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)
+        WHERE df.df <= {_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard_capped
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_CAPPED_THRESHOLD}
+    """,
+    tags=("dedup", "jaccard", "scale"),
+)
+def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency-capped Jaccard: shingles appearing in more than
+    {cap} documents are dropped BEFORE the self-join, then Jaccard is
+    computed over the capped vocabulary.
+
+    This is the scale-out form of dedup_ngram_jaccard: stop-shingles are
+    simultaneously the skew keys (a shingle in f docs contributes f^2 join
+    rows) and the least discriminative features, so capping bounds the
+    worst-case join fan-out at cap^2 per shingle while barely moving the
+    similarity signal.  Kept as a SEPARATE scored query with the cap applied
+    identically in the oracle, so it stays exactly verifiable; the uncapped
+    query remains the parity baseline.
+    """
+    docs = with_shingles(t(spark, sf_dir, "documents"), _SHINGLE_K)
+    sh = docs.select("doc_id", F.explode("shingle_set").alias("shingle"))
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        sh.join(F.broadcast(df.filter(F.col("df") <= _DF_CAP)), "shingle")
+        .select("doc_id", "shingle")
+        .persist()
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard_capped"))
+        .filter(F.col("jaccard_capped") >= _CAPPED_THRESHOLD)
+    )
+
+
+dedup_jaccard_df_capped.__doc__ = dedup_jaccard_df_capped.__doc__.replace(
+    "{cap}", str(_DF_CAP)
+)
+
+
+# --------------------------------------------------------------------------
+# Vector normalization + per-label centroids
+# --------------------------------------------------------------------------
+
+
+@register(
+    "emb_normalize",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id,
+               sqrt(list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                   (a, b) -> a + b)) AS nrm,
+               embedding
+        FROM embeddings
+    )
+    SELECT vec_id, nrm AS l2_norm,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit
+    FROM n WHERE nrm > 0
+    """,
+    tags=("pipeline", "vector"),
+)
+def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize each embedding to a unit vector (the precondition for
+    cosine = dot product in every similarity query).
+
+    Exact cross-engine: the squared-norm fold is sequential in both engines,
+    and sqrt + per-element division are correctly-rounded IEEE ops — the
+    output ARRAYS are compared element-for-element by the oracle gate, no
+    tolerance.  Narrow map, no shuffle; at 100 TB this runs fused into
+    whatever scan feeds it.
+    """
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(xd, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            nrm.alias("l2_norm"),
+            F.transform(xd, lambda x: x / nrm).alias("unit"),
+        )
+        .filter(F.col("l2_norm") > 0)
+    )
+
+
+_QUANT = 1_000_000  # 1e-6 quantization for order-independent vector sums
+
+
+@register(
+    "emb_centroid_by_label",
+    oracle=f"""
+    WITH elems AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_QUANT}) AS BIGINT)
+                   AS xq
+        FROM embeddings
+    )
+    SELECT label, pos,
+           CAST(SUM(xq) AS DOUBLE) / ({_QUANT} * COUNT(*)) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM elems
+    GROUP BY label, pos
+    """,
+    tags=("pipeline", "vector", "agg"),
+)
+def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors, one row per (label, dimension): posexplode
+    the embedding, quantize each element to 1e-6 on a BIGINT grid, sum
+    exactly, divide once.
+
+    Why quantize: cross-row double summation is order-dependent and a
+    parallel engine cannot pin it; BIGINT sums are associative and exact at
+    any parallelism (the one deterministic rounding per element uses
+    round-half-away-from-zero in BOTH engines).  This is the same
+    exact-arithmetic discipline as operators/_util.dec4, in integer form.
+    Shape: one shuffle on (label, pos) — 640 groups here, ~dims x labels
+    anywhere — with map-side partial aggregation doing almost all the work.
+    """
+    e = t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    xq = F.round(F.col("x").cast("double") * _QUANT).cast("long")
+    return (
+        e.select("label", "pos", xq.alias("xq"))
+        .groupBy("label", "pos")
+        .agg(F.sum("xq").alias("sq"), F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            "label",
+            "pos",
+            (F.col("sq").cast("double") / (F.lit(_QUANT) * F.col("n_vectors"))).alias(
+                "centroid"
+            ),
+            "n_vectors",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+    tags=("reshape", "unpivot"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt) of four lineitem measures into
+    (metric, value) rows — the inverse of q_pivot, via the native
+    DataFrame.unpivot operator (a Generate node: no shuffle, no UDF; the
+    oracle spells it as the equivalent 4-way UNION ALL).
+    """
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "metric",
+            "value",
+        )
+    )

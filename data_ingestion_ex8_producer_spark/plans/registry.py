@@ -51,6 +51,7 @@ _OPERATOR_MODULES = (
     "data_ingestion_ex8_producer_spark.operators.similarity",
     "data_ingestion_ex8_producer_spark.operators.multimodal",
     "data_ingestion_ex8_producer_spark.operators.python_udfs",
+    "data_ingestion_ex8_producer_spark.operators.pipeline",
 )
 
 
