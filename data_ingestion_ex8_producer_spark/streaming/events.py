@@ -72,6 +72,21 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Dedup with GUARANTEED bounded state: unlike dropDuplicates (which
+    keys state on event_id forever when event_id isn't the watermark column),
+    dropDuplicatesWithinWatermark evicts each key once the watermark passes
+    its event time + delay — the only safe exact-dedup form for an unbounded
+    100 TB/day stream.  Duplicates are removed only when they arrive within
+    the watermark delay of the first occurrence, which is the at-least-once
+    redelivery window of any real source."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory(streaming_df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming frame over all currently-available input into an
     in-memory table, then stop (availableNow trigger).  Aggregations need

@@ -214,3 +214,86 @@ def test_stream_static_join(spark, tmp_path: Path) -> None:
     }
     assert len(expected) > 0
     assert got == expected
+
+
+@pytest.mark.slow
+def test_streaming_session_window_equals_batch(spark, tmp_path: Path) -> None:
+    from pyspark.sql import functions as F
+
+    from data_ingestion_ex8_producer_spark.streaming.events import session_values
+
+    events = stream_events_fixture(spark, SF, str(tmp_path / "events_stage3"))
+    query = (
+        session_values(events)
+        .writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    query.stop()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in batch.collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.slow
+def test_stream_dedup_within_watermark(spark, tmp_path: Path) -> None:
+    """dropDuplicatesWithinWatermark: redelivered event_ids within the
+    watermark horizon are dropped; state is evictable (bounded), unlike
+    plain dropDuplicates keyed on a non-watermark column."""
+    from data_ingestion_ex8_producer_spark.streaming.events import (
+        dedup_stream_within_watermark,
+    )
+
+    staging = tmp_path / "dupes"
+    staging.mkdir()
+    base = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:00:30", 7, "view", 1.0, "{}"),
+            (1, "2024-01-01 10:01:00", 7, "click", 1.0, "{}"),  # redelivery of 1
+            (3, "2024-01-01 10:02:00", 8, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:02:30", 7, "view", 1.0, "{}"),  # redelivery of 2
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props")
+    base.coalesce(1).write.parquet(str(staging / "batch0"))
+
+    schema = spark.read.parquet(str(staging / "batch0")).schema
+    stream = spark.readStream.schema(schema).parquet(str(staging / "*"))
+    query = (
+        dedup_stream_within_watermark(stream, "10 minutes")
+        .writeStream.format("memory")
+        .queryName("stream_dedup_ww")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    query.stop()
+    rows = spark.sql(
+        "SELECT event_id, count(*) AS n FROM stream_dedup_ww GROUP BY event_id"
+    ).collect()
+    assert {r["event_id"]: r["n"] for r in rows} == {1: 1, 2: 1, 3: 1}
