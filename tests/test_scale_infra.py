@@ -118,3 +118,54 @@ def test_silver_layer_partitioned(spark, tmp_path: Path) -> None:
     assert row["quantidade_total_de_reclamacoes"] == 1  # int cast
 
     shutil.rmtree(out)
+
+
+@pytest.mark.slow
+def test_aqe_splits_skewed_join_partition(spark) -> None:
+    """AQE skew-join: a sort-merge join with one hot key gets its oversized
+    partition split at runtime (the final adaptive plan marks the join
+    skew=true) and still returns exact results.  This is the no-code-change
+    answer to key skew at 100 TB; salting (q_salted_agg) remains for engines
+    or joins AQE can't rewrite."""
+    skew_conf = {
+        # Force the skew machinery to consider our tiny test partitions.
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "16",
+    }
+    old = {k: spark.conf.get(k, None) for k in skew_conf}
+    for k, v in skew_conf.items():
+        spark.conf.set(k, v)
+    try:
+        # 150k rows on one hot key (wide payload so shuffle bytes, not row
+        # count, trip the threshold) + a uniform tail over 100 keys.
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") < 150_000, F.lit(7)).otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.concat(F.lit("x" * 100), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("dim")
+        )
+        # Keyless aggregate downstream: a groupBy(k) right above the join
+        # would require hashpartitioning(k) and make AQE decline the split
+        # (split partitions duplicate build rows, breaking that guarantee).
+        joined = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k") == 7, 1).otherwise(0)).alias("hot_n"),
+        )
+        row = joined.collect()[0]
+        assert row["hot_n"] == 150_000 + 500  # hot key + its uniform-tail share
+        assert row["n"] == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
