@@ -440,3 +440,53 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Full outer join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_full_outer_join",
+    oracle="""
+    WITH hi_cust AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 7000
+    ),
+    big_orders AS (
+        SELECT o_custkey, COUNT(*) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+                   AS big_total
+        FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, o_custkey, n_big, big_total
+    FROM hi_cust FULL OUTER JOIN big_orders ON c_custkey = o_custkey
+    """,
+    tags=("join", "outer"),
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join between two partially-overlapping sets (high-balance
+    customers vs customers with big orders): rows survive from BOTH sides
+    with nulls where unmatched — the reconciliation-report join.  At scale a
+    full outer cannot broadcast (both sides must be preserved), so it's the
+    one join flavor that always shuffles both inputs; AQE still coalesces
+    its output."""
+    hi_cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey", "c_name")
+    )
+    big_orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_big"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("big_total"),
+        )
+    )
+    return hi_cust.join(
+        big_orders, hi_cust.c_custkey == big_orders.o_custkey, "full_outer"
+    ).select("c_custkey", "c_name", "o_custkey", "n_big", "big_total")

@@ -142,3 +142,71 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, b.pos, b.bigram "
         "FROM udtf_docs d, LATERAL doc_bigrams(d.text) b"
     )
+
+
+# ---- cogrouped applyInPandas ---------------------------------------------
+
+
+@register(
+    "udaf_cogroup_reconcile",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+                   AS total_spend
+        FROM orders GROUP BY 1
+    ),
+    e AS (
+        SELECT user_id AS custkey, COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT COALESCE(o.custkey, e.custkey) AS custkey,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(total_spend, 0.0) AS total_spend,
+           COALESCE(n_events, 0) AS n_events
+    FROM o FULL OUTER JOIN e ON o.custkey = e.custkey
+    """,
+    tags=("udf", "cogroup", "pandas"),
+)
+def udaf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: orders and events cogrouped per customer key,
+    merged by an arbitrary Python function (here: order count/spend vs event
+    count reconciliation).
+
+    This is the fourth Python extension point — cogroup(...).applyInPandas —
+    for merge logic too gnarly for a join expression (e.g., per-key sequence
+    alignment).  Both sides arrive as pandas frames PER KEY after one
+    co-partitioning shuffle each; nothing is collected to the driver.  The
+    decimal round-trip keeps the spend sum exact (float64 sums would be
+    order-dependent); the oracle is the equivalent two-aggregate full outer
+    join.
+    """
+    import decimal
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").cast("decimal(12,4)").alias("price_dec"),
+    )
+    events = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey"), F.lit(1).alias("one")
+    )
+
+    def reconcile(key: tuple, odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        spend = sum(odf["price_dec"], decimal.Decimal(0))  # exact decimal sum
+        return pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "n_orders": [len(odf)],
+                "total_spend": [float(spend)],
+                "n_events": [len(edf)],
+            }
+        )
+
+    return (
+        orders.groupBy("custkey")
+        .cogroup(events.groupBy("custkey"))
+        .applyInPandas(
+            reconcile,
+            "custkey long, n_orders long, total_spend double, n_events long",
+        )
+    )

@@ -86,3 +86,59 @@ def test_stream_stream_join_matches_batch(spark, tmp_path: Path) -> None:
     }
     assert len(expected) > 0
     assert got == expected
+
+
+@pytest.mark.slow
+def test_stateful_stream_with_rocksdb_state_store(spark, tmp_path: Path) -> None:
+    """The same watermarked tumbling aggregation runs with the RocksDB state
+    store provider — the provider a 100 TB deployment uses so streaming state
+    spills to local disk instead of living on the executor heap.  Results
+    must be identical to the default (HDFS-backed in-memory) provider."""
+    from data_ingestion_ex8_producer_spark.streaming.events import (
+        stream_events_fixture,
+        tumbling_counts,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = stream_events_fixture(spark, SF, str(tmp_path / "ev_rocks"))
+        query = (
+            tumbling_counts(events)
+            .writeStream.format("memory")
+            .queryName("rocks_tumbling")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .start()
+        )
+        query.awaitTermination(120)
+        query.stop()
+        got = {
+            (r["window_start"], r["window_end"], r["event_type"]): (
+                r["n_events"],
+                r["total_value"],
+            )
+            for r in spark.sql("SELECT * FROM rocks_tumbling").collect()
+        }
+        from data_ingestion_ex8_producer_spark.operators.events import (
+            q_tumbling_window,
+        )
+
+        expected = {
+            (r["window_start"], r["window_end"], r["event_type"]): (
+                r["n_events"],
+                r["total_value"],
+            )
+            for r in q_tumbling_window(spark, SF).collect()
+        }
+        assert got == expected
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
