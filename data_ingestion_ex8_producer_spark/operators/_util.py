@@ -30,6 +30,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def spread(df: DataFrame, spark: SparkSession, *keys: str) -> DataFrame:
+    """Repartition ``df`` up to the session's core count IFF the scan gave
+    fewer partitions — the guard that makes CPU-heavy per-row stages (explode
+    + hash pipelines) use every core when the input is one small parquet
+    file, while staying a NO-OP at scale: a 100 TB file source already
+    arrives in thousands of maxPartitionBytes-sized splits, so the extra
+    shuffle never fires there.  Keyed when ``keys`` given (co-partitions for
+    a downstream groupBy), round-robin otherwise."""
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want, *[F.col(k) for k in keys]) if keys else df.repartition(want)
+
+
 # ---- Spark side -----------------------------------------------------------
 
 def dec4(col: str | Column) -> Column:

@@ -36,7 +36,7 @@ from ..functions.text import (
     with_shingles,
 )
 from ..plans.registry import register
-from ._util import t
+from ._util import spread, t
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -124,11 +124,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations are plain shuffles on uniform-ish keys; see module docstring
     for the stop-shingle frequency cap used at scale.
     """
-    docs = with_shingles(t(spark, sf_dir, "documents"), _SHINGLE_K)
+    docs = with_shingles(spread(t(spark, sf_dir, "documents"), spark), _SHINGLE_K)
     # The exploded shingle relation feeds three subtrees (both join sides +
     # sizes); persist it so the scan+shingle work runs once, not three times.
     # At 100 TB this is a materialized intermediate table, not a cache.
-    sh = docs.select("doc_id", F.explode("shingle_set").alias("shingle")).persist()
+    # The join runs on xxhash64(shingle): fixed-width longs shuffle and
+    # compare ~2x faster than ~20-char strings.  Collision odds are
+    # ~n^2/2^65 over the distinct-shingle vocabulary (≈3e-6 even at n=10^6),
+    # and the DuckDB oracle keeps exact string equality, so the correctness
+    # gate would surface any collision that ever changed a reported pair.
+    sh = (
+        docs.select("doc_id", F.explode("shingle_set").alias("shingle"))
+        .select("doc_id", F.xxhash64(F.col("shingle")).alias("shingle"))
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -163,20 +172,6 @@ _LSH_BANDS = 8
 _ROWS_PER_BAND = _MINHASH_PERMS // _LSH_BANDS
 
 
-def _minhash_cols() -> list:
-    """K MIN aggregates from two md5-derived base hashes per shingle:
-    h_i = mix48(h1 + i*h2) — Kirsch-Mitzenmacher double hashing with an
-    avalanche finalizer.  2 md5 evaluations per shingle instead of K (the
-    salted-md5-per-perm variant benched 5x slower at sf0.1); the mixer is
-    what makes the family behave independently (measured at sf0.01: mixed =
-    25 candidates, all true positives — identical to fully independent
-    salted hashes; unmixed linear family = 201 candidates, 176 false)."""
-    return [
-        F.min(mix48(F.col("__h1") + F.lit(i) * F.col("__h2"))).alias(f"mh{i}")
-        for i in range(_MINHASH_PERMS)
-    ]
-
-
 @register(
     "dedup_minhash_lsh",
     oracle=None,  # oracle attached programmatically below (generated SQL)
@@ -190,50 +185,71 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     At s = 0.6 Jaccard the candidate probability is 1-(1-0.6^4)^8 ≈ 0.67;
     at s = 0.9 it is ≈ 0.998 — the classic LSH S-curve.  Shuffle volume is
     |docs| x 8 band rows, never the O(n^2) pair space.
+
+    The K hash functions are h_i = mix48(h1 + i*h2) — Kirsch-Mitzenmacher
+    double hashing from two md5 evaluations per shingle, with an avalanche
+    finalizer (without the mixer the linear family's correlated argmins gave
+    ~7x false-positive candidates at sf0.01; with it, candidates are
+    identical to fully independent salted md5 hashes, which benched 5x
+    slower).
+
+    Plan shape (found via bench, sf0.1): the perm index is EXPLODED to rows
+    so mix48 appears ONCE in the plan.  The earlier form — 32 parallel
+    ``min(mix48(h1 + i*h2))`` aggregates — inlined the ~300-node mixer tree
+    32 times and eager DataFrame analysis alone cost ~2.4 s per call, data-
+    independent; this shape builds in ~0.1 s and executes the same number of
+    mix evaluations.  Map-side partial min keeps the shuffle at |docs| x 32
+    rows either way, and the per-band 4-hash slice pivots into 4 plain long
+    join keys (no string concat).  (Also rejected: transform()-HOF lambda
+    for the K mixes — interpreted, 8x slower exec; Arrow/numpy pandas UDF —
+    ties the Catalyst path while leaving codegen.)
     """
-    docs = with_shingles(t(spark, sf_dir, "documents"), _SHINGLE_K)
+    docs = with_shingles(spread(t(spark, sf_dir, "documents"), spark), _SHINGLE_K)
     # md5-hash per shingle OCCURRENCE, fused straight into the explode — one
-    # codegen stage scan->explode->hash->partial-min, no intermediate
-    # materialization.  The K min(mix48(...)) aggregates codegen over plain
-    # long columns.  (Rejected alternatives, benched at sf0.1 steady-state:
-    # hashing only DISTINCT shingles and broadcast-joining the dictionary
-    # back costs 2 persists + a join and ran ~10% slower — md5 is cheaper
-    # than the materialization it saves; transform()-HOF lambda for the K
-    # mixes evaluates interpreted, 8x slower; an Arrow/numpy pandas UDF ties
-    # the Catalyst path.  The dictionary variant wins only when vocabulary
-    # << occurrences AND the hash is far costlier than md5.)
+    # codegen stage scan->explode->hash->explode(perm)->mix->partial-min.
     hashed = docs.select("doc_id", F.explode("shingle_set").alias("shingle")).select(
         "doc_id",
         hash48(F.col("shingle")).alias("__h1"),
         hash48(F.concat(F.lit("x:"), F.col("shingle"))).alias("__h2"),
     )
-    # Signatures are tiny (|docs| x 32 longs) and feed both join sides.
-    sig = hashed.groupBy("doc_id").agg(*_minhash_cols()).persist()
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{band * _ROWS_PER_BAND + r}")
-                    for r in range(_ROWS_PER_BAND)
-                ],
-            ).alias("sig"),
+    perms = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_PERMS - 1))).alias("i"),
+        F.col("__h1"),
+        F.col("__h2"),
+    ).select(
+        "doc_id",
+        "i",
+        mix48(F.col("__h1") + F.col("i") * F.col("__h2")).alias("v"),
+    )
+    minima = perms.groupBy("doc_id", "i").agg(F.min("v").alias("mh"))
+    # Pivot each band's 4 ordered minima into 4 long columns: the LSH join
+    # key is (band, r0..r3) — all fixed-width longs, equality identical to
+    # the oracle's comma-joined string signature.  Tiny (|docs| x 8 rows),
+    # feeds both join sides.
+    bands = (
+        minima.groupBy(
+            "doc_id", (F.col("i") / _ROWS_PER_BAND).cast("int").alias("band")
         )
-        for band in range(_LSH_BANDS)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        .agg(
+            *[
+                F.min(F.when(F.col("i") % _ROWS_PER_BAND == r, F.col("mh"))).alias(
+                    f"r{r}"
+                )
+                for r in range(_ROWS_PER_BAND)
+            ]
+        )
+        .persist()
+    )
     a = bands.alias("a")
     b = bands.alias("b")
+    cond = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    for r in range(_ROWS_PER_BAND):
+        cond = cond & (F.col(f"a.r{r}") == F.col(f"b.r{r}"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
