@@ -40,6 +40,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Modules that register specs on import (order = rough SURVEY.md §7 phases).
 _OPERATOR_MODULES = (
     "data_ingestion_ex8_producer_spark.operators.relational",
+    "data_ingestion_ex8_producer_spark.operators.tpch",
     "data_ingestion_ex8_producer_spark.operators.advanced",
     "data_ingestion_ex8_producer_spark.operators.subqueries",
     "data_ingestion_ex8_producer_spark.operators.scale_patterns",
