@@ -87,3 +87,81 @@ def purchases_after_signup(events: DataFrame, horizon: str = "2 hours") -> DataF
         "purchase_ts",
         "amount",
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4.x arbitrary-state API
+# --------------------------------------------------------------------------
+
+USER_PROFILE_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, n_types bigint"
+)
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """StatefulProcessor: per-user running profile built from TWO typed state
+    variables — a ValueState (event count + value sum) and a MapState
+    (per-event-type counts, whose size yields the distinct-type count).
+
+    transformWithStateInPandas supersedes applyInPandasWithState in Spark
+    4.x: state is declared as named, independently-evolvable variables
+    (value/list/map, optional TTL) instead of one monolithic tuple, and the
+    runtime can store each in its own RocksDB column family — the layout a
+    100 TB streaming deployment needs for state that outgrows the heap.
+    """
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._totals = handle.getValueState("totals", "n bigint, total double")
+        self._type_counts = handle.getMapState(
+            "type_counts", "event_type string", "cnt bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd  # executor-side import
+
+        n, total = (0, 0.0)
+        if self._totals.exists():
+            n, total = self._totals.get()
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            for etype, cnt in pdf.groupby("event_type").size().items():
+                prev = (
+                    self._type_counts.getValue((etype,))[0]
+                    if self._type_counts.containsKey((etype,))
+                    else 0
+                )
+                self._type_counts.updateValue((etype,), (prev + int(cnt),))
+        self._totals.update((n, total))
+        n_types = sum(1 for _ in self._type_counts.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "n_types": [n_types],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_profiles(events: DataFrame) -> DataFrame:
+    """Arbitrary-state streaming profile per user via the Spark 4
+    transformWithStateInPandas API (update mode, no timers).
+
+    Runtime dependencies beyond pyspark: the ``protobuf`` package (the
+    transformWithState state-server wire protocol is protobuf-framed) and
+    the RocksDB state store provider.  The pinning test skips itself where
+    protobuf is absent; ``user_running_totals`` above is the
+    applyInPandasWithState equivalent with no extra dependency."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfileProcessor(),
+        outputStructType=USER_PROFILE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

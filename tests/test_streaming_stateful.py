@@ -142,3 +142,55 @@ def test_stateful_stream_with_rocksdb_state_store(spark, tmp_path: Path) -> None
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+@pytest.mark.slow
+def test_transform_with_state_profiles_match_batch(spark, tmp_path: Path) -> None:
+    """The Spark 4 transformWithStateInPandas operator (ValueState + MapState
+    per user) must converge to the batch per-user profile.  The API requires
+    the RocksDB state store provider AND protobuf (the state-server wire
+    protocol) — skipped where protobuf isn't installed."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from data_ingestion_ex8_producer_spark.streaming.stateful import user_profiles
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = stream_events_fixture(spark, SF, str(tmp_path / "tws"))
+        q = (
+            user_profiles(events)
+            .writeStream.format("memory")
+            .queryName("tws_profiles")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"], r["n_types"])
+            for r in spark.sql("SELECT * FROM tws_profiles").collect()
+        }
+        expected = {
+            r["user_id"]: (r["n_events"], r["total_value"], r["n_types"])
+            for r in _batch_events(spark)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+                F.countDistinct("event_type").alias("n_types"),
+            )
+            .collect()
+        }
+        assert len(expected) > 0
+        assert got == expected
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
