@@ -248,3 +248,37 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, ["O", "F", "P"])
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           (json_extract(props, '$.missing') IS NOT NULL) AS has_missing
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 20 AND 40
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the Spark 4 VARIANT type: parse_json once
+    into a binary variant, then typed variant_get path extraction.
+
+    VARIANT is the scale path for heterogeneous JSON: one parse at ingest,
+    then O(1) binary-encoded field access per query — no re-tokenizing and
+    no rigid struct schema; try_variant_get returns NULL for absent paths
+    instead of failing.  The oracle expresses the same accesses with
+    DuckDB's JSON functions."""
+    v = F.parse_json("props")
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.variant_get(v, "$.k", "bigint").alias("k"),
+            F.try_variant_get(v, "$.missing", "string").isNotNull().alias(
+                "has_missing"
+            ),
+        )
+        .filter(F.col("k").between(20, 40))
+    )
