@@ -1,0 +1,165 @@
+"""`reclamacoes_poll` — the reference's S3-polling CSV source re-expressed as
+a Spark 4 Python DataSource (`pyspark.sql.datasource`), batch + streaming.
+
+This is the one place the engine reproduces the reference's *imperative*
+source semantics literally (SURVEY.md §2.1 S1/S2/L1, `app.py:87-139,176-196`)
+instead of mapping them onto the built-in file source:
+
+* listing = directory scan filtered to ``*.csv`` keys (`app.py:94-99`);
+* parse = per-file ``csv.DictReader`` with ``;`` + ISO-8859-1, header
+  sanitize + whitelist + empty→null per row (`app.py:121-131`) — including
+  the duplicate-header LAST-WINS behavior DictReader gives for free;
+* poll loop = one micro-batch per trigger; with ``replay=true`` every batch
+  re-emits EVERY file, reproducing the reference's no-progress-state
+  unbounded re-ingestion (`app.py:176-196`) — the default is once-per-file
+  via offsets, the corrected semantics SURVEY.md §3 delta 1 chose.
+
+Distribution model: the DRIVER only lists paths (exactly like the
+reference's single ListObjectsV2, and like Spark's own FileStreamSource);
+each file becomes an InputPartition, so parsing fans out across executors —
+files are the parallelism unit at any scale.  The built-in CSV reader in
+`csv_source.py` remains the preferred scan (splittable, vectorized,
+PERMISSIVE quarantine); this source exists for wire-level parity (DictReader
+quirks, replay mode) and as the template for sources Spark has no connector
+for.
+
+Registration: ``spark.dataSource.register(ReclamacoesPollDataSource)`` then
+``spark.read.format("reclamacoes_poll").option("path", dir).load()`` or
+``spark.readStream...``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from ..functions.names import sanitize_name
+from ..schemas import FIELD_ORDER, PROJECTION_WHITELIST
+
+
+def _list_csv_files(path: str) -> list[str]:
+    """The reference's list_csv_files (`app.py:87-109`): suffix-filtered,
+    sorted for determinism, [] when the 'bucket' is missing/unlistable."""
+    try:
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".csv") and os.path.isfile(os.path.join(path, f))
+        )
+    except OSError:
+        return []
+
+
+def _parse_rows(file_path: str) -> Iterator[tuple]:
+    """Per-file parse with the reference's exact row pipeline
+    (`app.py:121-131`): DictReader(';', ISO-8859-1) -> sanitize header ->
+    whitelist -> empty→null, emitted in FIELD_ORDER.  Runs on an EXECUTOR
+    (one task per file)."""
+    import csv
+    import io
+
+    try:
+        with open(file_path, encoding="iso-8859-1", newline="") as fh:
+            body = fh.read()  # the reference reads whole objects too (app.py:121)
+    except OSError:
+        return  # NoSuchKey -> skip file (app.py:134-135)
+    reader = csv.DictReader(io.StringIO(body), delimiter=";")
+    for raw in reader:
+        rec: dict[str, str | None] = {}
+        for field, value in raw.items():
+            if field is None:
+                continue  # extra unnamed columns (short header)
+            key = sanitize_name(field)
+            if key in PROJECTION_WHITELIST:
+                rec[key] = value if value else None
+        yield tuple(rec.get(name) for name in FIELD_ORDER)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_path: str) -> None:
+        self.file_path = file_path
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, path: str) -> None:
+        self._path = path
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_FilePartition(f) for f in _list_csv_files(self._path)] or [
+            _FilePartition("")
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        if partition.file_path:
+            yield from _parse_rows(partition.file_path)
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Micro-batch reader.  Offset = JSON of the sorted already-seen file
+    list (default mode) or the batch counter (replay mode — every batch is
+    the full listing, like the reference's stateless loop)."""
+
+    def __init__(self, path: str, replay: bool) -> None:
+        self._path = path
+        self._replay = replay
+        self._seen: list[str] = []
+        self._epoch = 0
+
+    def initialOffset(self) -> dict:
+        return {"epoch": 0} if self._replay else {"seen": "[]"}
+
+    def latestOffset(self) -> dict:
+        if self._replay:
+            self._epoch += 1
+            return {"epoch": self._epoch}
+        self._seen = sorted(set(self._seen) | set(_list_csv_files(self._path)))
+        return {"seen": json.dumps(self._seen)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if self._replay:
+            files = _list_csv_files(self._path) if end["epoch"] > start["epoch"] else []
+        else:
+            prev = set(json.loads(start["seen"]))
+            files = [f for f in json.loads(end["seen"]) if f not in prev]
+        return [_FilePartition(f) for f in files] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        if partition.file_path:
+            yield from _parse_rows(partition.file_path)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is fully encoded in the offset (checkpointed by Spark)
+
+
+class ReclamacoesPollDataSource(DataSource):
+    """Python DataSource wrapping the reference's poll-parse pipeline.
+
+    Options: ``path`` (the landing directory — the 'bucket'), ``replay``
+    ("true" to reproduce the reference's re-ingest-forever loop)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "reclamacoes_poll"
+
+    def schema(self) -> StructType | str:
+        # All-string bronze: exactly the reference's parse output (values
+        # stay str-or-None until the silver cast layer, SURVEY.md §1.2).
+        return ", ".join(f"{name} string" for name in FIELD_ORDER)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _BatchReader(self.options["path"])
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _StreamReader(
+            self.options["path"],
+            str(self.options.get("replay", "false")).lower() == "true",
+        )
