@@ -34,6 +34,7 @@ from ._util import (
     sql_davg,
     sql_dec4,
     sql_dsum,
+    spread,
     t,
 )
 
@@ -167,8 +168,13 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way join fact->dim chain with an explicit broadcast of the
     fixed-cardinality dims (nation: 25 rows at every SF).  lineitem x orders
     stays a shuffle join on the order key — correct at 100 TB, where both
-    sides are large; AQE converts to broadcast when a side turns out small."""
-    li = t(spark, sf_dir, "lineitem")
+    sides are large; AQE converts to broadcast when a side turns out small.
+
+    The unfiltered fact side is spread() first: with every dim broadcast and
+    no shuffle below the agg, a single-row-group parquet file would
+    otherwise push all 600k probe+agg rows through ONE task (benched 1.8s ->
+    1.1s at sf0.1); on a multi-split source the spread is a no-op."""
+    li = spread(t(spark, sf_dir, "lineitem"), spark)
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     nation = F.broadcast(t(spark, sf_dir, "nation"))
