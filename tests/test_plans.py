@@ -1,0 +1,73 @@
+"""Physical-plan assertions: the plans Catalyst actually picks for the
+headline queries are the plans the 100 TB design calls for — predicates
+reach the parquet scans, fixed-cardinality dims broadcast, semi-joins stay
+semi-joins.  These tests fail when a refactor silently de-optimizes a query
+(e.g., a cast blocking pushdown), which row-level oracles cannot see.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df) -> str:
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def specs():
+    from data_ingestion_ex8_producer_spark.plans.registry import all_specs
+
+    return all_specs()
+
+
+def test_q1_pushdown_and_pruning(spark, specs) -> None:
+    plan = _plan(spark, specs["q1_pricing_summary"].builder(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Column pruning: the scan must not read join keys it doesn't need.
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q6_all_predicates_pushed(spark, specs) -> None:
+    plan = _plan(spark, specs["q6_forecast_revenue"].builder(spark, SF))
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q19_constraint_extraction(spark, specs) -> None:
+    """The OR-of-ANDs must split into pushable single-side disjunctions:
+    the brand/size OR reaches the part scan and the quantity-range OR
+    reaches the lineitem scan (each side's full disjunction, pushed as an
+    Or(...) filter — row-group statistics prune on it)."""
+    plan = _plan(spark, specs["q19_discounted_revenue"].builder(spark, SF))
+    pushed = [p.splitlines()[0] for p in plan.split("PushedFilters")[1:]]
+    assert any("EqualTo(p_brand,Brand#12)" in p and "Or(" in p for p in pushed), pushed
+    assert any("GreaterThanOrEqual(l_quantity,1.0)" in p and "Or(" in p for p in pushed), pushed
+
+
+def test_q8_dims_broadcast(spark, specs) -> None:
+    plan = _plan(spark, specs["q8_market_share"].builder(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4  # part, nation x2, region
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_semi_join_survives(spark, specs) -> None:
+    plan = _plan(spark, specs["q18_large_volume_customer"].builder(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_survives(spark, specs) -> None:
+    plan = _plan(spark, specs["q22_sales_opportunity"].builder(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_top_orders_take_ordered(spark, specs) -> None:
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    top-k + merge), never a full sort."""
+    plan = _plan(spark, specs["q_top_orders"].builder(spark, SF))
+    assert "TakeOrderedAndProject" in plan
