@@ -169,3 +169,66 @@ def test_aqe_splits_skewed_join_partition(spark) -> None:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join_pruning(spark) -> None:
+    """Runtime row-group filtering for selective dim joins: with AQE's
+    runtime bloom filter enabled, a selective filter on the dim side injects
+    a BloomFilterMightContain predicate into the FACT side's scan stage —
+    the mechanism that keeps a 100 TB fact scan from reading rows whose join
+    keys cannot match.  (Thresholds are lowered only to trigger the
+    optimization at test scale.)"""
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # production default is 10GB — the fact side must be big enough to be
+        # worth filtering; at test scale it is 13MB, so lower the bar
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force a shuffle join so the filter has a stage boundary to cross
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF, "lineitem")
+        p = load_table(spark, SF, "part").filter(F.col("p_brand") == "Brand#3")
+        joined = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").count()
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "bloom_filter" in plan.lower() or "BloomFilterMightContain" in plan, plan
+        # and the result is still correct
+        rows = joined.collect()
+        assert len(rows) == 1 and rows[0]["p_brand"] == "Brand#3"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_observe_metrics_on_ingest_path(spark) -> None:
+    """df.observe(): accumulator-style data-quality counters collected as a
+    side effect of the normal action — the zero-extra-pass way to audit row
+    counts / null rates on a 100 TB pipeline run."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+
+    obs = Observation("ingest_audit")
+    li = load_table(spark, SF, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+    n = li.filter(F.col("l_quantity") > 0).count()
+    got = obs.get
+    assert got["n_rows"] >= n
+    assert got["null_qty"] == 0
+    assert got["max_shipdate"] is not None
