@@ -219,23 +219,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__h2"),
     ).select(
         "doc_id",
-        "i",
+        (F.col("i") / _ROWS_PER_BAND).cast("int").alias("band"),
+        (F.col("i") % _ROWS_PER_BAND).alias("r"),
         mix48(F.col("__h1") + F.col("i") * F.col("__h2")).alias("v"),
     )
-    minima = perms.groupBy("doc_id", "i").agg(F.min("v").alias("mh"))
-    # Pivot each band's 4 ordered minima into 4 long columns: the LSH join
-    # key is (band, r0..r3) — all fixed-width longs, equality identical to
-    # the oracle's comma-joined string signature.  Tiny (|docs| x 8 rows),
-    # feeds both join sides.
+    # ONE aggregation straight to band rows: min(v) per (doc, perm) and the
+    # pivot of each band's 4 ordered minima into 4 long columns fuse into a
+    # single groupBy(doc, band) with 4 conditional mins — min(when(r==k, v))
+    # over the perm-exploded rows IS the per-perm minhash, because each
+    # (band, k) slot sees exactly the rows of perm i = band*4+k.  Saves the
+    # second shuffle a minima-then-pivot plan needs (benched 3.3s -> 2.4s at
+    # sf0.1).  The (band, r0..r3) join key is fixed-width longs, equality
+    # identical to the oracle's comma-joined string signature.  Tiny
+    # (|docs| x 8 rows), feeds both join sides.
     bands = (
-        minima.groupBy(
-            "doc_id", (F.col("i") / _ROWS_PER_BAND).cast("int").alias("band")
-        )
+        perms.groupBy("doc_id", "band")
         .agg(
             *[
-                F.min(F.when(F.col("i") % _ROWS_PER_BAND == r, F.col("mh"))).alias(
-                    f"r{r}"
-                )
+                F.min(F.when(F.col("r") == r, F.col("v"))).alias(f"r{r}")
                 for r in range(_ROWS_PER_BAND)
             ]
         )
