@@ -60,10 +60,59 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ingest_rows_per_sec": _ingest_throughput(spark),
             }
         )
     )
     spark.stop()
+
+
+def _ingest_throughput(spark, n_rows: int = 100_000) -> float:
+    """Rows/s through the full reference-parity ingest pipeline (CSV scan ->
+    sanitize -> whitelist -> empty→null -> per-row Avro datum), measured on a
+    generated ;/ISO-8859-1 landing file.  Directly comparable to the
+    reference's engineered ceiling of 0.5 rows/s (BASELINE.md: CHUNK_SIZE=10
+    rows per 20 s sleep)."""
+    import shutil
+    import tempfile
+
+    from data_ingestion_ex8_producer_spark.sinks.encode import avro_value_frame
+    from data_ingestion_ex8_producer_spark.sources.csv_source import (
+        read_reclamacoes_batch,
+    )
+
+    header = (
+        "Ano;Trimestre;Categoria;Tipo;CNPJ IF;Instituição financeira;Índice;"
+        "Quantidade de reclamações reguladas procedentes;"
+        "Quantidade de reclamações reguladas - outras;"
+        "Quantidade de reclamações não reguladas;"
+        "Quantidade total de reclamações;"
+        "Quantidade total de clientes  CCS e SCR;"
+        "Quantidade de clientes  CCS;Quantidade de clientes  SCR"
+    )
+    d = tempfile.mkdtemp(prefix="ingest_bench_")
+    try:
+        with open(
+            os.path.join(d, "reclamacoes.csv"), "w", encoding="iso-8859-1"
+        ) as fh:
+            fh.write(header + "\n")
+            for i in range(n_rows):
+                fh.write(
+                    f"2024;{1 + i % 4}º;Bancos;Banco Múltiplo;{i:08d};"
+                    f"BANCO {i};{i % 90},{i % 100:02d};{i % 50};{i % 7};"
+                    f"{i % 11};{i % 60};{1000 + i};{i};{i % 997}\n"
+                )
+        # Warm-up on a prefix so the timed run measures steady-state.
+        avro_value_frame(read_reclamacoes_batch(spark, d).limit(1000)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t0 = time.perf_counter()
+        avro_value_frame(read_reclamacoes_batch(spark, d)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(n_rows / (time.perf_counter() - t0), 1)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":
