@@ -45,11 +45,21 @@ def main() -> None:
             pass
     spark.catalog.clearCache()
 
+    # Two timed runs per query, report the min: the host shares cores with
+    # other tenants and single runs vary ±15%; the min is the steady-state
+    # cost of the plan, which is what the engine controls.
     timings: dict[str, float] = {}
-    for name in sorted(specs):
-        t0 = time.perf_counter()
-        specs[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in sorted(specs):
+            t0 = time.perf_counter()
+            specs[name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
+        # Queries that persist() intermediates would otherwise serve run 2
+        # from run 1's cache and under-report their real cost.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
