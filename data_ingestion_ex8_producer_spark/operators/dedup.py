@@ -172,6 +172,58 @@ _LSH_BANDS = 8
 _ROWS_PER_BAND = _MINHASH_PERMS // _LSH_BANDS
 
 
+def minhash_band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, band, r0..r3) LSH band signature rows —
+    the reusable core of MinHash-LSH, shared by the batch candidate query
+    below and the streaming incremental dedup (`streaming/dedup.py`).  See
+    ``dedup_minhash_lsh`` for the plan-shape rationale."""
+    shingled = with_shingles(docs, _SHINGLE_K)
+    # md5-hash per shingle OCCURRENCE, fused straight into the explode — one
+    # codegen stage scan->explode->hash->explode(perm)->mix->partial-min.
+    hashed = shingled.select(
+        "doc_id", F.explode("shingle_set").alias("shingle")
+    ).select(
+        "doc_id",
+        hash48(F.col("shingle")).alias("__h1"),
+        hash48(F.concat(F.lit("x:"), F.col("shingle"))).alias("__h2"),
+    )
+    perms = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_PERMS - 1))).alias("i"),
+        F.col("__h1"),
+        F.col("__h2"),
+    ).select(
+        "doc_id",
+        (F.col("i") / _ROWS_PER_BAND).cast("int").alias("band"),
+        (F.col("i") % _ROWS_PER_BAND).alias("r"),
+        mix48(F.col("__h1") + F.col("i") * F.col("__h2")).alias("v"),
+    )
+    # ONE aggregation straight to band rows: min(v) per (doc, perm) and the
+    # pivot of each band's 4 ordered minima into 4 long columns fuse into a
+    # single groupBy(doc, band) with 4 conditional mins — min(when(r==k, v))
+    # over the perm-exploded rows IS the per-perm minhash, because each
+    # (band, k) slot sees exactly the rows of perm i = band*4+k.  Saves the
+    # second shuffle a minima-then-pivot plan needs (benched 3.3s -> 2.4s at
+    # sf0.1).  The (band, r0..r3) join key is fixed-width longs, equality
+    # identical to the oracle's comma-joined string signature.
+    return perms.groupBy("doc_id", "band").agg(
+        *[
+            F.min(F.when(F.col("r") == r, F.col("v"))).alias(f"r{r}")
+            for r in range(_ROWS_PER_BAND)
+        ]
+    )
+
+
+def band_match_condition(a: str = "a", b: str = "b"):
+    """Join condition: same band, identical 4-hash slice, ordered pair."""
+    cond = (F.col(f"{a}.band") == F.col(f"{b}.band")) & (
+        F.col(f"{a}.doc_id") < F.col(f"{b}.doc_id")
+    )
+    for r in range(_ROWS_PER_BAND):
+        cond = cond & (F.col(f"{a}.r{r}") == F.col(f"{b}.r{r}"))
+    return cond
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=None,  # oracle attached programmatically below (generated SQL)
@@ -204,53 +256,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the K mixes — interpreted, 8x slower exec; Arrow/numpy pandas UDF —
     ties the Catalyst path while leaving codegen.)
     """
-    docs = with_shingles(spread(t(spark, sf_dir, "documents"), spark), _SHINGLE_K)
-    # md5-hash per shingle OCCURRENCE, fused straight into the explode — one
-    # codegen stage scan->explode->hash->explode(perm)->mix->partial-min.
-    hashed = docs.select("doc_id", F.explode("shingle_set").alias("shingle")).select(
-        "doc_id",
-        hash48(F.col("shingle")).alias("__h1"),
-        hash48(F.concat(F.lit("x:"), F.col("shingle"))).alias("__h2"),
-    )
-    perms = hashed.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_PERMS - 1))).alias("i"),
-        F.col("__h1"),
-        F.col("__h2"),
-    ).select(
-        "doc_id",
-        (F.col("i") / _ROWS_PER_BAND).cast("int").alias("band"),
-        (F.col("i") % _ROWS_PER_BAND).alias("r"),
-        mix48(F.col("__h1") + F.col("i") * F.col("__h2")).alias("v"),
-    )
-    # ONE aggregation straight to band rows: min(v) per (doc, perm) and the
-    # pivot of each band's 4 ordered minima into 4 long columns fuse into a
-    # single groupBy(doc, band) with 4 conditional mins — min(when(r==k, v))
-    # over the perm-exploded rows IS the per-perm minhash, because each
-    # (band, k) slot sees exactly the rows of perm i = band*4+k.  Saves the
-    # second shuffle a minima-then-pivot plan needs (benched 3.3s -> 2.4s at
-    # sf0.1).  The (band, r0..r3) join key is fixed-width longs, equality
-    # identical to the oracle's comma-joined string signature.  Tiny
-    # (|docs| x 8 rows), feeds both join sides.
-    bands = (
-        perms.groupBy("doc_id", "band")
-        .agg(
-            *[
-                F.min(F.when(F.col("r") == r, F.col("v"))).alias(f"r{r}")
-                for r in range(_ROWS_PER_BAND)
-            ]
-        )
-        .persist()
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cond = (F.col("a.band") == F.col("b.band")) & (
-        F.col("a.doc_id") < F.col("b.doc_id")
-    )
-    for r in range(_ROWS_PER_BAND):
-        cond = cond & (F.col(f"a.r{r}") == F.col(f"b.r{r}"))
+    docs = spread(t(spark, sf_dir, "documents"), spark)
+    # Tiny (|docs| x 8 rows), feeds both join sides — persist.
+    bands = minhash_band_signatures(docs).persist()
     return (
-        a.join(b, cond)
+        bands.alias("a")
+        .join(bands.alias("b"), band_match_condition())
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
