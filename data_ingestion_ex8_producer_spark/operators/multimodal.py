@@ -156,3 +156,117 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(30))).alias("fi"),
     ).select("doc_id", F.col("fi").cast("int").alias("frame_idx"))
+
+
+# --------------------------------------------------------------------------
+# Resize planning (aspect-preserving, integer-exact)
+# --------------------------------------------------------------------------
+
+
+def _fake_resize(width: int, height: int, box: int = 224) -> tuple[int, int]:
+    """Aspect-preserving fit into a box x box target, integer arithmetic
+    only (exact in any engine), never upscaling — the real resize call
+    (PIL.Image.resize / libvips) slots in where the dimensions are used."""
+    scale = min(box * 1000 // width, box * 1000 // height, 1000)
+    return max(1, width * scale // 1000), max(1, height * scale // 1000)
+
+
+@register(
+    "mm_resize",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id,
+               64 + CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 960 AS width,
+               64 + CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 960 AS height
+        FROM documents
+    ),
+    scaled AS (
+        SELECT doc_id, width, height,
+               least(224000 // width, 224000 // height, 1000) AS s
+        FROM meta
+    )
+    SELECT doc_id,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(greatest(1, width * s // 1000) AS INTEGER) AS out_w,
+           CAST(greatest(1, height * s // 1000) AS INTEGER) AS out_h,
+           CAST(greatest(1, width * s // 1000)
+                * greatest(1, height * s // 1000) * 3 AS BIGINT) AS out_bytes
+    FROM scaled
+    """,
+    tags=("multimodal", "mapinpandas", "resize"),
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plan over decoded payloads: aspect-preserving 224-box target
+    dimensions plus the resized RGB byte budget per document.  Runs in the
+    same Arrow-batched mapInPandas pass as the decode (one Python hop for
+    decode + transform — at 100 TB you NEVER make two passes over binary
+    payloads); integer-exact math keeps the fake oracle-checkable."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            resized = [_fake_resize(w, h) for (w, h, _f) in decoded]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "out_w": [r[0] for r in resized],
+                    "out_h": [r[1] for r in resized],
+                    "out_bytes": [r[0] * r[1] * 3 for r in resized],
+                }
+            )
+
+    binary_docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return binary_docs.mapInPandas(
+        resize_batches,
+        "doc_id long, width int, height int, out_w int, out_h int, out_bytes long",
+    )
+
+
+# --------------------------------------------------------------------------
+# Feature extraction (fixed-length embedding from the payload)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm_embed_features",
+    oracle="""
+    SELECT doc_id,
+           [CAST((CAST('0x' || substr(md5(text), 1 + k*4, 4) AS INTEGER) % 2000
+                  - 1000) AS DOUBLE) / 1000.0
+            FOR k IN range(8)] AS features
+    FROM documents
+    """,
+    tags=("multimodal", "mapinpandas", "features"),
+)
+def mm_embed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads: a fixed-length float vector
+    per document (here an 8-dim md5-derived fake in [-1, 1); on a real
+    cluster the model forward pass slots into the same mapInPandas seam).
+    The output schema (doc_id, array<double>) is exactly what the
+    similarity/ANN operators consume — decode -> featurize -> index is one
+    pipeline."""
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                digest = hashlib.md5(p).hexdigest()
+                feats.append(
+                    [
+                        (int(digest[k * 4 : k * 4 + 4], 16) % 2000 - 1000) / 1000.0
+                        for k in range(8)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    binary_docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return binary_docs.mapInPandas(
+        feature_batches, "doc_id long, features array<double>"
+    )
