@@ -315,3 +315,71 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tf", "df", "tfidf")
     )
+
+
+_WINNOW_K = 20  # character k-gram width
+_WINNOW_W = 16  # winnowing window (hashes per window)
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, text, unnest(range(1, length(text) - {_WINNOW_K - 2})) AS p
+        FROM documents WHERE length(text) >= {_WINNOW_K}
+    ),
+    h AS (
+        SELECT doc_id, p,
+               {sql_hash48(f"substr(text, CAST(p AS INTEGER), {_WINNOW_K})")} AS hv
+        FROM pos
+    ),
+    win AS (
+        SELECT doc_id, p,
+               MIN(hv) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+                   AS fp
+        FROM h
+    )
+    SELECT DISTINCT doc_id, fp
+    FROM win WHERE p >= {_WINNOW_W}
+    """,
+    tags=("text", "fingerprint", "winnowing"),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS algorithm): hash every 20-char
+    sliding window of the document ("rolling hash"), then keep the minimum
+    hash of each run of 16 consecutive window hashes — the guarantee is
+    that any match of length >= w+k-1 = 35 chars between two documents
+    shares at least one selected fingerprint, at ~2/(w+1) selection
+    density.
+
+    Spark plan: positions explode JVM-side (sequence), the per-position
+    hash and the ROWS-frame running min are all codegen; DISTINCT collapses
+    each plateau of the sliding min.  At 100 TB the position explosion is
+    the dominant cost — it pipelines inside one stage (no shuffle until the
+    per-doc distinct), and the fingerprint table it produces is the
+    content-addressed index plagiarism/overlap detection joins on."""
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= _WINNOW_K)
+    positions = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(_WINNOW_K - 1))
+        ).alias("p"),
+    )
+    hashed = positions.select(
+        "doc_id", "p", hash48(F.substring(F.col("text"), F.col("p"), _WINNOW_K)).alias("hv")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(_WINNOW_W - 1), Window.currentRow)
+    )
+    return (
+        hashed.select("doc_id", "p", F.min("hv").over(w).alias("fp"))
+        .filter(F.col("p") >= _WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
