@@ -215,6 +215,57 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("a.event_id").alias("id_a"), F.col("b.event_id").alias("id_b"))
 
 
+@register(
+    "q_recursive_calendar",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT CAST('1995-01-01' AS DATE)
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < CAST('2001-08-01' AS DATE)
+    ),
+    per_month AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1
+    )
+    SELECT m AS month, COALESCE(cnt, 0) AS n_orders
+    FROM months LEFT JOIN per_month ON mo = m
+    ORDER BY month
+    """,
+    tags=("subquery", "recursive-cte", "calendar"),
+)
+def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): generate the full 1995-01..2001-08 month
+    calendar recursively, then left-join monthly order counts so empty
+    months surface as zeros — the classic dense-calendar gap fill, now
+    expressible in pure SQL on Spark.
+
+    The recursion is driver-cheap (80 single-row iterations of a local
+    relation); the only distributed work is the per-month aggregate and the
+    tiny broadcast join — which is exactly how a calendar-spine query
+    should execute at any scale."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("rc_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT CAST('1995-01-01' AS DATE)
+            UNION ALL
+            SELECT add_months(m, 1) FROM months
+            WHERE m < CAST('2001-08-01' AS DATE)
+        ),
+        per_month AS (
+            SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mo,
+                   COUNT(*) AS cnt
+            FROM rc_orders GROUP BY 1
+        )
+        SELECT m AS month, COALESCE(cnt, 0) AS n_orders
+        FROM months LEFT JOIN per_month ON mo = m
+        ORDER BY month
+        """
+    )
+
+
 from ..plans import registry as _registry  # noqa: E402
 
 _spec = _registry._REGISTRY["q_correlated_exists"]
