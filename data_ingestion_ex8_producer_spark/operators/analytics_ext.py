@@ -1,0 +1,403 @@
+"""Extended analytics surface: ordered string aggregation (listagg), exact
+median/quartiles, deterministic mode, boolean/bitwise aggregates, the try_*
+error-safe function family, regression statistics over exact decimal sums,
+and an event-funnel analysis.
+
+None of these exist in the reference (SURVEY.md §2.2 absence matrix — the
+reference's only operators are S3-CSV scan, header sanitize, projection,
+empty→null, Avro encode, Kafka produce; `app.py:87-196`); they widen the
+mandated engine analytics surface.
+
+Scale notes (100 TB posture):
+
+* listagg concatenates WITHIN a group — safe only when groups are bounded
+  (here: 5 nations per region).  On unbounded groups the scale-safe shape is
+  top-N-per-group (q_topk_per_group) feeding listagg, never a raw concat of a
+  fact table.
+* median/percentile here are EXACT (full sort per group inside the agg);
+  at 100 TB the drop-in replacement is approx_percentile (q_approx_percentile)
+  — both shapes are registered so the trade-off is explicit.
+* The regression statistics aggregate to 6 numbers per group in a single
+  map-side-combinable pass (sums of x, y, x², y², x·y) — the textbook
+  shape for distributed linear regression; no second pass over the data.
+* The funnel is three sequential per-user aggregations joined on user_id;
+  every stage shuffles on the same key so AQE reuses co-partitioning, and
+  stage outputs shrink monotonically (each stage filters the previous).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ._util import t
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation — listagg / string_agg
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_listagg",
+    oracle="""
+    SELECT r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+    tags=("agg", "listagg", "string"),
+)
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered intra-group string concatenation: nation names per region via
+    Spark 4's `listagg ... WITHIN GROUP (ORDER BY ...)` — the explicit order
+    clause is what makes the concatenated string deterministic across
+    partitions (an unordered listagg/collect_list concat is not)."""
+    t(spark, sf_dir, "region").createOrReplaceTempView("la_region")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("la_nation")
+    return spark.sql(
+        """
+        SELECT r_name,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations_csv
+        FROM la_region JOIN la_nation ON r_regionkey = n_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact median / quartiles
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_median_quartiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           median(l_quantity) AS med_qty,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.75) AS p75_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "median"),
+)
+def q_median_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and quartiles of order quantity per return flag
+    (`median` / `percentile` — linearly interpolated, same convention as
+    DuckDB's quantile_cont).
+
+    Determinism: l_quantity is integral (verified on testdata), so the
+    interpolation arithmetic ((1-f)·a + f·b with f ∈ {0, .25, .5, .75}) is
+    exact in IEEE double no matter how either engine associates it.  A
+    percentile over non-representable doubles (e.g. 2-decimal money) would
+    NOT be cross-engine-stable — use decimal casts or approx_percentile
+    there instead."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.median("l_quantity").alias("med_qty"),
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("p75_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic mode (most frequent value, ties broken by value)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_mode_priority",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT o_orderstatus, o_orderpriority, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY cnt DESC, o_orderpriority DESC) AS rn,
+               CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+                   AS n_orders
+        FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(cnt AS BIGINT) AS mode_cnt, n_orders
+    FROM r WHERE rn = 1
+    """,
+    tags=("agg", "mode"),
+)
+def q_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent order priority per order status,
+    ties broken by the larger priority string.
+
+    Spark's built-in `mode()` is explicitly arbitrary on ties, so the engine
+    pins the tie-break with `max_by(value, struct(cnt, value))` — one extra
+    count aggregation, still two shuffle-free map-combinable passes and no
+    window.  The oracle spells the identical semantics as a row_number pick."""
+    counts = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.groupBy("o_orderstatus").agg(
+        F.max_by(
+            "o_orderpriority", F.struct(F.col("cnt"), F.col("o_orderpriority"))
+        ).alias("mode_priority"),
+        F.max("cnt").alias("mode_cnt"),
+        F.sum("cnt").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Boolean / bitwise aggregates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_bool_bit_aggs",
+    oracle="""
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           bool_and(p_size > 5) AS all_gt5,
+           bool_or(p_size > 45) AS any_gt45,
+           bit_and(p_size) AS size_band,
+           bit_or(p_size) AS size_bor,
+           bit_xor(p_size) AS size_bxor
+    FROM part GROUP BY p_type
+    """,
+    tags=("agg", "boolean", "bitwise"),
+)
+def q_bool_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean quantifier aggregates (bool_and/bool_or = ALL/ANY over a
+    predicate) and bitwise reduction aggregates (bit_and/bit_or/bit_xor)
+    per part type.  All are commutative+associative integer/boolean ops —
+    map-side combinable, bit-identical across engines with no decimal
+    shims needed."""
+    return (
+        t(spark, sf_dir, "part")
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.bool_and(F.col("p_size") > 5).alias("all_gt5"),
+            F.bool_or(F.col("p_size") > 45).alias("any_gt45"),
+            F.bit_and("p_size").alias("size_band"),
+            F.bit_or("p_size").alias("size_bor"),
+            F.bit_xor("p_size").alias("size_bxor"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# try_* error-safe function family
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_try_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_custkey % 7, 0) AS price_per_bucket,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+           TRY_CAST(o_orderstatus AS INT) AS status_num,
+           (str_split(o_orderpriority, '-'))[2] AS prio_word,
+           (str_split(o_orderpriority, '-'))[3] AS prio_missing
+    FROM orders
+    """,
+    tags=("scalar", "try", "error-safe"),
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* error-safe scalar family: division that yields NULL on a
+    zero divisor (try_divide), casts that yield NULL instead of raising
+    (try_cast — both a parse that mostly succeeds and one that always
+    fails), and out-of-bounds array access (try_element_at).
+
+    This is the ANSI-mode-safe idiom for dirty data at scale: the whole row
+    survives, only the bad cell is null — versus ANSI Spark failing the task
+    (and non-ANSI silently corrupting).  Per-row double arithmetic is IEEE
+    bit-identical across engines; no aggregation is involved."""
+    parts = F.split(F.col("o_orderpriority"), "-")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 7).alias(
+            "price_per_bucket"
+        ),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+        F.col("o_orderstatus").try_cast("int").alias("status_num"),
+        F.try_element_at(parts, F.lit(2)).alias("prio_word"),
+        F.try_element_at(parts, F.lit(3)).alias("prio_missing"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Regression statistics via exact decimal sums
+# --------------------------------------------------------------------------
+
+# Both engines compute the final statistics from the SAME six exact numbers
+# (n and five decimal sums) with the SAME double expression tree, so results
+# are bit-identical — the built-in regr_*/corr/stddev aggregates are instead
+# order-dependent streaming merges that differ in last ulps across engines.
+# Scales are minimal-exact (see _util): x = l_quantity is integral (scale 0),
+# y = l_discount is 2-decimal; every sum's integer representation stays far
+# below 2^53, where decimal→double conversion is exact in both engines.
+
+_REGR_FINAL = """
+    SELECT l_returnflag, n_rows,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS intercept,
+           (n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_xy,
+           (sxx - sx * sx / n) / n AS var_pop_x,
+           sqrt((sxx - sx * sx / n) / n) AS stddev_pop_x
+"""
+
+
+@register(
+    "q_regr_stats",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(10,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(10,0))
+                        * CAST(l_quantity AS DECIMAL(10,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_discount AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(10,0))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    {_REGR_FINAL}
+    FROM s
+    """,
+    tags=("agg", "statistics", "regression"),
+)
+def q_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed simple linear regression (discount on quantity) per
+    return flag: slope, intercept, Pearson correlation, population
+    variance/stddev of x — all derived from one map-combinable pass that
+    accumulates exact decimal sums of x, y, x², y², x·y.
+
+    This is the scale-canonical shape: 6 numbers per group regardless of
+    input size, single shuffle, and (unlike the built-in streaming-merge
+    regr_*/corr aggregates) deterministic across engines and partition
+    orders because the sums are exact decimals and the finishing arithmetic
+    is an identical IEEE expression tree on both sides."""
+    x = F.col("l_quantity").cast("decimal(10,0)")
+    y = F.col("l_discount").cast("decimal(12,2)")
+    s = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n_rows",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "corr_xy"
+        ),
+        ((sxx - sx * sx / n) / n).alias("var_pop_x"),
+        F.sqrt((sxx - sx * sx / n) / n).alias("stddev_pop_x"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event funnel
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS stage_ord, 'view' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+    tags=("events", "funnel", "sequence"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel view → click → purchase: users counted at each
+    stage only if the stage's first occurrence is at-or-after their first
+    occurrence of the previous stage (strict in-order sequence matching).
+
+    Shape at scale: three per-user min-aggregations chained by equi-joins on
+    user_id — every stage shuffles on the SAME key (co-partitioning reused),
+    and each stage's output is a strict subset of the previous, so the joins
+    shrink monotonically.  No window over full event history is needed."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, ord_: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(ord_).alias("stage_ord"), F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "click"))
+        .unionByName(stage(p, 3, "purchase"))
+    )

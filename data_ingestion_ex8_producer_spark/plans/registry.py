@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "data_ingestion_ex8_producer_spark.operators.scale_patterns",
     "data_ingestion_ex8_producer_spark.operators.windows",
     "data_ingestion_ex8_producer_spark.operators.scalars",
+    "data_ingestion_ex8_producer_spark.operators.analytics_ext",
     "data_ingestion_ex8_producer_spark.operators.events",
     "data_ingestion_ex8_producer_spark.operators.dedup",
     "data_ingestion_ex8_producer_spark.operators.textops",
