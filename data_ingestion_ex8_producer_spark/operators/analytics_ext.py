@@ -329,6 +329,58 @@ def q_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Windowed count-distinct
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_window_count_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS distinct_types_10,
+           CAST(COUNT(DISTINCT event_type) OVER (
+               PARTITION BY user_id) AS BIGINT) AS distinct_types_all
+    FROM events
+    """,
+    tags=("window", "distinct"),
+)
+def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-distinct over a window: per user, the number of distinct event
+    types in the last 10 events (rolling) and over the whole history.
+
+    Spark has no DISTINCT aggregate inside windows, so the engine shape is
+    `size(collect_set(...) over w)` — the set is bounded by the event-type
+    cardinality (tiny), so per-row state stays O(|types|) no matter how long
+    a user's history is.  Frame order is pinned with the unique event_id so
+    both engines see identical frames."""
+    from pyspark.sql import Window
+
+    w10 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    wall = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w10)).cast("long").alias(
+            "distinct_types_10"
+        ),
+        F.size(F.collect_set("event_type").over(wall)).cast("long").alias(
+            "distinct_types_all"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # Event funnel
 # --------------------------------------------------------------------------
 

@@ -232,3 +232,25 @@ def test_observe_metrics_on_ingest_path(spark) -> None:
     assert got["n_rows"] >= n
     assert got["null_qty"] == 0
     assert got["max_shipdate"] is not None
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path: Path) -> None:
+    """ORC source/sink: write lineitem to ORC, read it back identically, and
+    verify the filter is pushed into the ORC scan (pushed-filter predicate in
+    the physical plan) — same scan-level pruning posture as parquet."""
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    dest = str(tmp_path / "lineitem_orc")
+    li.write.mode("overwrite").orc(dest)
+
+    back = spark.read.orc(dest)
+    assert back.count() == li.count()
+    a = li.agg(F.sum(F.col("l_quantity").cast("decimal(12,4)")).alias("s")).collect()[0]["s"]
+    b = back.agg(F.sum(F.col("l_quantity").cast("decimal(12,4)")).alias("s")).collect()[0]["s"]
+    assert a == b
+
+    filtered = back.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters: [", 1)[1][:200]
+    assert filtered.count() > 0
