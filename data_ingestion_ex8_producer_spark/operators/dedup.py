@@ -164,6 +164,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Asymmetric containment near-dup
+# --------------------------------------------------------------------------
+
+_CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({sql_shingle_list(_SHINGLE_K)}) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+               COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT contained_doc, container_doc,
+           CAST(inter AS DOUBLE) / sa.sz AS containment
+    FROM pairs JOIN sizes sa ON sa.doc_id = contained_doc
+    WHERE CAST(inter AS DOUBLE) / sa.sz >= {_CONTAINMENT_THRESHOLD}
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(A→B) = |A∩B| / |A| ≥ 0.8: documents
+    whose shingle set is mostly inside ANOTHER document — catches
+    subset/boilerplate duplication (a page embedded in a larger crawl, quoted
+    passages, templated wrappers) that symmetric Jaccard under-scores because
+    the union in its denominator is dominated by the larger doc.
+
+    Same scale shape as dedup_ngram_jaccard (explode distinct shingles →
+    equi-join on the hashed shingle → count intersections), but the pair is
+    ORDERED (contained, container), so both directions of each doc pair are
+    scored; only the contained side's size is needed, saving one join.
+    """
+    docs = with_shingles(spread(t(spark, sf_dir, "documents"), spark), _SHINGLE_K)
+    sh = (
+        docs.select("doc_id", F.explode("shingle_set").alias("shingle"))
+        .select("doc_id", F.xxhash64(F.col("shingle")).alias("shingle"))
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("contained_doc"), F.col("sz").alias("sz_a"))
+    containment = F.col("inter").cast("double") / F.col("sz_a")
+    return (
+        pairs.join(sa, "contained_doc")
+        .select("contained_doc", "container_doc", containment.alias("containment"))
+        .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash-LSH near-dup candidates
 # --------------------------------------------------------------------------
 

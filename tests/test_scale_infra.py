@@ -254,3 +254,48 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path: Path) -> None:
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters: [", 1)[1][:200]
     assert filtered.count() > 0
+
+
+def test_hll_sketch_mergeable(spark) -> None:
+    """HLL sketches are mergeable partial aggregates: per-nation customer
+    sketches union-merged to a single global estimate — the property that
+    makes distinct-count roll-ups single-pass at 100 TB (pre-aggregate once,
+    merge at any granularity later, never rescan)."""
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    merged = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    exact = cust.select("c_custkey").distinct().count()
+    assert abs(merged - exact) / exact < 0.05
+
+
+def test_range_partitioned_layout_enables_pruning(spark, tmp_path: Path) -> None:
+    """Sorted data layout: repartitionByRange + sortWithinPartitions on the
+    filter column produces files with disjoint min/max ranges, so a date
+    filter can skip whole files/row-groups from footer statistics alone —
+    the write-side half of predicate pushdown at 100 TB."""
+    import pyarrow.parquet as pq
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    dest = tmp_path / "li_ranged"
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(str(dest))
+    )
+    spans = []
+    for f in sorted(dest.glob("part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["l_shipdate"]
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        spans.append((lo, hi))
+    assert len(spans) >= 4
+    spans.sort()
+    overlaps = sum(1 for (_, hi1), (lo2, _) in zip(spans, spans[1:]) if hi1 > lo2)
+    assert overlaps == 0, f"file ranges overlap: {spans}"
