@@ -51,10 +51,17 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def purchases_after_signup(events: DataFrame, horizon: str = "2 hours") -> DataFrame:
+def purchases_after_signup(
+    events: DataFrame, horizon: str = "2 hours", how: str = "inner"
+) -> DataFrame:
     """Stream-stream interval join: purchases within 2 h after the same
     user's signup.  Both sides watermarked; the time-bound condition lets
-    Spark expire join state instead of buffering streams forever."""
+    Spark expire join state instead of buffering streams forever.
+
+    ``how="left_outer"`` emits signups that never matched a purchase with
+    null purchase columns — but only once the watermark passes the signup's
+    join horizon (Spark must prove no future purchase can match before it
+    can emit the null row and drop the state)."""
     signups = (
         events.filter(F.col("event_type") == "signup")
         .select(
@@ -79,6 +86,7 @@ def purchases_after_signup(events: DataFrame, horizon: str = "2 hours") -> DataF
         (F.col("s_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("signup_ts"))
         & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     ).select(
         F.col("s_user").alias("user_id"),
         "signup_id",

@@ -194,3 +194,83 @@ def test_transform_with_state_profiles_match_batch(spark, tmp_path: Path) -> Non
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+@pytest.mark.slow
+def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path: Path) -> None:
+    """Left-outer stream-stream join: a signup with no purchase inside the
+    horizon is emitted with null purchase columns — but only after the global
+    watermark passes its join horizon, which takes two further micro-batches
+    (batch N data advances the watermark used by batch N+1).  This pins the
+    state-expiry semantics a 100 TB streaming join relies on to bound memory."""
+    import os
+    import time as _time
+
+    staging = tmp_path / "ss_outer"
+    staging.mkdir()
+    schema = "user_id long, event_type string, ts timestamp, event_id long, value double"
+    t0 = "2024-01-01 08:00:00"
+
+    def write_file(name: str, rows: list, mtime: float) -> None:
+        path = str(staging / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        os.utime(path, (mtime, mtime))
+        for f in Path(path).glob("*.parquet"):
+            os.utime(f, (mtime, mtime))
+
+    from datetime import datetime, timedelta
+
+    base = datetime.fromisoformat(t0)
+    now = _time.time()
+    # batch 0: one matched signup (user 1), one never-matched signup (user 2)
+    write_file(
+        "f0",
+        [
+            (1, "signup", base, 100, 0.0),
+            (1, "purchase", base + timedelta(minutes=10), 101, 9.99),
+            (2, "signup", base, 102, 0.0),
+        ],
+        now - 300,
+    )
+    # batch 1: events 10 days later on both sides -> advances both watermarks
+    write_file(
+        "f1",
+        [
+            (7, "signup", base + timedelta(days=10), 200, 0.0),
+            (7, "purchase", base + timedelta(days=10, minutes=5), 201, 1.0),
+        ],
+        now - 200,
+    )
+    # batch 2: consumes the advanced watermark -> user 2's null row emits here
+    write_file(
+        "f2",
+        [
+            (8, "signup", base + timedelta(days=20), 300, 0.0),
+            (8, "purchase", base + timedelta(days=20, minutes=5), 301, 1.0),
+        ],
+        now - 100,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(staging))
+    )
+    joined = purchases_after_signup(stream, how="left_outer")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ss_outer_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    rows = {r["signup_id"]: r for r in spark.sql("SELECT * FROM ss_outer").collect()}
+    assert rows[100]["purchase_id"] == 101  # matched pair
+    assert 102 in rows, f"unmatched signup never emitted: {sorted(rows)}"
+    assert rows[102]["purchase_id"] is None and rows[102]["purchase_ts"] is None
