@@ -59,6 +59,60 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_salted_join",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+               AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("join", "skew", "salting"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted (hot-key-replicated) join: the fact side gets a deterministic
+    salt derived from its row identity, the dimension side is exploded once
+    per salt bucket, and the join key becomes (key, salt) — spreading any
+    single hot customer over 16 reducers.
+
+    The oracle is the PLAIN join: salting is a physical rewrite that must be
+    invisible in the result, and the correctness gate proves exactly that.
+    This is the manual fallback for skew Spark's AQE skew-join can't fix —
+    a single key too hot for any one reducer even after AQE splitting (AQE
+    splits partitions, but one key lives in one partition per join).  At
+    100 TB the salt count scales with the hottest key's row share, and only
+    hot keys (found via approx freq) get salted — salting everything, as
+    here, is the didactic worst case."""
+    salts = 16
+    fact = t(spark, sf_dir, "orders").withColumn(
+        "__salt_f", (F.crc32(F.col("o_orderkey").cast("string")) % salts).cast("int")
+    )
+    dim = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn("__salt_d", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+        .withColumn("__salt_d", F.col("__salt_d").cast("int"))
+    )
+    return (
+        fact.join(
+            dim,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("__salt_f") == F.col("__salt_d")),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
     "q_percentiles",
     oracle="""
     SELECT o_orderstatus,
