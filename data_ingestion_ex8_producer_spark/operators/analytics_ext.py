@@ -329,6 +329,46 @@ def q_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Histogram (fixed-width binning)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+           CAST(floor(l_extendedprice / 10000) * 10000 AS DOUBLE) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "histogram"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extended price (10k-wide bins): the binning
+    expression is per-row floor arithmetic computed identically in both
+    engines, then an ordinary hash aggregation — the scale-canonical way to
+    histogram 100 TB (one pass, |bins| output rows, no sort).  bucket_lo is
+    derived from the bucket index (exact small-int × literal product), not
+    from re-aggregating the data."""
+    bucket = F.floor(F.col("l_extendedprice") / 10000)
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            bucket.cast("long").alias("bucket"),
+            (bucket * 10000).cast("double").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Windowed count-distinct
 # --------------------------------------------------------------------------
 
