@@ -421,6 +421,69 @@ def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Retention cohorts
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS c0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT e.user_id,
+               CAST(date_trunc('week', make_timestamp(s.c0)) AS DATE)
+                   AS cohort_week,
+               (epoch_us(e.ts) - s.c0) // 604800000000 AS week_offset
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE epoch_us(e.ts) >= s.c0
+    )
+    SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a GROUP BY cohort_week, week_offset
+    """,
+    tags=("events", "retention", "cohort"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by the week of their first
+    signup; n_users counts how many of each cohort were active (any event)
+    N whole weeks after their own signup instant.
+
+    Determinism: all time arithmetic is INTEGER microseconds (unix_micros /
+    epoch_us) with integer division — no double seconds, so week-boundary
+    rows can't flip between engines.  Shape at scale: one per-user min, one
+    equi-join on user_id, one distinct and one count — all shuffling on
+    bounded keys; the distinct pre-shrinks rows to one per (user, offset)
+    before the final count."""
+    week_us = 7 * 24 * 3600 * 1_000_000
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c0"))
+    )
+    active = (
+        ev.join(s, "user_id")
+        .filter(F.col("ts_us") >= F.col("c0"))
+        .select(
+            "user_id",
+            F.date_trunc("week", F.timestamp_micros(F.col("c0")))
+            .cast("date")
+            .alias("cohort_week"),
+            F.expr(f"(ts_us - c0) div {week_us}").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# --------------------------------------------------------------------------
 # Event funnel
 # --------------------------------------------------------------------------
 
