@@ -294,12 +294,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     and THIS exact cosine filter runs only on bucket-collision candidates —
     the two-stage candidate/verify shape every near-dup operator here uses.
     """
-    emb = t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
-    cosine = _dot(F.col("e_a"), F.col("e_b")) / (
-        F.sqrt(_dot(F.col("e_a"), F.col("e_a"))) * F.sqrt(_dot(F.col("e_b"), F.col("e_b")))
+    # Per-pair work is the hot path (O(n²) pairs): pre-cast each embedding to
+    # double and precompute its norm ONCE per row (O(n)), so every pair costs
+    # one zip_with dot + a scalar divide instead of three dots with inline
+    # float→double casts.  sqrt(Σx²) per row is the same double as the
+    # per-pair recomputation, so results are bit-identical to the oracle's
+    # formulation (which the optimizer can't hoist — DuckDB is fast enough).
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
     )
+    dot_d = lambda a, b: F.aggregate(  # noqa: E731 — pre-cast arrays, no inner cast
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    emb = emb.withColumn("norm", F.sqrt(dot_d(F.col("ed"), F.col("ed"))))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("ed").alias("e_a"), F.col("norm").alias("n_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("ed").alias("e_b"), F.col("norm").alias("n_b")
+    )
+    cosine = dot_d(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cosine.alias("cosine"))
