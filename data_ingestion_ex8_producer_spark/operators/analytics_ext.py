@@ -421,6 +421,72 @@ def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Ratio-to-report (percent of total)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_percent_of_total",
+    oracle="""
+    WITH per_nation AS (
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE)
+                   AS nation_bal,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name, nation_bal, n_customers,
+           nation_bal / CAST(SUM(CAST(nation_bal AS DECIMAL(18,4)))
+               OVER (PARTITION BY r_name) AS DOUBLE) AS share_of_region,
+           nation_bal / CAST(SUM(CAST(nation_bal AS DECIMAL(18,4)))
+               OVER () AS DOUBLE) AS share_of_total
+    FROM per_nation
+    """,
+    tags=("window", "agg", "ratio"),
+)
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's (and the global)
+    customer balance — an aggregate re-read through unpartitioned/partitioned
+    window sums.  The windows run over the AGGREGATED relation (|nations|
+    rows), so the global window's single partition is trivially safe at any
+    scale; the exact-decimal sums keep the double divisions bit-identical
+    across engines — the window sums themselves go through exact decimal casts too, since a 5-row double sum is already order-dependent."""
+    from pyspark.sql import Window
+
+    per_nation = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(t(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("nation_bal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "nation_bal",
+        "n_customers",
+        (
+            F.col("nation_bal")
+            / F.sum(F.col("nation_bal").cast("decimal(18,4)")).over(w_region).cast("double")
+        ).alias("share_of_region"),
+        (
+            F.col("nation_bal")
+            / F.sum(F.col("nation_bal").cast("decimal(18,4)")).over(w_all).cast("double")
+        ).alias("share_of_total"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Retention cohorts
 # --------------------------------------------------------------------------
 
