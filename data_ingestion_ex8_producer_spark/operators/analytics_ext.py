@@ -1,7 +1,8 @@
 """Extended analytics surface: ordered string aggregation (listagg), exact
 median/quartiles, deterministic mode, boolean/bitwise aggregates, the try_*
 error-safe function family, regression statistics over exact decimal sums,
-and an event-funnel analysis.
+fixed-width histograms, windowed count-distinct, ratio-to-report shares,
+retention cohorts, and an event-funnel analysis.
 
 None of these exist in the reference (SURVEY.md §2.2 absence matrix — the
 reference's only operators are S3-CSV scan, header sanitize, projection,
