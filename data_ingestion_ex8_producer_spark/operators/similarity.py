@@ -128,6 +128,66 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_COSINE = 0.25
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    SELECT q.vec_id AS query_id,
+           c.vec_id AS neighbor_id,
+           c.label  AS neighbor_label,
+           {_SQL_COSINE} AS cosine
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {_N_QUERIES}
+      AND {_SQL_COSINE} >= {_RANGE_COSINE}
+    """,
+    tags=("similarity", "range-search"),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: ALL corpus vectors with cosine ≥
+    0.25 of each query vector — the fixed-quality counterpart to top-k's
+    fixed-cardinality contract (dedup and retrieval filters usually want a
+    quality floor, not a count).
+
+    Same broadcast-scan shape as sim_bruteforce_topk but with NO window: the
+    threshold filter replaces ranking, so the plan is one scan + broadcast
+    join + filter — embarrassingly parallel, no shuffle at all after the
+    broadcast.  Query-side norms are broadcast precomputed; corpus norms
+    are computed once per corpus row, not once per (query, corpus) pair."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+    )
+    dot_d = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    emb = emb.withColumn("norm", F.sqrt(dot_d(F.col("ed"), F.col("ed"))))
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("ed").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("ed").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cosine = dot_d(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    return (
+        queries.join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "neighbor_label", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _RANGE_COSINE)
+    )
+
+
 def _bucket_expr(emb: Column, table: int) -> Column:
     """LSH bucket id for one table: sign bits of _LSH_BITS hyperplane dots."""
     bucket = F.lit(0)
