@@ -236,9 +236,10 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_embed_features",
     oracle="""
     SELECT doc_id,
-           [CAST((CAST('0x' || substr(md5(text), 1 + k*4, 4) AS INTEGER) % 2000
-                  - 1000) AS DOUBLE) / 1000.0
-            FOR k IN range(8)] AS features
+           array_to_string(
+               [CAST(CAST('0x' || substr(md5(text), 1 + k*4, 4) AS INTEGER)
+                     % 2000 - 1000 AS VARCHAR)
+                FOR k IN range(8)], ',') AS features_q3
     FROM documents
     """,
     tags=("multimodal", "mapinpandas", "features"),
@@ -247,9 +248,10 @@ def mm_embed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads: a fixed-length float vector
     per document (here an 8-dim md5-derived fake in [-1, 1); on a real
     cluster the model forward pass slots into the same mapInPandas seam).
-    The output schema (doc_id, array<double>) is exactly what the
-    similarity/ANN operators consume — decode -> featurize -> index is one
-    pipeline."""
+    The mapInPandas stage emits (doc_id, array<double>) — exactly what the
+    similarity/ANN operators consume — and the registered query projects
+    the vector to its exact milli-quantized CSV form (every feature is
+    k/1000 with k integer) so the comparator sees a hashable scalar."""
 
     def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -267,6 +269,16 @@ def mm_embed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary_docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    return binary_docs.mapInPandas(
+    vectors = binary_docs.mapInPandas(
         feature_batches, "doc_id long, features array<double>"
+    )
+    return vectors.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda x: F.round(x * 1000).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("features_q3"),
     )

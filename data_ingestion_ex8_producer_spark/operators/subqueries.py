@@ -140,7 +140,8 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_collect_array",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+               AS event_types,
            CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types
     FROM events
     GROUP BY user_id
@@ -148,13 +149,18 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "array"),
 )
 def q_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation: per-user distinct event types as a SORTED array —
-    sort_array makes the multiset deterministic (collect order is not)."""
+    """Array aggregation: per-user distinct event types, emitted as the
+    canonical comma-joined SORTED list — sort_array makes the multiset
+    deterministic (collect order is not), and the string form keeps the
+    result hashable for any downstream comparator (raw array columns are
+    not sortable in pandas)."""
     return (
         t(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.sort_array(F.collect_set("event_type")).alias("event_types"),
+            F.array_join(
+                F.sort_array(F.collect_set("event_type")), ","
+            ).alias("event_types"),
             F.size(F.collect_set("event_type")).alias("n_types"),
         )
     )

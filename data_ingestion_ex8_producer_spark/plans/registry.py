@@ -77,7 +77,90 @@ def register(
     return wrap
 
 
+# Registration order is part of the external contract: downstream harnesses may
+# sample a prefix of the registry, so the first 50 names below are chosen to
+# cover every operator family (relational, TPC-H, aggregation, set ops,
+# windows, scalar functions, subqueries, analytics, event-time, dedup, text,
+# similarity, multimodal, Python UDF/UDAF/UDTF, curation) with 2-4
+# representatives each.  Names not listed keep their module registration order
+# after the priority block.
+_PRIORITY: tuple[str, ...] = (
+    # relational: scan/filter/project, sort/limit, joins
+    "q1_pricing_summary",
+    "q_filter_project",
+    "q_top_orders",
+    "q_semi_join",
+    "q_anti_join",
+    "q_asof_join",
+    # TPC-H style multi-join analytics
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    # aggregation
+    "q_agg_distinct",
+    "q_rollup",
+    "q_argminmax",
+    "q_collect_array",
+    # set operations
+    "q_union_all",
+    "q_except_all",
+    # window functions
+    "q_window_rank",
+    "q_window_running_sum",
+    "q_topk_per_group",
+    # scalar functions
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_regex_extract",
+    "q_higher_order_funcs",
+    # subqueries + recursive CTE
+    "q_scalar_subquery",
+    "q_correlated_exists",
+    "q_recursive_calendar",
+    # extended analytics
+    "q_pivot",
+    "q_funnel",
+    # event-time (batch twins of the streaming operators)
+    "q_tumbling_window",
+    "q_session_window",
+    "q_event_dedup",
+    "q_time_series_gapfill",
+    # deduplication
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    # text analysis
+    "text_token_stats",
+    "text_tfidf",
+    "text_lang_id",
+    # similarity search
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    # multimodal
+    "mm_binary_stats",
+    "mm_decode_meta",
+    "mm_embed_features",
+    # Python UDF / UDAF / UDTF
+    "udf_accent_fold",
+    "udaf_minmax_normalize",
+    "udtf_bigrams",
+    # curation / pipeline
+    "q_hash_sample",
+    "emb_normalize",
+)
+
+
 def all_specs() -> dict[str, QuerySpec]:
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
-    return dict(_REGISTRY)
+    missing = [n for n in _PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"priority specs not registered: {missing}")
+    ordered = {name: _REGISTRY[name] for name in _PRIORITY}
+    for name, spec in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
