@@ -9,10 +9,11 @@ Scale design notes (the 100 TB story for each):
 * exact: groupBy(md5(text)) — one shuffle on a uniform 128-bit key; no skew by
   construction.  At petabyte scale, hash first, shuffle only (hash, doc_id).
 * jaccard: explode distinct shingles -> self-join on shingle.  The shuffle key
-  is the shingle; natural-language "stop shingles" are skewed, so production
-  adds a document-frequency cap on shingles before the join (drops only
-  non-discriminative candidates).  Kept uncapped here so the SQL oracle is
-  exact.
+  is the shingle; natural-language "stop shingles" are skewed, so the PRIMARY
+  registered forms apply a document-frequency cap on shingles before the join
+  (drops only non-discriminative candidates) — the oracle applies the same
+  cap, so the capped result is still exactly verified.  The uncapped exact
+  forms remain registered as *_exact baselines.
 * minhash-LSH: per-doc signature of K salted 48-bit hashes -> band keys ->
   join on (band, signature-slice).  Shuffle volume drops from |pairs| to
   |docs| x bands; collision probability follows the classic (1-s^r)^b curve.
@@ -91,19 +92,38 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_THRESHOLD = 0.6
 _SHINGLE_K = 3
+# Shingles present in more than this many documents are dropped before the
+# self-join in the PRIMARY (capped) queries: a shingle appearing in f docs
+# contributes f^2 join rows, so natural-language stop-shingles are both the
+# skew keys and the least discriminative features.  The cap bounds per-key
+# join fan-out at _DF_CAP^2 — the property that keeps the operator alive at
+# 100 TB — while barely moving the similarity signal.
+_DF_CAP = 20
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+def _jaccard_kept_cte(df_cap: int | None) -> str:
+    """Oracle CTE producing the (doc_id, shingle) relation, optionally
+    DF-capped with the same semantics as the Spark side."""
+    if df_cap is None:
+        return "kept AS (SELECT doc_id, shingle FROM sh)"
+    return f"""df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    kept AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)
+        WHERE df.df <= {df_cap}
+    )"""
+
+
+def _jaccard_oracle(df_cap: int | None) -> str:
+    return f"""
     WITH sh AS (
         SELECT doc_id, unnest({sql_shingle_list(_SHINGLE_K)}) AS shingle
         FROM documents
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    {_jaccard_kept_cte(df_cap)},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -112,32 +132,45 @@ _SHINGLE_K = 3
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}
-    """,
-    tags=("dedup", "jaccard", "bench"),
-    bench=True,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact word-3-gram Jaccard >= 0.6.
+    """
 
-    explode(distinct shingles) -> self-equi-join on shingle -> count
-    intersections -> Jaccard from |A|+|B|-|A∩B|.  The join and both
-    aggregations are plain shuffles on uniform-ish keys; see module docstring
-    for the stop-shingle frequency cap used at scale.
+
+def _shingle_relation(
+    spark: SparkSession, sf_dir: str, df_cap: int | None
+) -> DataFrame:
+    """Exploded (doc_id, xxhash64(shingle)) relation, optionally DF-capped.
+
+    The join runs on xxhash64(shingle): fixed-width longs shuffle and
+    compare ~2x faster than ~20-char strings.  Collision odds are
+    ~n^2/2^65 over the distinct-shingle vocabulary (≈3e-6 even at n=10^6),
+    and the DuckDB oracle keeps exact string equality, so the correctness
+    gate would surface any collision that ever changed a reported pair.
+
+    The cap is applied as a broadcast ANTI-join against the shingles ABOVE
+    the cap: that set is tiny by construction (only stop-shingles exceed
+    it), so it broadcasts at any corpus size — broadcasting the kept
+    vocabulary instead would ship the whole (huge) long tail.
     """
     docs = with_shingles(spread(t(spark, sf_dir, "documents"), spark), _SHINGLE_K)
-    # The exploded shingle relation feeds three subtrees (both join sides +
-    # sizes); persist it so the scan+shingle work runs once, not three times.
-    # At 100 TB this is a materialized intermediate table, not a cache.
-    # The join runs on xxhash64(shingle): fixed-width longs shuffle and
-    # compare ~2x faster than ~20-char strings.  Collision odds are
-    # ~n^2/2^65 over the distinct-shingle vocabulary (≈3e-6 even at n=10^6),
-    # and the DuckDB oracle keeps exact string equality, so the correctness
-    # gate would surface any collision that ever changed a reported pair.
-    sh = (
-        docs.select("doc_id", F.explode("shingle_set").alias("shingle"))
-        .select("doc_id", F.xxhash64(F.col("shingle")).alias("shingle"))
-        .persist()
+    sh = docs.select("doc_id", F.explode("shingle_set").alias("shingle")).select(
+        "doc_id", F.xxhash64(F.col("shingle")).alias("shingle")
     )
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str, df_cap: int | None) -> DataFrame:
+    # The exploded shingle relation feeds three subtrees (both join sides +
+    # sizes); persist it so the scan+shingle(+cap) work runs once, not three
+    # times.  At 100 TB this is a materialized intermediate table, not a cache.
+    sh = _shingle_relation(spark, sf_dir, df_cap).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -163,6 +196,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_jaccard_oracle(_DF_CAP),
+    tags=("dedup", "jaccard", "bench"),
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard >= 0.6 over the DF-capped
+    shingle vocabulary — the scale-safe PRIMARY form.
+
+    explode(distinct shingles) -> drop shingles in > _DF_CAP docs
+    (broadcast anti-join against the tiny hot set) -> self-equi-join on
+    shingle -> count intersections -> Jaccard from |A|+|B|-|A∩B|.  With the
+    cap, every join key fans out at most _DF_CAP^2 rows, so the shuffle is
+    skew-bounded by construction; the oracle applies the identical cap, so
+    the result stays exactly verifiable.  The uncapped exact form is
+    registered as dedup_ngram_jaccard_exact (the parity baseline).
+    """
+    return _jaccard_pairs(spark, sf_dir, _DF_CAP)
+
+
+@register(
+    "dedup_ngram_jaccard_exact",
+    oracle=_jaccard_oracle(None),
+    tags=("dedup", "jaccard", "exact-baseline"),
+)
+def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncapped exact word-3-gram Jaccard >= 0.6 — the oracle baseline for
+    dedup_ngram_jaccard.  Same plan minus the DF cap: correct at any scale
+    but quadratic on stop-shingle keys, so it is NOT the form to run at
+    100 TB (and is deliberately not benched)."""
+    return _jaccard_pairs(spark, sf_dir, None)
+
+
 # --------------------------------------------------------------------------
 # Asymmetric containment near-dup
 # --------------------------------------------------------------------------
@@ -170,45 +237,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAINMENT_THRESHOLD = 0.8
 
 
-@register(
-    "dedup_containment",
-    oracle=f"""
+def _containment_oracle(df_cap: int | None) -> str:
+    return f"""
     WITH sh AS (
         SELECT doc_id, unnest({sql_shingle_list(_SHINGLE_K)}) AS shingle
         FROM documents
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    {_jaccard_kept_cte(df_cap)},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
                COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
         GROUP BY 1, 2
     )
     SELECT contained_doc, container_doc,
            CAST(inter AS DOUBLE) / sa.sz AS containment
     FROM pairs JOIN sizes sa ON sa.doc_id = contained_doc
     WHERE CAST(inter AS DOUBLE) / sa.sz >= {_CONTAINMENT_THRESHOLD}
-    """,
-    tags=("dedup", "containment"),
-)
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric shingle containment C(A→B) = |A∩B| / |A| ≥ 0.8: documents
-    whose shingle set is mostly inside ANOTHER document — catches
-    subset/boilerplate duplication (a page embedded in a larger crawl, quoted
-    passages, templated wrappers) that symmetric Jaccard under-scores because
-    the union in its denominator is dominated by the larger doc.
-
-    Same scale shape as dedup_ngram_jaccard (explode distinct shingles →
-    equi-join on the hashed shingle → count intersections), but the pair is
-    ORDERED (contained, container), so both directions of each doc pair are
-    scored; only the contained side's size is needed, saving one join.
     """
-    docs = with_shingles(spread(t(spark, sf_dir, "documents"), spark), _SHINGLE_K)
-    sh = (
-        docs.select("doc_id", F.explode("shingle_set").alias("shingle"))
-        .select("doc_id", F.xxhash64(F.col("shingle")).alias("shingle"))
-        .persist()
-    )
+
+
+def _containment_pairs(
+    spark: SparkSession, sf_dir: str, df_cap: int | None
+) -> DataFrame:
+    sh = _shingle_relation(spark, sf_dir, df_cap).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -231,6 +284,39 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("contained_doc", "container_doc", containment.alias("containment"))
         .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=_containment_oracle(_DF_CAP),
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(A→B) = |A∩B| / |A| ≥ 0.8 over the
+    DF-capped vocabulary — documents whose shingle set is mostly inside
+    ANOTHER document.  Catches subset/boilerplate duplication (a page
+    embedded in a larger crawl, quoted passages, templated wrappers) that
+    symmetric Jaccard under-scores because the union in its denominator is
+    dominated by the larger doc.
+
+    Same scale shape as dedup_ngram_jaccard (explode distinct shingles →
+    DF cap → equi-join on the hashed shingle → count intersections), but
+    the pair is ORDERED (contained, container), so both directions of each
+    doc pair are scored; only the contained side's size is needed, saving
+    one join.  The uncapped exact form is dedup_containment_exact.
+    """
+    return _containment_pairs(spark, sf_dir, _DF_CAP)
+
+
+@register(
+    "dedup_containment_exact",
+    oracle=_containment_oracle(None),
+    tags=("dedup", "containment", "exact-baseline"),
+)
+def dedup_containment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncapped exact containment ≥ 0.8 — the oracle baseline for
+    dedup_containment; quadratic on stop-shingle keys, not the 100 TB form."""
+    return _containment_pairs(spark, sf_dir, None)
 
 
 # --------------------------------------------------------------------------
@@ -408,7 +494,8 @@ def _simhash_combine():
 @register(
     "dedup_simhash",
     oracle=None,  # oracle attached programmatically below (generated SQL)
-    tags=("dedup", "simhash", "lsh"),
+    tags=("dedup", "simhash", "lsh", "bench"),
+    bench=True,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with hamming distance <= 3 over 48-bit
@@ -521,10 +608,11 @@ for _name, _sql in (
         SELECT doc_id, unnest({sql_shingle_list(_SHINGLE_K)}) AS shingle
         FROM documents
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    {_jaccard_kept_cte(_DF_CAP)},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     edges AS (
@@ -552,7 +640,7 @@ for _name, _sql in (
     tags=("dedup", "clusters", "iterative"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the near-dup (Jaccard >= 0.6) pair graph:
+    """Connected components over the DF-capped near-dup (Jaccard >= 0.6):
     each document in any near-dup pair is labeled with its cluster's minimum
     doc_id — the canonical keeper — plus the cluster size.
 

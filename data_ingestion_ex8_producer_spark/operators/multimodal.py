@@ -104,7 +104,8 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
              AS n_frames
     FROM documents
     """,
-    tags=("multimodal", "mapinpandas"),
+    tags=("multimodal", "mapinpandas", "bench"),
+    bench=True,
 )
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary payloads with Arrow-batched

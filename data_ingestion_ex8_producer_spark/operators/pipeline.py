@@ -1,7 +1,8 @@
 """Training-data pipeline patterns: deterministic sampling, train/test
-splitting, frequency-capped near-dup candidates, vector normalization, and
-per-label centroids — the curation ops a 100 TB LLM-data pipeline runs between
-raw ingestion and tokenization.
+splitting, vector normalization, and per-label centroids — the curation ops a
+100 TB LLM-data pipeline runs between raw ingestion and tokenization.
+(The frequency-capped near-dup join lives in operators/dedup.py as the
+PRIMARY dedup_ngram_jaccard form.)
 
 Nothing here exists in the reference (its whole data plane is CSV→Avro→Kafka,
 `app.py:112-173`); this is mandated engine surface.
@@ -23,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import hash48, sql_hash48, sql_shingle_list, with_shingles
+from ..functions.text import hash48, sql_hash48
 from ..plans.registry import register
 from ._util import t
 
@@ -100,93 +101,6 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
     )
-
-
-# --------------------------------------------------------------------------
-# Frequency-capped Jaccard candidates (the scale-out variant)
-# --------------------------------------------------------------------------
-
-_DF_CAP = 20
-_CAPPED_THRESHOLD = 0.5
-_SHINGLE_K = 3
-
-
-@register(
-    "dedup_jaccard_df_capped",
-    oracle=f"""
-    WITH sh AS (
-        SELECT doc_id, unnest({sql_shingle_list(_SHINGLE_K)}) AS shingle
-        FROM documents
-    ),
-    df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
-    kept AS (
-        SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)
-        WHERE df.df <= {_DF_CAP}
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard_capped
-    FROM pairs
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_CAPPED_THRESHOLD}
-    """,
-    tags=("dedup", "jaccard", "scale"),
-)
-def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document-frequency-capped Jaccard: shingles appearing in more than
-    {cap} documents are dropped BEFORE the self-join, then Jaccard is
-    computed over the capped vocabulary.
-
-    This is the scale-out form of dedup_ngram_jaccard: stop-shingles are
-    simultaneously the skew keys (a shingle in f docs contributes f^2 join
-    rows) and the least discriminative features, so capping bounds the
-    worst-case join fan-out at cap^2 per shingle while barely moving the
-    similarity signal.  Kept as a SEPARATE scored query with the cap applied
-    identically in the oracle, so it stays exactly verifiable; the uncapped
-    query remains the parity baseline.
-    """
-    docs = with_shingles(t(spark, sf_dir, "documents"), _SHINGLE_K)
-    sh = docs.select("doc_id", F.explode("shingle_set").alias("shingle"))
-    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    kept = (
-        sh.join(F.broadcast(df.filter(F.col("df") <= _DF_CAP)), "shingle")
-        .select("doc_id", "shingle")
-        .persist()
-    )
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = kept.alias("a")
-    b = kept.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("inter").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("inter")
-    )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard_capped"))
-        .filter(F.col("jaccard_capped") >= _CAPPED_THRESHOLD)
-    )
-
-
-dedup_jaccard_df_capped.__doc__ = dedup_jaccard_df_capped.__doc__.replace(
-    "{cap}", str(_DF_CAP)
-)
 
 
 # --------------------------------------------------------------------------

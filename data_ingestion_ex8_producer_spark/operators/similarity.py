@@ -188,18 +188,18 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr(emb: Column, table: int) -> Column:
-    """LSH bucket id for one table: sign bits of _LSH_BITS hyperplane dots."""
+def _bucket_expr(emb: Column, table: int, n_bits: int = _LSH_BITS) -> Column:
+    """LSH bucket id for one table: sign bits of n_bits hyperplane dots."""
     bucket = F.lit(0)
-    for bit in range(_LSH_BITS):
+    for bit in range(n_bits):
         hp = F.array(*[F.lit(_hp_weight(table, bit, i)) for i in range(_DIM)])
         bucket = bucket + F.when(_dot(emb, hp) >= 0, F.lit(2**bit)).otherwise(0)
     return bucket
 
 
-def _sql_bucket(alias: str, table: int) -> str:
+def _sql_bucket(alias: str, table: int, n_bits: int = _LSH_BITS) -> str:
     bits = []
-    for bit in range(_LSH_BITS):
+    for bit in range(n_bits):
         dot = (
             f"list_sum(list_transform(range(1, {_DIM + 1}), i -> "
             f"CAST({alias}.embedding[i] AS DOUBLE) * ({_sql_hp_list(table, bit)}[i])))"
@@ -211,7 +211,8 @@ def _sql_bucket(alias: str, table: int) -> str:
 @register(
     "sim_lsh_topk",
     oracle=None,  # oracle generated below (heavy SQL, built programmatically)
-    tags=("similarity", "lsh", "ann"),
+    tags=("similarity", "lsh", "ann", "bench"),
+    bench=True,
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN cosine top-k via random-hyperplane LSH: 4 tables x 8 sign bits;
@@ -329,10 +330,119 @@ _registry._REGISTRY["sim_lsh_topk"] = _registry.QuerySpec(
 _NEARDUP_COSINE = 0.45  # demonstration threshold for this synthetic corpus
                         # (max pairwise cosine ~0.51); production near-dup
                         # detection uses ~0.95 on real embedding spaces.
+_NEARDUP_LSH_BITS = 6   # shorter bucket keys than sim_lsh_topk's 8: the
+                        # candidate stage wants recall, the verify stage
+                        # restores precision.
 
 
 @register(
-    "dedup_embedding_cosine",
+    "dedup_embedding_neardup",
+    oracle=None,  # oracle generated below (hyperplane literals, built programmatically)
+    tags=("dedup", "embedding", "lsh", "similarity"),
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, two-stage scale form: LSH-bucket candidate
+    generation (4 tables x 6 sign bits, same deterministic hyperplane family
+    as sim_lsh_topk) -> exact cosine verification at >= 0.45 on candidates
+    only.
+
+    This is the 100 TB shape for embedding dedup: the candidate join's key
+    is (table, bucket) so shuffle volume is O(n x tables) instead of the
+    O(n^2) pair space, and the quadratic exact kernel runs only on bucket
+    collisions.  Recall < 1 by design (angular-LSH collision curve); the
+    oracle replicates the identical bucketing, so the result is still
+    exactly verified.  The all-pairs exact form is registered as
+    dedup_embedding_cosine_exact (the oracle baseline; not the form to run
+    at scale).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    table_structs = [
+        F.struct(
+            F.lit(tb).alias("tb"),
+            _bucket_expr(F.col("embedding"), tb, _NEARDUP_LSH_BITS).alias("bucket"),
+        )
+        for tb in range(_LSH_TABLES)
+    ]
+    bucketed = emb.select(
+        "vec_id", F.explode(F.array(*table_structs)).alias("bs")
+    ).select("vec_id", F.col("bs.tb").alias("tb"), F.col("bs.bucket").alias("bucket"))
+    # Candidate pair ids only — vectors are re-joined AFTER the distinct so
+    # the wide embedding arrays never ride through the candidate shuffle.
+    cand = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.tb") == F.col("b.tb"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    vec = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+    )
+    dot_d = lambda a, b: F.aggregate(  # noqa: E731 — pre-cast arrays, no inner cast
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    vec = vec.withColumn("norm", F.sqrt(dot_d(F.col("ed"), F.col("ed"))))
+    va = vec.select(
+        F.col("vec_id").alias("vec_a"), F.col("ed").alias("e_a"), F.col("norm").alias("n_a")
+    )
+    vb = vec.select(
+        F.col("vec_id").alias("vec_b"), F.col("ed").alias("e_b"), F.col("norm").alias("n_b")
+    )
+    cosine = dot_d(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _NEARDUP_COSINE)
+    )
+
+
+def _neardup_oracle() -> str:
+    per_table = "\n            UNION ALL\n            ".join(
+        f"SELECT vec_id, {tb} AS tb, "
+        f"{_sql_bucket('e', tb, _NEARDUP_LSH_BITS)} AS bucket FROM embeddings e"
+        for tb in range(_LSH_TABLES)
+    )
+    return f"""
+    WITH bucketed AS (
+            {per_table}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bucketed a
+        JOIN bucketed b ON a.tb = b.tb AND a.bucket = b.bucket
+                        AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT cand.vec_a, cand.vec_b,
+               {_sql_dot('ea.embedding', 'eb.embedding')}
+                 / (sqrt({_sql_dot('ea.embedding', 'ea.embedding')})
+                    * sqrt({_sql_dot('eb.embedding', 'eb.embedding')})) AS cosine
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.vec_a
+        JOIN embeddings eb ON eb.vec_id = cand.vec_b
+    ) WHERE cosine >= {_NEARDUP_COSINE}
+    """
+
+
+_spec = _registry._REGISTRY["dedup_embedding_neardup"]
+_registry._REGISTRY["dedup_embedding_neardup"] = _registry.QuerySpec(
+    name=_spec.name,
+    builder=_spec.builder,
+    oracle=_neardup_oracle(),
+    tags=_spec.tags,
+    bench=_spec.bench,
+    doc=_spec.doc,
+)
+
+
+@register(
+    "dedup_embedding_cosine_exact",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_sql_dot('a.embedding', 'b.embedding')}
@@ -344,15 +454,15 @@ _NEARDUP_COSINE = 0.45  # demonstration threshold for this synthetic corpus
              / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
                 * sqrt({_sql_dot('b.embedding', 'b.embedding')})) >= {_NEARDUP_COSINE}
     """,
-    tags=("dedup", "embedding", "similarity"),
+    tags=("dedup", "embedding", "similarity", "exact-baseline"),
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, exact all-pairs variant.
+def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs BASELINE.
 
-    This is the verification kernel; at 100 TB the pair space is first cut
-    by the LSH bucketing of sim_lsh_topk (same deterministic hyperplanes)
-    and THIS exact cosine filter runs only on bucket-collision candidates —
-    the two-stage candidate/verify shape every near-dup operator here uses.
+    This is the oracle baseline for dedup_embedding_neardup (the two-stage
+    LSH-candidates -> exact-verify form above, which is what runs at
+    100 TB).  The all-pairs join here is O(n^2) — correct, benchable at
+    test scale, and deliberately NOT the primary registered form.
     """
     # Per-pair work is the hot path (O(n²) pairs): pre-cast each embedding to
     # double and precompute its norm ONCE per row (O(n)), so every pair costs

@@ -281,6 +281,7 @@ def text_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, token, tf, df, tfidf FROM scored WHERE rn <= 3
     """,
     tags=("text", "tfidf"),
+    bench=True,
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by TF-IDF.

@@ -437,6 +437,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("tpch", "join", "agg", "subquery"),
+    bench=True,
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: orders whose total quantity exceeds 300, with their
@@ -656,6 +657,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("tpch", "semi-join", "anti-join", "agg"),
+    bench=True,
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers in NATION_1 who were the sole blocker on a

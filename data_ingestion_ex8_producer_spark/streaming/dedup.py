@@ -18,9 +18,12 @@ from scratch; this operator does O(|batch| x bands) new work per batch:
 foreachBatch is the right primitive: the store is both read and written
 inside one epoch, which no declarative streaming join supports (a
 stream-stream self-join cannot see rows from *previous* epochs' output
-table).  Exactly-once comes from the checkpoint: a replayed epoch re-reads
-the store as of its last write and the pair output is de-duplicated by
-(doc_a, doc_b) downstream.
+table).  foreachBatch itself is at-least-once, so BOTH writes are keyed by
+epoch and made idempotent: each epoch's signatures and pairs land in their
+own ``epoch=<id>`` partition with overwrite semantics, and the store read
+excludes the current epoch's partition — a replayed epoch therefore
+rewrites exactly the same rows instead of appending duplicates, restoring
+effective exactly-once.
 """
 
 from __future__ import annotations
@@ -43,7 +46,14 @@ def incremental_minhash_dedup(
         spark = batch_df.sparkSession
         new_bands = minhash_band_signatures(batch_df).persist()
         try:
-            store = spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
+            # Partition discovery surfaces the epoch column; exclude the
+            # CURRENT epoch so a replayed (crashed mid-write) attempt never
+            # joins against its own partial output.
+            store = (
+                spark.read.parquet(store_dir)
+                .filter(F.col("epoch") != epoch_id)
+                .select("doc_id", "band", "r0", "r1", "r2", "r3")
+            )
         except Exception:  # noqa: BLE001 — first epoch: store doesn't exist yet
             store = spark.createDataFrame([], _STORE_SCHEMA)
         # new-vs-store (both directions via the ordered-pair condition on the
@@ -64,8 +74,13 @@ def incremental_minhash_dedup(
             )
             .distinct()
         )
-        pairs.write.mode("append").parquet(pairs_dir)
-        new_bands.write.partitionBy("band").mode("append").parquet(store_dir)
+        # Epoch-keyed idempotent writes: a replay of epoch N overwrites
+        # epoch N's own partitions with identical content (at-least-once
+        # foreachBatch -> effective exactly-once output).
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+        new_bands.write.partitionBy("band").mode("overwrite").parquet(
+            f"{store_dir}/epoch={epoch_id}"
+        )
         new_bands.unpersist()
 
     return docs_stream.writeStream.foreachBatch(process_batch).outputMode("update")

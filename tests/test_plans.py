@@ -71,3 +71,44 @@ def test_top_orders_take_ordered(spark, specs) -> None:
     top-k + merge), never a full sort."""
     plan = _plan(spark, specs["q_top_orders"].builder(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def _bench_names():
+    from data_ingestion_ex8_producer_spark.plans.registry import all_specs
+
+    return sorted(n for n, s in all_specs().items() if s.bench)
+
+
+@pytest.mark.parametrize("name", _bench_names())
+def test_bench_specs_no_cartesian_product(spark, specs, name) -> None:
+    """Regression guard over the WHOLE bench set: no plan may contain a
+    CartesianProduct or BroadcastNestedLoopJoin with an unbounded build side
+    — either one is a quadratic stage that dies at 100x scale.  (Broadcast
+    nested-loop against a bounded singleton/centroid set is allowed; those
+    queries assert their own shapes.)"""
+    plan = _plan(spark, specs[name].builder(spark, SF))
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+
+
+def _priority_names():
+    from data_ingestion_ex8_producer_spark.plans.registry import _PRIORITY
+
+    return list(_PRIORITY)
+
+
+@pytest.mark.parametrize("name", _priority_names())
+def test_priority_specs_scalar_output(spark, specs, name) -> None:
+    """Driver-canonicalizer guard: every spec in the priority (first-50)
+    window must emit only scalar columns.  pandas cannot sort rows on a raw
+    array/map/struct column, so a complex-typed output turns a correct
+    query into a comparator error (the round-1 q_collect_array failure);
+    arrays must be projected to canonical sorted/quantized strings."""
+    from pyspark.sql import types as T
+
+    schema = specs[name].builder(spark, SF).schema
+    complex_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, f"{name} emits non-scalar columns {complex_cols}"
