@@ -22,8 +22,11 @@ Commit protocol (the part worth copying):
 
 This is the same two-phase rename protocol Spark's own FileOutputCommitter
 (v1) uses, expressed in ~40 lines of Python.  Streaming epochs land in
-``epoch=<batchId>/`` subdirectories, giving idempotent re-runs per epoch
-(an epoch directory is only manifest-committed once).
+``epoch=<batchId>/`` subdirectories: a replayed epoch whose ``_SUCCESS``
+already exists is skipped (its temp files are discarded), and a replay
+after a crash mid-rename removes the crashed attempt's orphan part files
+before publishing its own manifest — so manifest-honoring AND glob readers
+both see exactly one attempt's files per epoch.
 """
 
 from __future__ import annotations
@@ -65,20 +68,22 @@ def _write_partition(directory: str, rows: Iterator[Row]) -> _DatumCommit:
     return _DatumCommit(tmp, os.path.join(directory, f"part-{token}.bin"), n)
 
 
-def _commit(messages: list[_DatumCommit | None]) -> None:
-    """Driver-side: rename temps to finals, then publish the manifest."""
+def _commit(messages: list[_DatumCommit | None], directory: str) -> None:
+    """Driver-side: rename temps to finals, then publish the manifest.
+
+    The manifest is ALWAYS written — a successful zero-row batch publishes
+    an empty ``_SUCCESS``, so manifest-honoring readers can distinguish
+    "committed empty" from "never committed"."""
+    os.makedirs(directory, exist_ok=True)
     committed = []
-    directory = None
     for m in messages:
         if m is None:
             continue
         os.replace(m.tmp_path, m.final_path)
-        directory = os.path.dirname(m.final_path)
         committed.append((os.path.basename(m.final_path), m.n_rows))
-    if directory:
-        with open(os.path.join(directory, "_SUCCESS"), "w") as fh:
-            for name, n in sorted(committed):
-                fh.write(f"{name}\t{n}\n")
+    with open(os.path.join(directory, "_SUCCESS"), "w") as fh:
+        for name, n in sorted(committed):
+            fh.write(f"{name}\t{n}\n")
 
 
 def _abort(messages: list[_DatumCommit | None]) -> None:
@@ -95,7 +100,7 @@ class _BatchWriter(DataSourceWriter):
         return _write_partition(self._path, iterator)
 
     def commit(self, messages) -> None:
-        _commit(messages)
+        _commit(messages, self._path)
 
     def abort(self, messages) -> None:
         _abort(messages)
@@ -115,15 +120,28 @@ class _StreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:
         epoch_dir = os.path.join(self._path, f"epoch={batchId}")
+        if os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
+            # Replay of an already-committed epoch (at-least-once foreachBatch
+            # upstream): the first manifest wins; discard this attempt's temps.
+            _abort(messages)
+            return
         os.makedirs(epoch_dir, exist_ok=True)
         moved = []
+        kept_names = set()
         for m in messages:
             if m is None:
                 continue
             final = os.path.join(epoch_dir, os.path.basename(m.final_path))
             os.replace(m.tmp_path, final)
+            kept_names.add(os.path.basename(final))
             moved.append(_DatumCommit(final, final, m.n_rows))
-        _commit(moved)
+        # A crash between renames and the manifest leaves a prior attempt's
+        # part files orphaned here; remove anything this commit didn't place
+        # so glob readers (not just manifest readers) see one attempt only.
+        for name in os.listdir(epoch_dir):
+            if name.startswith("part-") and name not in kept_names:
+                os.remove(os.path.join(epoch_dir, name))
+        _commit(moved, epoch_dir)
 
     def abort(self, messages, batchId: int) -> None:
         _abort(messages)

@@ -106,7 +106,17 @@ class _BatchReader(DataSourceReader):
 class _StreamReader(DataSourceStreamReader):
     """Micro-batch reader.  Offset = JSON of the sorted already-seen file
     list (default mode) or the batch counter (replay mode — every batch is
-    the full listing, like the reference's stateless loop)."""
+    the full listing, like the reference's stateless loop).
+
+    Known limitation (fine at this demo's scale, documented on purpose):
+    the default-mode offset serializes the ENTIRE seen-file list, so
+    checkpoint size and per-batch set-diff cost grow with the landing
+    directory's lifetime file count, and latestOffset() mutates in-memory
+    state (relying on Spark's one-call-per-trigger pattern).  A
+    long-running production source would instead track a compact
+    high-water mark — e.g. a (listing-hash, per-file commit log) pair or
+    mtime watermark — exactly what Spark's built-in file source does with
+    its own commit log."""
 
     def __init__(self, path: str, replay: bool) -> None:
         self._path = path

@@ -104,3 +104,67 @@ def test_datum_sink_streaming_epochs(spark, tmp_path: Path) -> None:
     assert sorted(decoded, key=lambda r: r["ano"]) == sorted(
         _ROWS, key=lambda r: r["ano"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-side commit-protocol unit tests (no Spark session needed)
+# ---------------------------------------------------------------------------
+
+
+def _mk_temp(directory: Path, token: str, n_rows: int = 1):
+    from data_ingestion_ex8_producer_spark.sinks.datum_sink import _DatumCommit
+
+    directory.mkdir(parents=True, exist_ok=True)
+    tmp = directory / f"_tmp_{token}.bin"
+    tmp.write_bytes(b"\x00\x00\x00\x01x" * n_rows)
+    return _DatumCommit(str(tmp), str(directory / f"part-{token}.bin"), n_rows)
+
+
+def test_commit_empty_batch_publishes_manifest(tmp_path: Path) -> None:
+    """A successful zero-partition batch must still publish an (empty)
+    _SUCCESS, so manifest readers can tell 'committed empty' from
+    'never committed'."""
+    from data_ingestion_ex8_producer_spark.sinks.datum_sink import _commit
+
+    dest = tmp_path / "empty"
+    _commit([None, None], str(dest))
+    assert (dest / "_SUCCESS").read_text() == ""
+
+
+def test_stream_recommit_skips_committed_epoch(tmp_path: Path) -> None:
+    """A replayed epoch whose _SUCCESS already exists must keep the first
+    manifest and discard the replay's temp files."""
+    from data_ingestion_ex8_producer_spark.sinks.datum_sink import _StreamWriter
+
+    dest = tmp_path / "sink"
+    w = _StreamWriter(str(dest))
+    first = _mk_temp(dest, "aaaa")
+    w.commit([first], batchId=3)
+    manifest_v1 = (dest / "epoch=3" / "_SUCCESS").read_text()
+    assert "part-aaaa.bin" in manifest_v1
+
+    replay = _mk_temp(dest, "bbbb")
+    w.commit([replay], batchId=3)
+    assert (dest / "epoch=3" / "_SUCCESS").read_text() == manifest_v1
+    assert not (dest / "epoch=3" / "part-bbbb.bin").exists()
+    assert not list(dest.glob("_tmp_*")), "replay temps must be cleaned up"
+
+
+def test_stream_recommit_clears_orphans_after_crash(tmp_path: Path) -> None:
+    """Crash mid-rename (some part files placed, no _SUCCESS): the replayed
+    commit must remove the crashed attempt's orphans so glob readers see
+    exactly one attempt's files."""
+    from data_ingestion_ex8_producer_spark.sinks.datum_sink import _StreamWriter
+
+    dest = tmp_path / "sink"
+    epoch_dir = dest / "epoch=7"
+    epoch_dir.mkdir(parents=True)
+    (epoch_dir / "part-dead.bin").write_bytes(b"orphan")  # crashed attempt
+
+    w = _StreamWriter(str(dest))
+    retry = _mk_temp(dest, "cccc")
+    w.commit([retry], batchId=7)
+    files = sorted(p.name for p in epoch_dir.glob("part-*.bin"))
+    assert files == ["part-cccc.bin"]
+    manifest = (epoch_dir / "_SUCCESS").read_text()
+    assert "part-cccc.bin" in manifest and "part-dead.bin" not in manifest
