@@ -33,12 +33,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in STAR_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {STAR_TABLES}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanosecond
-        # timestamp type, so read nanos as long and floor to microseconds with
-        # exact integer division (double division would risk off-by-one-us).
+        # Without this a TIMESTAMP(NANOS) file fails the read outright; with
+        # it, nanos arrive as long and every other encoding is unaffected.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", _normalize_event_ts(df))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _normalize_event_ts(df: DataFrame):
+    """Normalize ``events.ts`` to TimestampType regardless of how the parquet
+    writer encoded it.  Generators have shipped it as TIMESTAMP(NANOS) (read
+    as long under ``nanosAsLong`` — floor to micros with exact integer
+    division; double division would risk off-by-one-us), TIMESTAMP(MICROS)
+    without tz (reads as TIMESTAMP_NTZ — reinterpret in the session zone,
+    pinned to UTC in :mod:`..session`), or plain TIMESTAMP."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return F.expr("timestamp_micros(ts div 1000)")
+    return F.col("ts").cast("timestamp")

@@ -21,13 +21,15 @@ def stream_events_fixture(spark: SparkSession, sf_dir: str, staging_dir: str) ->
     import shutil
     from pathlib import Path
 
+    from ..sources.tables import _normalize_event_ts
+
     staging = Path(staging_dir)
     staging.mkdir(parents=True, exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", staging / "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(str(staging / "events.parquet")).schema
-    stream = spark.readStream.schema(schema).parquet(str(staging))
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    batch = spark.read.parquet(str(staging / "events.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(str(staging))
+    return stream.withColumn("ts", _normalize_event_ts(batch))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
