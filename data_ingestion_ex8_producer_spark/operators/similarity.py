@@ -2,10 +2,14 @@
 column): brute-force cosine top-k as the exactness baseline, and a
 random-hyperplane LSH-bucketed variant as the scale path.
 
-Everything is built-in Catalyst array expressions (zip_with / aggregate):
-the dot products run JVM-side per row — no Python, no UDF.  Determinism:
-both engines fold the 64-element products left-to-right in double, so even
-the floating cosine values are bit-identical and the oracle can hash them.
+Scoring (cosine) is built-in Catalyst array expressions (zip_with /
+aggregate) — JVM-side, no Python.  The LSH bucket-assignment stage is the
+one deliberate exception: tables*bits dots per vector were a measured
+bottleneck as interpreted higher-order functions, so buckets come from an
+Arrow-batched pandas_udf whose numpy accumulation replays the identical
+left-fold order (see _bucket_udf).  Determinism: every dot on both engines
+folds the 64-element products left-to-right in double, so even the floating
+cosine values are bit-identical and the oracle can hash them.
 
 Scale story: brute force is O(|Q| x |corpus|) — fine for |Q| small after a
 broadcast, unusable for all-pairs.  The LSH variant buckets vectors by the
@@ -20,6 +24,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,6 +59,15 @@ def _dot(a: Column, b: Column) -> Column:
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _dot_d(a: Column, b: Column) -> Column:
+    """Left-fold dot for arrays already cast to double — same doubles as
+    :func:`_dot` (per-element cast-then-multiply == pre-cast-then-multiply),
+    hoisting the cast out of hot pair loops."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
@@ -161,10 +176,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
     )
-    dot_d = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    emb = emb.withColumn("norm", F.sqrt(dot_d(F.col("ed"), F.col("ed"))))
+    emb = emb.withColumn("norm", F.sqrt(_dot_d(F.col("ed"), F.col("ed"))))
     queries = F.broadcast(
         emb.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -178,7 +190,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ed").alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
-    cosine = dot_d(F.col("q_emb"), F.col("c_emb")) / (
+    cosine = _dot_d(F.col("q_emb"), F.col("c_emb")) / (
         F.col("q_norm") * F.col("c_norm")
     )
     return (
@@ -188,13 +200,44 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr(emb: Column, table: int, n_bits: int = _LSH_BITS) -> Column:
-    """LSH bucket id for one table: sign bits of n_bits hyperplane dots."""
-    bucket = F.lit(0)
-    for bit in range(n_bits):
-        hp = F.array(*[F.lit(_hp_weight(table, bit, i)) for i in range(_DIM)])
-        bucket = bucket + F.when(_dot(emb, hp) >= 0, F.lit(2**bit)).otherwise(0)
-    return bucket
+def _bucket_udf(n_bits: int = _LSH_BITS):
+    """Arrow-batched LSH bucket assignment: one ``array<int>`` of per-table
+    bucket ids per embedding (index = table; pair with ``posexplode``).
+
+    All tables*n_bits hyperplane dots are computed in numpy per Arrow batch
+    — the Catalyst higher-order-function form evaluated ~2k interpreted
+    lambda calls per row and dominated the bench at every data size.  The
+    accumulation loops over the dimension index (``acc += E[:,i] * HP[:,i]``),
+    so every dot is summed strictly left-to-right in float64 — bit-identical
+    to the Catalyst/DuckDB ``aggregate``/``list_sum`` left-fold the oracle
+    uses (float32→float64 element casts are exact; no FMA: numpy multiply
+    and add are separate correctly-rounded ops).  Only the candidate stage
+    rides on this; the exact cosine verify stays Catalyst-side."""
+    hp = np.array(
+        [
+            [_hp_weight(tb, bit, i) for i in range(_DIM)]
+            for tb in range(_LSH_TABLES)
+            for bit in range(n_bits)
+        ]
+    )  # (tables * n_bits, _DIM)
+    pow2 = 2 ** np.arange(n_bits, dtype=np.int64)
+
+    @F.pandas_udf("array<int>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        n = len(emb)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        E = np.empty((n, _DIM), dtype=np.float64)
+        for r, v in enumerate(emb.values):
+            E[r, :] = np.asarray(v, dtype=np.float64)
+        acc = np.zeros((n, hp.shape[0]), dtype=np.float64)
+        for i in range(_DIM):
+            acc += E[:, i : i + 1] * hp[:, i]
+        bits = (acc >= 0).astype(np.int64).reshape(n, _LSH_TABLES, n_bits)
+        out = bits @ pow2  # bucket[t] = sum_b bit[t,b] * 2^b
+        return pd.Series([row.astype(np.int32) for row in out])
+
+    return buckets
 
 
 def _sql_bucket(alias: str, table: int, n_bits: int = _LSH_BITS) -> str:
@@ -221,57 +264,51 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replicates the same deterministic hyperplanes, so results still
     compare exactly."""
     emb = t(spark, sf_dir, "embeddings")
-
-    def with_buckets(df: DataFrame, id_out: str) -> DataFrame:
-        table_structs = [
-            F.struct(
-                F.lit(tb).alias("tb"), _bucket_expr(F.col("embedding"), tb).alias("bucket")
-            )
-            for tb in range(_LSH_TABLES)
-        ]
-        return df.select(
-            F.col("vec_id").alias(id_out),
-            F.col("embedding"),
-            F.col("label"),
-            F.explode(F.array(*table_structs)).alias("bs"),
-        ).select(
-            id_out,
-            "embedding",
-            "label",
-            F.col("bs.tb").alias("tb"),
-            F.col("bs.bucket").alias("bucket"),
-        )
-
-    queries = with_buckets(
-        emb.filter(F.col("vec_id") < _N_QUERIES), "query_id"
-    ).select(
-        "query_id", F.col("embedding").alias("q_emb"), "tb", "bucket"
+    # Candidate generation on ids only: the wide embedding arrays never ride
+    # through the bucket join or the distinct — vectors are re-joined after.
+    bucketed = emb.select(
+        "vec_id", F.posexplode(_bucket_udf(_LSH_BITS)("embedding")).alias("tb", "bucket")
     )
-    corpus = with_buckets(emb, "neighbor_id").select(
-        "neighbor_id",
-        F.col("embedding").alias("c_emb"),
-        F.col("label").alias("neighbor_label"),
-        "tb",
-        "bucket",
+    queries = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "tb", "bucket"
     )
+    corpus = bucketed.select(F.col("vec_id").alias("neighbor_id"), "tb", "bucket")
     cand = (
         F.broadcast(queries)
         .join(corpus, ["tb", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_emb", "neighbor_id", "neighbor_label", "c_emb")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
-        * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+    # Exact cosine on the surviving pairs, norms hoisted per vector (same
+    # doubles as the oracle's per-pair recomputation).
+    vec = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
     )
+    vec = vec.withColumn("norm", F.sqrt(_dot_d(F.col("ed"), F.col("ed"))))
+    q_vec = vec.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ed").alias("e_q"),
+        F.col("norm").alias("n_q"),
+    )
+    c_vec = vec.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("ed").alias("e_c"),
+        F.col("norm").alias("n_c"),
+    )
+    cosine = _dot_d(F.col("e_q"), F.col("e_c")) / (F.col("n_q") * F.col("n_c"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        cand.select("query_id", "neighbor_id", "neighbor_label", cosine.alias("cosine"))
+        cand.join(F.broadcast(q_vec), "query_id")
+        .join(c_vec, "neighbor_id")
+        .select("query_id", "neighbor_id", "neighbor_label", cosine.alias("cosine"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _TOP_K)
         .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rk")
@@ -356,16 +393,10 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale).
     """
     emb = t(spark, sf_dir, "embeddings")
-    table_structs = [
-        F.struct(
-            F.lit(tb).alias("tb"),
-            _bucket_expr(F.col("embedding"), tb, _NEARDUP_LSH_BITS).alias("bucket"),
-        )
-        for tb in range(_LSH_TABLES)
-    ]
     bucketed = emb.select(
-        "vec_id", F.explode(F.array(*table_structs)).alias("bs")
-    ).select("vec_id", F.col("bs.tb").alias("tb"), F.col("bs.bucket").alias("bucket"))
+        "vec_id",
+        F.posexplode(_bucket_udf(_NEARDUP_LSH_BITS)("embedding")).alias("tb", "bucket"),
+    )
     # Candidate pair ids only — vectors are re-joined AFTER the distinct so
     # the wide embedding arrays never ride through the candidate shuffle.
     cand = (
@@ -383,17 +414,14 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
     )
-    dot_d = lambda a, b: F.aggregate(  # noqa: E731 — pre-cast arrays, no inner cast
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    vec = vec.withColumn("norm", F.sqrt(dot_d(F.col("ed"), F.col("ed"))))
+    vec = vec.withColumn("norm", F.sqrt(_dot_d(F.col("ed"), F.col("ed"))))
     va = vec.select(
         F.col("vec_id").alias("vec_a"), F.col("ed").alias("e_a"), F.col("norm").alias("n_a")
     )
     vb = vec.select(
         F.col("vec_id").alias("vec_b"), F.col("ed").alias("e_b"), F.col("norm").alias("n_b")
     )
-    cosine = dot_d(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    cosine = _dot_d(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
@@ -474,17 +502,14 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
     )
-    dot_d = lambda a, b: F.aggregate(  # noqa: E731 — pre-cast arrays, no inner cast
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    emb = emb.withColumn("norm", F.sqrt(dot_d(F.col("ed"), F.col("ed"))))
+    emb = emb.withColumn("norm", F.sqrt(_dot_d(F.col("ed"), F.col("ed"))))
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("ed").alias("e_a"), F.col("norm").alias("n_a")
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("ed").alias("e_b"), F.col("norm").alias("n_b")
     )
-    cosine = dot_d(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    cosine = _dot_d(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cosine.alias("cosine"))
