@@ -1,6 +1,7 @@
 """Training-data pipeline patterns: deterministic sampling, train/test
-splitting, vector normalization, and per-label centroids — the curation ops a
-100 TB LLM-data pipeline runs between raw ingestion and tokenization.
+splitting, corpus mixture weights, vector normalization, int8 quantization,
+and per-label centroids — the curation ops a 100 TB LLM-data pipeline runs
+between raw ingestion and tokenization.
 (The frequency-capped near-dup join lives in operators/dedup.py as the
 PRIMARY dedup_ngram_jaccard form.)
 
@@ -258,4 +259,134 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "metric",
             "value",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Int8 scalar quantization (embedding compression)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+                 AS scale,
+               embedding
+        FROM embeddings
+    )
+    SELECT vec_id, scale,
+           array_to_string(
+               list_transform(embedding,
+                   x -> CAST(CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)
+                             AS VARCHAR)), ',') AS codes,
+           list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(embedding,
+                       x -> (CAST(x AS DOUBLE)
+                             - round(CAST(x AS DOUBLE) / scale) * scale)
+                            * (CAST(x AS DOUBLE)
+                               - round(CAST(x AS DOUBLE) / scale) * scale))),
+               (a, b) -> a + b) / len(embedding) AS mse
+    FROM s WHERE scale > 0
+    """,
+    tags=("pipeline", "vector", "quantization"),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of each embedding: per-vector
+    scale = max|x|/127, codes = round(x/scale) in [-127, 127], plus the
+    reconstruction MSE — the standard 4x compression step before shipping
+    vectors to an ANN index.
+
+    Narrow map, no shuffle (fuses into the scan at any scale).  Exact
+    cross-engine: abs/max/round/divide are correctly-rounded IEEE ops on
+    doubles, the MSE fold is sequential left-to-right in both engines, and
+    codes are projected to a CSV string so the comparator hashes scalars.
+    """
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xd, lambda x: F.abs(x))) / 127
+    q = lambda x: F.round(x / F.col("scale"))  # noqa: E731
+    return (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", scale.alias("scale"), xd.alias("xd"))
+        .filter(F.col("scale") > 0)
+        .select(
+            "vec_id",
+            "scale",
+            F.array_join(
+                F.transform(
+                    F.col("xd"), lambda x: q(x).cast("long").cast("string")
+                ),
+                ",",
+            ).alias("codes"),
+            (
+                F.aggregate(
+                    F.transform(
+                        F.col("xd"),
+                        lambda x: (x - q(x) * F.col("scale"))
+                        * (x - q(x) * F.col("scale")),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.size("xd")
+            ).alias("mse"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus mixture weights (language rebalancing)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_mixture_weights",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_langs
+        FROM counts
+    )
+    SELECT lang, n_docs,
+           CAST(n_docs AS DOUBLE) / total AS actual_share,
+           1.0 / n_langs AS target_share,
+           CAST(total AS DOUBLE) / n_langs / n_docs AS mix_weight
+    FROM counts, tot
+    """,
+    tags=("pipeline", "sampling", "mixture"),
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language resampling weights to rebalance the corpus toward a
+    uniform language mix: weight(lang) = target_share / actual_share.
+    Feeding these weights into the deterministic hash sampler
+    (q_hash_sample's rate) is how a 100 TB pipeline hits a target domain
+    mixture without a shuffle — the weights are a tiny aggregate, broadcast
+    back over the corpus as a map-side lookup.
+
+    Plan: one partial-aggregated groupBy(lang) (5 groups), then a broadcast
+    cross join against the single-row totals — no large-table shuffle.
+    """
+    counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("total")).alias("actual_share"),
+        (F.lit(1.0) / F.col("n_langs")).alias("target_share"),
+        (F.col("total").cast("double") / F.col("n_langs") / F.col("n_docs")).alias(
+            "mix_weight"
+        ),
     )

@@ -1,5 +1,6 @@
 """Text-analysis operators over ``documents``: token statistics, quality
-scoring, heuristic language ID, and document fingerprinting.
+scoring (incl. Gopher-style repetition signals), heuristic language ID,
+document fingerprinting, and fixed-size token chunking.
 
 All data-path computation is built-in Catalyst expressions (split/filter/
 aggregate over arrays) — no Python UDFs: the hot path stays inside
@@ -383,4 +384,130 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p") >= _WINNOW_W)
         .select("doc_id", "fp")
         .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Token chunking (training-window preparation)
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24  # overlap = size - stride = 8 tokens
+
+
+@register(
+    "text_chunk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens()} AS ts FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ts,
+               unnest(range(0, CAST(ceil(len(ts) / {_CHUNK_STRIDE}.0) AS BIGINT)))
+                 AS cid
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(cid AS INT) AS chunk_id,
+           array_to_string(
+               list_slice(ts, cid*{_CHUNK_STRIDE}+1, cid*{_CHUNK_STRIDE}+{_CHUNK_SIZE}),
+               ' ') AS chunk_text,
+           CAST(len(list_slice(ts, cid*{_CHUNK_STRIDE}+1, cid*{_CHUNK_STRIDE}+{_CHUNK_SIZE}))
+                AS BIGINT) AS n_chunk_tokens
+    FROM idx
+    """,
+    tags=("text", "chunking", "pipeline"),
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap: every document becomes
+    ceil(n_tokens/stride) windows of up to 32 tokens, stride 24 (8-token
+    overlap) — the standard context-window preparation step of an LLM
+    training pipeline.
+
+    The chunk windows are built per row with sequence/transform/slice and
+    posexplode — a narrow map with NO shuffle: at 100 TB chunking pipelines
+    inside the scan stage, and output partitioning follows the input (so a
+    downstream per-chunk dedup or tokenize stage starts co-located).  The
+    final (short) tail window is kept, matching the oracle's ceil()."""
+    ts = tokens()
+    docs = t(spark, sf_dir, "documents").select("doc_id", ts.alias("ts"))
+    n_chunks = F.ceil(F.size("ts") / F.lit(_CHUNK_STRIDE)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda cid: F.slice(F.col("ts"), cid * _CHUNK_STRIDE + 1, _CHUNK_SIZE),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.array_join("chunk", " ").alias("chunk_text"),
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens()} AS ts FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        FROM toks
+    ),
+    counts AS (
+        SELECT doc_id, bigram, count(*) AS c
+        FROM bg GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c)
+             AS dup_bigram_frac
+    FROM counts
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText filters):
+    per document, the fraction of bigram occurrences taken by the single
+    most frequent bigram, and the fraction covered by any repeated bigram.
+    High values flag boilerplate / keyword-stuffing documents that survive
+    naive length filters.
+
+    Plan shape: bigrams are built row-side (sequence over token positions —
+    no self-join), then ONE shuffle on (doc_id, bigram) for the count and a
+    map-side-combinable rollup to doc level.  Keys are (doc, bigram) so
+    cardinality grows with corpus size, not corpus size squared; no key is
+    hotter than the longest single document — safe at 100 TB."""
+    ts = tokens()
+    docs = t(spark, sf_dir, "documents").select("doc_id", ts.alias("ts"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("ts"), i), F.element_at(F.col("ts"), i + 1)
+        ),
+    )
+    counts = (
+        docs.filter(F.size("ts") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .count()
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("count").cast("long").alias("n_bigrams"),
+        (F.max("count").cast("double") / F.sum("count")).alias("top_bigram_frac"),
+        (
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).cast("double")
+            / F.sum("count")
+        ).alias("dup_bigram_frac"),
     )
