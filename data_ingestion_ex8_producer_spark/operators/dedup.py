@@ -472,22 +472,46 @@ _BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS
 _HAMMING_MAX = 3  # < _SIMHASH_BANDS, so banding has guaranteed recall
 
 
+# Packed-lane aggregation: the mathematically defined per-bit sum over
+# distinct tokens of (+1 if token-hash bit b set else -1) is s_b = 2*c_b - n,
+# where c_b counts tokens with bit b set and n counts tokens.  So instead of
+# 48 SUM(CASE ...) aggregate buffers (a wide agg whose generated update
+# method is slow to compile and run), each input row packs 3 bit-indicators
+# into 16-bit lanes of 16 longs and ONE SUM per long adds all lanes in
+# parallel; bit b of the signature is then set iff 2*c_b >= n — integer
+# arithmetic, identical to the oracle's sign-of-sum.  Lane width 16 bounds
+# n at 65,535 DISTINCT tokens per document (a multi-hundred-KB document)
+# before a lane overflows; raise _PACK_LANES' width before ingesting
+# corpora with wider single-document vocabularies.
+_PACK_LANES = 3  # lanes per long; 16-bit lanes -> 3 * 16 = 48 bits used
+_PACK_W = 16
+_PACK_LONGS = _SIMHASH_BITS // _PACK_LANES
+
+
 def _simhash_agg():
-    """Per-doc simhash: for each bit b, sign of sum over distinct tokens of
-    (+1 if token-hash bit b set else -1); bit set when sum >= 0."""
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(_SIMHASH_BITS)
-    ]
-    return bit_sums
+    """Per-doc packed bit counts: p{g} lane j holds c_(g*LANES+j)."""
+    packs = [F.count(F.lit(1)).alias("n")]
+    for g in range(_PACK_LONGS):
+        e = F.lit(0).cast("long")
+        for j in range(_PACK_LANES):
+            b = g * _PACK_LANES + j
+            e = e + F.shiftleft(
+                F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)).cast("long"),
+                _PACK_W * j,
+            )
+        packs.append(F.sum(e).alias(f"p{g}"))
+    return packs
 
 
 def _simhash_combine():
     out = F.lit(0).cast("long")
-    for b in range(_SIMHASH_BITS):
-        out = out + F.when(F.col(f"s{b}") >= 0, F.lit(2**b).cast("long")).otherwise(0)
+    for g in range(_PACK_LONGS):
+        for j in range(_PACK_LANES):
+            b = g * _PACK_LANES + j
+            c = F.shiftright(F.col(f"p{g}"), _PACK_W * j).bitwiseAND(
+                F.lit((1 << _PACK_W) - 1)
+            )
+            out = out + F.when(c * 2 >= F.col("n"), F.lit(2**b).cast("long")).otherwise(0)
     return out.alias("simhash")
 
 
