@@ -45,11 +45,14 @@ def main() -> None:
             pass
     spark.catalog.clearCache()
 
-    # Two timed runs per query, report the min: the host shares cores with
+    # N timed runs per query, report the min: the host shares cores with
     # other tenants and single runs vary ±15%; the min is the steady-state
-    # cost of the plan, which is what the engine controls.
+    # cost of the plan, which is what the engine controls.  Default 3 reps;
+    # raise via SPARK_GRAFT_BENCH_REPS when chasing regressions (the r2→r3
+    # investigation used 5).
+    reps = int(os.getenv("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(reps):
         for name in sorted(specs):
             t0 = time.perf_counter()
             specs[name].builder(spark, sf_dir).write.format("noop").mode(
@@ -70,6 +73,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
                 "ingest_rows_per_sec": _ingest_throughput(spark),
             }
         )

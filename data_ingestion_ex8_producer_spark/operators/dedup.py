@@ -504,7 +504,24 @@ def _simhash_agg():
 
 
 def _simhash_combine():
-    out = F.lit(0).cast("long")
+    # Overflow guard: a document with more distinct tokens than a 16-bit lane
+    # can count would silently corrupt its neighbours' counters, so make it a
+    # loud error instead.  assert_true returns NULL when the predicate holds,
+    # so the coalesce contributes 0 to the signature on the happy path; the
+    # optimizer cannot elide it (RaiseError is side-effecting).
+    lane_max = (1 << _PACK_W) - 1
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("n") <= F.lit(lane_max),
+            F.concat(
+                F.lit("simhash lane overflow: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(f" has > {lane_max} distinct tokens; widen _PACK_W"),
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    out = guard
     for g in range(_PACK_LONGS):
         for j in range(_PACK_LANES):
             b = g * _PACK_LANES + j

@@ -227,15 +227,26 @@ def _bucket_udf(n_bits: int = _LSH_BITS):
         n = len(emb)
         if n == 0:
             return pd.Series([], dtype=object)
-        E = np.empty((n, _DIM), dtype=np.float64)
+        # NULL / wrong-length embeddings get an EMPTY bucket array (posexplode
+        # then drops the row) instead of raising in the worker — the same
+        # degrade-to-no-candidates semantics the Catalyst expression form had.
+        valid = np.ones(n, dtype=bool)
+        E = np.zeros((n, _DIM), dtype=np.float64)
         for r, v in enumerate(emb.values):
-            E[r, :] = np.asarray(v, dtype=np.float64)
+            a = None if v is None else np.asarray(v, dtype=np.float64)
+            if a is None or a.shape != (_DIM,):
+                valid[r] = False
+            else:
+                E[r, :] = a
         acc = np.zeros((n, hp.shape[0]), dtype=np.float64)
         for i in range(_DIM):
             acc += E[:, i : i + 1] * hp[:, i]
         bits = (acc >= 0).astype(np.int64).reshape(n, _LSH_TABLES, n_bits)
         out = bits @ pow2  # bucket[t] = sum_b bit[t,b] * 2^b
-        return pd.Series([row.astype(np.int32) for row in out])
+        empty = np.empty(0, dtype=np.int32)
+        return pd.Series(
+            [row.astype(np.int32) if ok else empty for row, ok in zip(out, valid)]
+        )
 
     return buckets
 
@@ -521,8 +532,18 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-Flat ANN
 # --------------------------------------------------------------------------
 
-_IVF_CENTROID_STRIDE = 61  # vec_id % stride == 0 -> coarse centroid (~n/61 cells)
+# Fixed centroid count: the coarse-quantizer broadcast is K x _DIM floats at
+# ANY corpus size (r2 used `vec_id % 61`, whose centroid set — and therefore
+# the "broadcast" and the assignment cross product — grew linearly with the
+# corpus; that shape dies at 100 TB).  Selection is the K vectors with the
+# smallest salted md5 of their id: deterministic, oracle-expressible, and a
+# uniform sample of the corpus.  K=64 fits the 500–2,000-vector test corpora
+# (≈8–30 vectors/cell); production would raise K (~sqrt(n), e.g. 256–65,536)
+# or swap in trained k-means centroids — either way the plan shape and the
+# constant-size broadcast are unchanged.
+_IVF_K = 64
 _IVF_NPROBE = 3
+_IVF_SALT = "ivf-centroid:"
 
 
 def _sql_cosine(a: str, b: str) -> str:
@@ -536,7 +557,9 @@ def _sql_cosine(a: str, b: str) -> str:
     oracle=f"""
     WITH centroids AS (
         SELECT vec_id AS centroid_id, embedding AS c_emb
-        FROM embeddings WHERE vec_id % {_IVF_CENTROID_STRIDE} = 0
+        FROM embeddings
+        ORDER BY md5('{_IVF_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_IVF_K}
     ),
     assignment AS (
         SELECT vec_id, label, embedding, centroid_id FROM (
@@ -579,22 +602,34 @@ def _sql_cosine(a: str, b: str) -> str:
     tags=("similarity", "ivf", "ann"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN: deterministic coarse centroids (every 61st vector),
-    each corpus vector assigned to its nearest cell, queries probe their 3
-    nearest cells, exact cosine re-ranking inside the probed cells.
+    """IVF-Flat ANN: K fixed deterministic coarse centroids (smallest salted
+    md5 of vec_id), each corpus vector assigned to its nearest cell, queries
+    probe their 3 nearest cells, exact cosine re-ranking inside the probed
+    cells.
 
-    The scale shape: assignment is a broadcast of ~n/61 centroids (one pass,
-    no shuffle of the corpus); the search join touches only nprobe cells per
-    query instead of the whole corpus.  Production IVF trains centroids with
-    k-means — the deterministic stride here keeps the operator reproducible
-    and oracle-checkable while exercising the identical plan."""
+    The scale shape: centroid selection is a TakeOrderedAndProject of K rows
+    (O(n log K) per partition, K-row driver merge) and the quantizer
+    broadcast is K x _DIM floats — CONSTANT at any corpus size, unlike r2's
+    `vec_id % 61` stride whose centroid set grew as n/61.  Assignment is one
+    broadcast pass over the corpus (no shuffle); the search join touches only
+    nprobe cells per query instead of the whole corpus.  Production IVF
+    trains centroids with k-means — the salted-hash sample here keeps the
+    operator reproducible and oracle-checkable while exercising the
+    identical plan."""
     emb = t(spark, sf_dir, "embeddings")
     from pyspark.sql import Window
 
     centroids = F.broadcast(
-        emb.filter(F.col("vec_id") % _IVF_CENTROID_STRIDE == 0).select(
-            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+        emb.select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+            F.md5(F.concat(F.lit(_IVF_SALT), F.col("vec_id").cast("string"))).alias(
+                "_h"
+            ),
         )
+        .orderBy("_h", "centroid_id")
+        .limit(_IVF_K)
+        .drop("_h")
     )
 
     def cosine(a, b):

@@ -81,13 +81,16 @@ def register(
 # sample a prefix of the registry, so the first 50 names below are chosen to
 # cover every operator family (relational, TPC-H, aggregation, set ops,
 # windows, scalar functions, subqueries, analytics, event-time, dedup, text,
-# similarity, multimodal, Python UDF/UDAF/UDTF, curation) with 2-4
-# representatives each.  Names not listed keep their module registration order
-# after the priority block.
+# similarity, multimodal, Python UDF/UDAF/UDTF, curation) with 2-5
+# representatives each.  Round 3 rotated four slots so the r2 additions
+# (text_chunk, text_repetition, emb_quantize_int8, q_mixture_weights) get
+# driver-level evidence; the rotated-out names (q_filter_project, q_argminmax,
+# q_date_funcs, q_window_running_sum) remain exact-oracle-verified by
+# tests/test_queries_oracle.py and CORRECTNESS_full artifacts.  Names not
+# listed keep their module registration order after the priority block.
 _PRIORITY: tuple[str, ...] = (
     # relational: scan/filter/project, sort/limit, joins
     "q1_pricing_summary",
-    "q_filter_project",
     "q_top_orders",
     "q_semi_join",
     "q_anti_join",
@@ -100,18 +103,15 @@ _PRIORITY: tuple[str, ...] = (
     # aggregation
     "q_agg_distinct",
     "q_rollup",
-    "q_argminmax",
     "q_collect_array",
     # set operations
     "q_union_all",
     "q_except_all",
     # window functions
     "q_window_rank",
-    "q_window_running_sum",
     "q_topk_per_group",
     # scalar functions
     "q_string_funcs",
-    "q_date_funcs",
     "q_regex_extract",
     "q_higher_order_funcs",
     # subqueries + recursive CTE
@@ -135,6 +135,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_stats",
     "text_tfidf",
     "text_lang_id",
+    "text_chunk",
+    "text_repetition",
     # similarity search
     "sim_bruteforce_topk",
     "sim_lsh_topk",
@@ -150,6 +152,8 @@ _PRIORITY: tuple[str, ...] = (
     # curation / pipeline
     "q_hash_sample",
     "emb_normalize",
+    "emb_quantize_int8",
+    "q_mixture_weights",
 )
 
 

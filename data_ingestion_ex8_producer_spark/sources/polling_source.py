@@ -30,8 +30,8 @@ Registration: ``spark.dataSource.register(ReclamacoesPollDataSource)`` then
 
 from __future__ import annotations
 
-import json
 import os
+import time
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -103,43 +103,70 @@ class _BatchReader(DataSourceReader):
             yield from _parse_rows(partition.file_path)
 
 
+def _file_key(path: str) -> tuple[int, str] | None:
+    """Total-order key for a landing file: (mtime_ns, path).  None when the
+    file vanished between listing and stat (treated as not-present)."""
+    try:
+        return (os.stat(path).st_mtime_ns, path)
+    except OSError:
+        return None
+
+
 class _StreamReader(DataSourceStreamReader):
-    """Micro-batch reader.  Offset = JSON of the sorted already-seen file
-    list (default mode) or the batch counter (replay mode — every batch is
-    the full listing, like the reference's stateless loop).
+    """Micro-batch reader.  Offset = a CONSTANT-SIZE high-water mark (default
+    mode) or the batch counter (replay mode — every batch is the full
+    listing, like the reference's stateless loop).
 
-    Known limitation (fine at this demo's scale, documented on purpose):
-    the default-mode offset serializes the ENTIRE seen-file list, so
-    checkpoint size and per-batch set-diff cost grow with the landing
-    directory's lifetime file count, and latestOffset() mutates in-memory
-    state (relying on Spark's one-call-per-trigger pattern).  A
-    long-running production source would instead track a compact
-    high-water mark — e.g. a (listing-hash, per-file commit log) pair or
-    mtime watermark — exactly what Spark's built-in file source does with
-    its own commit log."""
+    Default-mode offsets are the watermark key ``{"t": mtime_ns, "p": path}``
+    of the newest file included so far; a batch is every file whose
+    ``(mtime_ns, path)`` key falls in ``(start, end]``.  Checkpoint size is
+    O(1) regardless of how many files the landing directory accumulates
+    (r2's offset serialized the entire seen-file list and grew forever), and
+    a restart replays any uncommitted interval deterministically by
+    re-listing and re-filtering.  Assumptions — the same ones Spark's own
+    FileStreamSource makes for a landing zone: files are immutable once
+    placed (mtime never changes) and arrive with current mtimes.  A file
+    landed with an mtime at-or-before an already-advanced watermark (clock
+    skew, copy tools preserving old mtimes) would be skipped; set
+    ``latency_ms`` to hold the watermark that far behind the newest file so
+    in-flight/skewed writes land in a later batch."""
 
-    def __init__(self, path: str, replay: bool) -> None:
+    def __init__(self, path: str, replay: bool, latency_ms: int = 0) -> None:
         self._path = path
         self._replay = replay
-        self._seen: list[str] = []
+        self._latency_ns = latency_ms * 1_000_000
         self._epoch = 0
+        self._wm: tuple[int, str] = (-1, "")
 
     def initialOffset(self) -> dict:
-        return {"epoch": 0} if self._replay else {"seen": "[]"}
+        return {"epoch": 0} if self._replay else {"t": -1, "p": ""}
 
     def latestOffset(self) -> dict:
         if self._replay:
             self._epoch += 1
             return {"epoch": self._epoch}
-        self._seen = sorted(set(self._seen) | set(_list_csv_files(self._path)))
-        return {"seen": json.dumps(self._seen)}
+        best = self._wm
+        cutoff = time.time_ns() - self._latency_ns if self._latency_ns else None
+        for f in _list_csv_files(self._path):
+            k = _file_key(f)
+            if k is None or (cutoff is not None and k[0] > cutoff):
+                continue
+            if k > best:
+                best = k
+        self._wm = best  # monotonic even if files are (wrongly) deleted
+        return {"t": best[0], "p": best[1]}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         if self._replay:
             files = _list_csv_files(self._path) if end["epoch"] > start["epoch"] else []
         else:
-            prev = set(json.loads(start["seen"]))
-            files = [f for f in json.loads(end["seen"]) if f not in prev]
+            lo = (start["t"], start["p"])
+            hi = (end["t"], end["p"])
+            files = [
+                f
+                for f in _list_csv_files(self._path)
+                if (k := _file_key(f)) is not None and lo < k <= hi
+            ]
         return [_FilePartition(f) for f in files] or [_FilePartition("")]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
@@ -154,7 +181,9 @@ class ReclamacoesPollDataSource(DataSource):
     """Python DataSource wrapping the reference's poll-parse pipeline.
 
     Options: ``path`` (the landing directory — the 'bucket'), ``replay``
-    ("true" to reproduce the reference's re-ingest-forever loop)."""
+    ("true" to reproduce the reference's re-ingest-forever loop),
+    ``latency_ms`` (hold the default-mode watermark this far behind
+    wall-clock so in-flight writes land in a later batch; default 0)."""
 
     @classmethod
     def name(cls) -> str:
@@ -172,4 +201,5 @@ class ReclamacoesPollDataSource(DataSource):
         return _StreamReader(
             self.options["path"],
             str(self.options.get("replay", "false")).lower() == "true",
+            latency_ms=int(self.options.get("latency_ms", "0")),
         )

@@ -1,0 +1,129 @@
+"""Round-3 guardrails: loud failure instead of silent corruption / worker
+crashes, and constant-size streaming offsets.
+
+* simhash lane overflow (>65,535 distinct tokens in one document) raises
+  instead of silently corrupting the fingerprint (ADVICE r2);
+* LSH bucket assignment degrades NULL / wrong-length embeddings to
+  zero candidates instead of failing the whole job in the Python worker
+  (ADVICE r2);
+* the polling source's default-mode offset is a constant-size high-water
+  mark no matter how many files the landing directory accumulates
+  (VERDICT r2 defect 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_ex8_producer_spark.operators.dedup import (
+    _simhash_agg,
+    _simhash_combine,
+    hash48,
+)
+from data_ingestion_ex8_producer_spark.operators.similarity import _bucket_udf
+from data_ingestion_ex8_producer_spark.sources.polling_source import _StreamReader
+
+
+def _simhash_sig(spark, text: str):
+    docs = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias(
+            "token"
+        ),
+    ).withColumn("th", hash48(F.col("token")))
+    return toks.groupBy("doc_id").agg(*_simhash_agg()).select(
+        "doc_id", _simhash_combine()
+    )
+
+
+def test_simhash_small_doc_still_computes(spark) -> None:
+    rows = _simhash_sig(spark, "alpha beta gamma").collect()
+    assert len(rows) == 1 and rows[0]["simhash"] >= 0
+
+
+@pytest.mark.slow
+def test_simhash_lane_overflow_raises(spark) -> None:
+    """2^16 distinct tokens overflows a 16-bit lane: must be an error, not a
+    silently wrong fingerprint."""
+    big = " ".join(f"t{i}" for i in range(65_536))
+    with pytest.raises(Exception, match="simhash lane overflow"):
+        _simhash_sig(spark, big).collect()
+
+
+def test_lsh_buckets_null_and_ragged_embeddings(spark) -> None:
+    """NULL or wrong-dimension embeddings produce an EMPTY bucket array —
+    posexplode drops them, so they contribute zero candidates instead of
+    crashing the Arrow worker."""
+    emb = spark.createDataFrame(
+        [
+            (0, [0.25] * 64),
+            (1, None),
+            (2, [0.25] * 3),  # wrong dimension
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    got = (
+        emb.select(
+            "vec_id", F.posexplode(_bucket_udf()("embedding")).alias("tb", "bucket")
+        )
+        .groupBy("vec_id")
+        .count()
+        .collect()
+    )
+    counts = {r["vec_id"]: r["count"] for r in got}
+    assert set(counts) == {0}, "invalid embeddings must yield no buckets"
+    assert counts[0] == 4  # one bucket per LSH table
+
+
+def _touch(path: Path, mtime_s: int) -> None:
+    path.write_text("h1;h2\na;b\n")
+    os.utime(path, (mtime_s, mtime_s))
+
+
+def test_polling_offset_is_constant_size(tmp_path: Path) -> None:
+    """120 landed files: the offset stays a single (mtime, path) watermark,
+    not a list that grows with directory lifetime."""
+    d = tmp_path / "bucket"
+    d.mkdir()
+    for i in range(120):
+        _touch(d / f"f{i:04d}.csv", 1_000_000)
+    r = _StreamReader(str(d), replay=False)
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()
+    assert len(json.dumps(o1)) < 200, "offset must be O(1), not the file list"
+    batch1 = [p.file_path for p in r.partitions(o0, o1) if p.file_path]
+    assert len(batch1) == 120
+
+    # Second wave: only the new files fall in (o1, o2].
+    for i in range(5):
+        _touch(d / f"g{i}.csv", 1_000_001)
+    o2 = r.latestOffset()
+    assert len(json.dumps(o2)) < 200
+    batch2 = sorted(p.file_path for p in r.partitions(o1, o2) if p.file_path)
+    assert batch2 == sorted(str(d / f"g{i}.csv") for i in range(5))
+
+    # Nothing new: the interval is empty (the reader emits its one empty
+    # sentinel partition).
+    o3 = r.latestOffset()
+    assert o3 == o2
+    assert [p.file_path for p in r.partitions(o2, o3) if p.file_path] == []
+
+
+def test_polling_offset_latency_holds_back_watermark(tmp_path: Path) -> None:
+    """latency_ms keeps files newer than (now - latency) out of the batch so
+    in-flight writes land later instead of being skipped forever."""
+    d = tmp_path / "bucket"
+    d.mkdir()
+    _touch(d / "old.csv", 1_000_000)  # far in the past: always eligible
+    fresh = d / "fresh.csv"
+    fresh.write_text("h1;h2\na;b\n")  # mtime = now
+    r = _StreamReader(str(d), replay=False, latency_ms=3_600_000)
+    o1 = r.latestOffset()
+    batch = [p.file_path for p in r.partitions(r.initialOffset(), o1) if p.file_path]
+    assert batch == [str(d / "old.csv")]
