@@ -390,3 +390,93 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_weight"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source quota cap (per-domain cap)
+# --------------------------------------------------------------------------
+
+_QUOTA_CAP = 15
+
+
+@register(
+    "q_source_quota_cap",
+    oracle=f"""
+    SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {sql_hash48("'quota:' || CAST(doc_id AS VARCHAR)")},
+                            doc_id) AS INTEGER) AS rk
+        FROM documents
+    ) WHERE rk <= {_QUOTA_CAP}
+    """,
+    tags=("pipeline", "sampling", "quota"),
+)
+def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: keep at most 15 documents per source, chosen by
+    salted-hash order — the per-domain cap every web-scale corpus applies so
+    no single site dominates the mixture.  Hash order (not doc_id order)
+    makes the kept subset an unbiased, deterministic sample of each source.
+
+    Scale shape: rank-limit pushdown (WindowGroupLimit, Spark >= 3.5) turns
+    the row_number filter into a per-partition partial top-k BEFORE the
+    shuffle, so each map task forwards at most cap rows per source it sees —
+    the shuffle carries O(sources x cap x parallelism), not the corpus.
+    Residual per-source skew is bounded by the cap itself."""
+    from pyspark.sql import Window
+
+    h = hash48(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _QUOTA_CAP)
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding statistics (vector-column QA)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "emb_dim_stats",
+    oracle="""
+    SELECT CAST(i - 1 AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(CAST(embedding[i] AS DOUBLE)) AS min_v,
+           MAX(CAST(embedding[i] AS DOUBLE)) AS max_v,
+           CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_q6
+    FROM embeddings CROSS JOIN range(1, 65) r(i)
+    GROUP BY i
+    """,
+    tags=("pipeline", "vector", "stats"),
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min/max/mean across the whole embedding corpus — the
+    QA profile that catches dead dimensions, scale drift, and outliers
+    before vectors reach an ANN index or a quantizer.
+
+    Scale shape: posexplode is a narrow 64x row expansion feeding a
+    map-side-combinable groupBy on 64 keys — every map task reduces its
+    partition to <= 64 rows before the (tiny) shuffle; no skew because key
+    cardinality is the fixed dimension count.  The mean uses the module's
+    integer-quantized sum (round(x * 1e6) as BIGINT): associative, exact,
+    and identical on both engines regardless of summation order."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    )
+    xd = F.col("x").cast("double")
+    return e.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(xd).alias("min_v"),
+        F.max(xd).alias("max_v"),
+        (
+            F.sum(F.round(xd * 1_000_000).cast("long")).cast("double")
+            / F.lit(1_000_000.0)
+            / F.count(F.lit(1))
+        ).alias("mean_q6"),
+    )

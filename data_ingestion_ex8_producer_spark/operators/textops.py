@@ -511,3 +511,94 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("count")
         ).alias("dup_bigram_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level n-gram vocabulary stats
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_ngram_topk",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({sql_shingle_list(2)}) AS bigram FROM documents
+    ),
+    df AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+           FROM sh GROUP BY bigram)
+    SELECT bigram, doc_freq
+    FROM df ORDER BY doc_freq DESC, bigram LIMIT 25
+    """,
+    tags=("text", "ngram", "vocab"),
+)
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-25 word bigrams by DOCUMENT frequency (distinct
+    per doc, so a bigram repeated inside one document counts once) — the
+    vocabulary/boilerplate profile a curation pipeline inspects before
+    writing filter rules.
+
+    Scale shape: per-doc distinct bigrams are a narrow map; the global count
+    is one map-side-combinable groupBy on the bigram (key cardinality =
+    vocabulary size, not corpus size); the top-25 compiles to
+    TakeOrderedAndProject (per-partition heap + 25-row driver merge), never
+    a full sort.  Deterministic tie-break on the bigram string keeps the
+    cut exact on both engines."""
+    from ..functions.text import with_shingles
+
+    sh = with_shingles(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), 2
+    ).select("doc_id", F.explode("shingle_set").alias("bigram"))
+    return (
+        sh.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "bigram")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination check
+# --------------------------------------------------------------------------
+
+_CONTAM_K = 5  # shared word 5-grams between a training doc and the eval set
+_EVAL_MOD = 11  # doc_id % 11 == 0 -> held-out "benchmark" partition
+
+
+@register(
+    "q_contamination_check",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({sql_shingle_list(_CONTAM_K)}) AS sh FROM documents
+    ),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {_EVAL_MOD} = 0)
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_5grams
+    FROM sh s JOIN ev USING (sh)
+    WHERE s.doc_id % {_EVAL_MOD} <> 0
+    GROUP BY s.doc_id
+    """,
+    tags=("text", "contamination", "curation"),
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag every training document sharing at
+    least one word 5-gram with the held-out benchmark partition (here the
+    doc_id % 11 == 0 slice stands in for the eval set), with the shared
+    n-gram count as the contamination severity.
+
+    Scale shape: benchmark suites are FIXED-SIZE — they do not grow with the
+    training corpus — so the distinct eval-shingle set broadcasts and the
+    check is a broadcast semi-join-shaped hash join against the corpus
+    shingle stream: no corpus-side shuffle until the tiny matched subset is
+    grouped per doc.  This is the decontamination pass every pretraining
+    pipeline runs before a data release."""
+    from ..functions.text import with_shingles
+
+    sh = with_shingles(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), _CONTAM_K
+    ).select("doc_id", F.explode("shingle_set").alias("sh"))
+    ev = sh.filter((F.col("doc_id") % _EVAL_MOD) == 0).select("sh").distinct()
+    return (
+        sh.filter((F.col("doc_id") % _EVAL_MOD) != 0)
+        .join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_5grams"))
+    )

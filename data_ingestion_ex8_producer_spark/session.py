@@ -34,6 +34,11 @@ def build_session(
         builder = builder.master(f"local[{cfg.local_cores}]")
 
     conf: dict[str, str] = {
+        # In local mode the driver JVM IS the executor: the 1g default heap
+        # starves 32 task threads (a 10x-corpus probe OOMed in a banded join
+        # under it).  12g is still <10% of the test box; a real cluster
+        # overrides via spark-submit / cluster manager.
+        "spark.driver.memory": os.getenv("SPARK_GRAFT_DRIVER_MEM", "12g"),
         # Right-size shuffles for the deployment; AQE coalesces downward at runtime.
         "spark.sql.shuffle.partitions": str(cfg.shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",

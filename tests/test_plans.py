@@ -90,6 +90,42 @@ def test_bench_specs_no_cartesian_product(spark, specs, name) -> None:
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
 
 
+@pytest.mark.parametrize("name", _bench_names())
+def test_bench_specs_broadcast_below_threshold(spark, specs, name) -> None:
+    """At sf0.001 every join side is far below the broadcast threshold, so
+    the static plan must contain zero sort-merge or shuffled-hash joins —
+    a SMJ here means a size estimate went missing (e.g. a cast or UDF
+    blocking stats propagation) and the same query would shuffle both sides
+    at any scale.  (At real scale AQE rightly converts the growing sides
+    back to SMJ; this guards the small-side case only.)"""
+    plan = _plan(spark, specs[name].builder(spark, SF))
+    assert "SortMergeJoin" not in plan, f"{name} sort-merge-joins at tiny scale"
+    assert "ShuffledHashJoin" not in plan, f"{name} shuffle-hash-joins at tiny scale"
+
+
+# Bench specs with a selective base-table predicate: the filter must reach the
+# parquet scan (PushedFilters), not run post-scan.  Specs absent here scan a
+# whole table by design (dedup/similarity/text read every row).
+_EXPECTED_PUSHED = {
+    "q1_pricing_summary": "l_shipdate",
+    "q3_shipping_priority": "c_mktsegment",
+    "q5_region_revenue": "r_name",
+    "q10_returned_items": "l_returnflag",
+    "q18_large_volume_customer": "l_orderkey",  # IsNotNull on the join key
+    "q21_waiting_supplier": "n_name",
+    "sim_bruteforce_topk": "vec_id",
+    "sim_lsh_topk": "vec_id",
+}
+
+
+@pytest.mark.parametrize("name", sorted(_EXPECTED_PUSHED))
+def test_bench_specs_filters_pushed(spark, specs, name) -> None:
+    plan = _plan(spark, specs[name].builder(spark, SF))
+    pushed = [p.splitlines()[0] for p in plan.split("PushedFilters: ")[1:]]
+    col = _EXPECTED_PUSHED[name]
+    assert any(col in p for p in pushed), f"{name}: {col} not pushed ({pushed})"
+
+
 def _priority_names():
     from data_ingestion_ex8_producer_spark.plans.registry import _PRIORITY
 

@@ -5,12 +5,17 @@ parquet, then compares row count, column names, and an order-insensitive
 value hash (columns sorted by name, rows stringified canonically and sorted).
 Strictness here >= the driver's: if this passes, the driver should too.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json out.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a driver-style artifact: one object per query
+with rows/schema/hash match booleans and row counts (rows-only specs record
+row count and ``"oracle": "none"``).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import sys
 import time
@@ -50,8 +55,14 @@ def frame_fingerprint(columns: list[str], rows: list[tuple]) -> tuple[int, list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    report: dict[str, dict] = {}
 
     spark = build_session("check_correctness")
     con = duckdb.connect()
@@ -72,12 +83,14 @@ def main() -> int:
             scols = list(sdf.columns)
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"err": f"spark error: {exc}"[:500]}
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         if spec.oracle is None:
             print(f"ok    {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             if len(srows) == 0:
                 print(f"WARN  {name}: zero rows from rows-only query")
+            report[name] = {"oracle": "none", "spark_rows": len(srows), "err": None}
             continue
         try:
             cur = con.execute(spec.oracle)
@@ -85,11 +98,20 @@ def main() -> int:
             orows = cur.fetchall()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"err": f"oracle error: {exc}"[:500]}
             print(f"FAIL  {name}: oracle error: {exc}")
             continue
 
         sn, sc, sh = frame_fingerprint(scols, srows)
         on, oc, oh = frame_fingerprint(ocols, orows)
+        report[name] = {
+            "rows_match": sn == on,
+            "schema_match": sc == oc,
+            "hash_match": sh == oh,
+            "spark_rows": sn,
+            "oracle_rows": on,
+            "err": None,
+        }
         status = []
         if sn != on:
             status.append(f"rows {sn} != {on}")
@@ -114,6 +136,10 @@ def main() -> int:
             print(f"ok    {name}: {sn} rows ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if failures else 0
 

@@ -46,8 +46,18 @@ PROBE_QUERIES = (
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "sim_lsh_topk",
+    "sim_ivf_topk",
     "text_tfidf",
     "text_chunk",
+)
+
+# Scale-path operator vs its deliberately-quadratic exact twin, measured at a
+# smaller base (the exact forms are the O(n^2) oracle anchors — running them
+# at 10x sf0.1 would take hours, which is exactly the point the curve makes).
+CAPPED_VS_EXACT = (
+    ("dedup_ngram_jaccard", "dedup_ngram_jaccard_exact"),
+    ("sim_lsh_topk", "sim_bruteforce_topk"),
+    ("dedup_embedding_neardup", "dedup_embedding_cosine_exact"),
 )
 
 _REPLICATED = {
@@ -99,18 +109,9 @@ def _time_spec(spark, spec, sf_dir: str) -> float:
     return best
 
 
-def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    out_dir = f"/tmp/scale_probe_x{k}"
-    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
-        print(f"building {k}x replica of {base} in {out_dir} ...")
-        build_replicated(base, out_dir, k)
-
-    spark = build_session("scale_probe")
-    specs = all_specs()
+def _probe_set(spark, specs, names, base: str, out_dir: str, k: int):
     rows = []
-    for name in PROBE_QUERIES:
+    for name in names:
         spec = specs[name]
         # warm-up at tiny scale so codegen/broadcast init stays out of both
         spec.builder(spark, "/root/testdata/sf0.001").write.format("noop").mode(
@@ -121,6 +122,27 @@ def main() -> None:
         t_big = _time_spec(spark, spec, out_dir)
         rows.append((name, t_base, t_big, t_big / t_base))
         print(f"{name}: base {t_base:.2f}s  x{k} {t_big:.2f}s  ratio {t_big / t_base:.1f}")
+    return rows
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    exact_base = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+    out_dir = f"/tmp/scale_probe_x{k}"
+    exact_dir = f"/tmp/scale_probe_exact_x{k}"
+    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        print(f"building {k}x replica of {base} in {out_dir} ...")
+        build_replicated(base, out_dir, k)
+    if not os.path.exists(f"{exact_dir}/lineitem.parquet"):
+        print(f"building {k}x replica of {exact_base} in {exact_dir} ...")
+        build_replicated(exact_base, exact_dir, k)
+
+    spark = build_session("scale_probe")
+    specs = all_specs()
+    rows = _probe_set(spark, specs, PROBE_QUERIES, base, out_dir, k)
+    exact_names = [n for pair in CAPPED_VS_EXACT for n in pair]
+    exact_rows = _probe_set(spark, specs, exact_names, exact_base, exact_dir, k)
 
     lines = [
         f"# SCALING — headline operators at 1x vs {k}x fact volume",
@@ -138,6 +160,33 @@ def main() -> None:
     ]
     for name, tb, tg, r in rows:
         lines.append(f"| {name} | {tb:.2f} | {tg:.2f} | {r:.1f} |")
+    lines += [
+        "",
+        f"## Scale path vs exact twin at 1x vs {k}x (`{exact_base}` base)",
+        "",
+        "The `*_exact` forms are the deliberately-quadratic oracle anchors;",
+        "this table is the measured reason they are NOT the registered",
+        "primary operators: the bucketed/capped forms grow ~linearly with",
+        "corpus size, the exact twins grow ~quadratically.",
+        "",
+        f"| operator | 1x sec | {k}x sec | time ratio (data ratio {k}.0) |",
+        "|---|---|---|---|",
+    ]
+    for name, tb, tg, r in exact_rows:
+        lines.append(f"| {name} | {tb:.2f} | {tg:.2f} | {r:.1f} |")
+    lines += [
+        "",
+        "Reading the curve: the true all-pairs form "
+        "(dedup_embedding_cosine_exact, a corpus x corpus crossJoin) shows "
+        "its O(n^2) immediately — ~100x time at 10x data — while the "
+        "two-stage LSH primary stays near-linear.  The shingle-join exact "
+        "jaccard looks tame at this corpus because its quadratic term lives "
+        "only on hot shingle keys (df^2 per key) and the test corpus is "
+        "overhead-dominated; the capped primary exists precisely to bound "
+        "that term before it matters (EXPLAINS.md quantifies the hot-key "
+        "profile).  Sub-second 1x cells are mostly fixed per-query overhead, "
+        "so small ratios there overstate how close to linear the operator is.",
+    ]
     with open("/root/repo/SCALING.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("wrote SCALING.md")
