@@ -423,7 +423,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte() -> str:
+    """Shared WITH-prefix: per-doc minhash signature (mh0..mh31) + band rows
+    — used by the candidate oracle and the jaccard-estimate oracle."""
     mins = ",\n           ".join(
         f"MIN({sql_mix48(f'(h1 + {i} * h2)')}) AS mh{i}"
         for i in range(_MINHASH_PERMS)
@@ -455,11 +457,137 @@ def _minhash_oracle() -> str:
     ),
     bands AS (
         {band_rows}
-    )
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return (
+        _minhash_cte()
+        + """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     """
+    )
+
+
+def _minhash_estimate_oracle() -> str:
+    agree = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_PERMS)
+    )
+    return (
+        _minhash_cte()
+        + f""",
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({agree} AS BIGINT) AS n_agree,
+           CAST({agree} AS DOUBLE) / {_MINHASH_PERMS} AS est_jaccard
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.doc_a
+    JOIN sig b ON b.doc_id = c.doc_b
+    """
+    )
+
+
+def minhash_signature_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, i, mh): the full 32-value minhash signature
+    as rows — one min per (doc, permutation), the relation the jaccard
+    estimator compares pairwise.  Same fused explode->mix->partial-min shape
+    as ``minhash_band_signatures`` (see there for why the perm index is a
+    row, not 32 parallel aggregates)."""
+    shingled = with_shingles(docs, _SHINGLE_K)
+    hashed = shingled.select(
+        "doc_id", F.explode("shingle_set").alias("shingle")
+    ).select(
+        "doc_id",
+        hash48(F.col("shingle")).alias("__h1"),
+        hash48(F.concat(F.lit("x:"), F.col("shingle"))).alias("__h2"),
+    )
+    return (
+        hashed.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_PERMS - 1))).alias("i"),
+            F.col("__h1"),
+            F.col("__h2"),
+        )
+        .select("doc_id", "i", mix48(F.col("__h1") + F.col("i") * F.col("__h2")).alias("v"))
+        .groupBy("doc_id", "i")
+        .agg(F.min("v").alias("mh"))
+    )
+
+
+@register(
+    "q_minhash_jaccard_estimate",
+    oracle=_minhash_estimate_oracle(),
+    tags=("dedup", "minhash", "similarity", "estimate"),
+)
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated Jaccard similarity for every MinHash-LSH candidate pair:
+    est_J = (# of the 32 minhash slots where the two signatures agree) / 32.
+    This is the cheap second stage of the classic dedup cascade — LSH finds
+    candidates, signature agreement scores them WITHOUT touching the
+    documents again, and only pairs near the decision boundary would go to
+    an exact verify.  E[est_J] = J with std ≈ sqrt(J(1-J)/32).
+
+    Scale shape: signatures are |docs| x 32 fixed-width rows (one
+    map-side-combinable groupBy); the candidate set from banding is tiny
+    relative to the corpus, so both signature lookups are broadcast joins
+    against the streamed signature relation — no pair-space shuffle
+    anywhere.  est_jaccard = n_agree/32 is a power-of-two division: exact
+    in IEEE double on both engines."""
+    docs = spread(t(spark, sf_dir, "documents"), spark)
+    # ONE shingle->hash->min pass: the persisted signature rows feed both the
+    # band pivot (candidate generation) and the pairwise agreement count.
+    sig = minhash_signature_rows(docs).persist()
+    bands = (
+        sig.select(
+            "doc_id",
+            (F.col("i") / _ROWS_PER_BAND).cast("int").alias("band"),
+            (F.col("i") % _ROWS_PER_BAND).alias("r"),
+            "mh",
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            *[
+                F.min(F.when(F.col("r") == r, F.col("mh"))).alias(f"r{r}")
+                for r in range(_ROWS_PER_BAND)
+            ]
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), band_match_condition())
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"), "i", F.col("mh").alias("mh_a")
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"), "i", F.col("mh").alias("mh_b")
+    )
+    pa = sig_a.join(F.broadcast(cand), "doc_a")
+    return (
+        F.broadcast(pa)
+        .join(sig_b, ["doc_b", "i"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            (F.col("n_agree").cast("double") / _MINHASH_PERMS).alias("est_jaccard"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -602,3 +602,77 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_5grams"))
     )
+
+
+# --------------------------------------------------------------------------
+# Character-level quality stats
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_char_stats",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, text, length(text) AS n,
+               list_sort(list_distinct(list_transform(
+                   range(1, length(text) + 1), i -> substr(text, i, 1)))) AS cs
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars,
+           CAST(len(cs) AS BIGINT) AS n_distinct_chars,
+           CAST(n - length(replace(text, ' ', '')) AS DOUBLE) / n AS space_ratio,
+           CAST(n - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n
+             AS digit_ratio,
+           list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(cs, ch ->
+                       (CAST(length(text) - length(replace(text, ch, ''))
+                             AS DOUBLE) / n)
+                       * (CAST(length(text) - length(replace(text, ch, ''))
+                               AS DOUBLE) / n))),
+               (a, b) -> a + b) AS simpson_index
+    FROM c
+    """,
+    tags=("text", "stats", "quality"),
+)
+def text_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level quality signals per document: distinct-char count,
+    whitespace and digit ratios, and the Simpson (collision) index
+    sum(p_c^2) — a log-free concentration measure that flags
+    low-diversity/garbage text (high index = few characters dominate) the
+    way Shannon entropy would, but with purely rational arithmetic so both
+    engines agree bit-for-bit (the engine's determinism doctrine avoids
+    transcendental functions in hashed outputs).
+
+    Scale shape: narrow per-row map, no shuffle, no UDF — the per-char
+    counting is length(text) - length(replace(text, ch, '')) over the
+    row's sorted distinct alphabet (alphabet size is bounded by the
+    character set, not the document), and the quadratic-looking fold is
+    O(|alphabet| x |text|) per row with tiny constants, fully inside
+    codegen."""
+    txt = F.col("text")
+    n = F.length(txt)
+    cs = F.array_sort(F.array_distinct(F.split(txt, "")))
+    p = lambda ch: (  # noqa: E731
+        (n - F.length(F.replace(txt, ch, F.lit("")))).cast("double") / n
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(n > 0)
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_chars"),
+            F.size(cs).cast("long").alias("n_distinct_chars"),
+            (
+                (n - F.length(F.replace(txt, F.lit(" "), F.lit("")))).cast("double")
+                / n
+            ).alias("space_ratio"),
+            (
+                (n - F.length(F.regexp_replace(txt, "[0-9]", ""))).cast("double") / n
+            ).alias("digit_ratio"),
+            F.aggregate(
+                cs, F.lit(0.0), lambda acc, ch: acc + p(ch) * p(ch)
+            ).alias("simpson_index"),
+        )
+    )
