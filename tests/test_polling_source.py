@@ -105,3 +105,46 @@ def test_stream_replay_duplicates_every_batch(
     n = spark.sql("SELECT COUNT(*) c FROM poll_replay").collect()[0]["c"]
     assert n >= 2 * len(ROWS)  # at least two full re-ingests observed
     assert n % len(ROWS) == 0  # ... always in whole-file multiples
+
+
+def test_stream_checkpoint_restart_watermark_offsets(
+    registered, landing_dir: str, tmp_path: Path
+) -> None:
+    """Restart against the same checkpoint: already-ingested files must not
+    re-emit (their (mtime, path) keys are at-or-below the committed
+    watermark) and a file landed between runs is picked up exactly once.
+    Uses a parquet sink — the memory sink does not support checkpoint
+    recovery."""
+    spark = registered
+    ckpt = str(tmp_path / "ck_restart")
+    out = str(tmp_path / "restart_out")
+
+    def run(n_batches: int) -> None:
+        q = (
+            spark.readStream.format("reclamacoes_poll")
+            .option("path", landing_dir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline and len(q.recentProgress) < n_batches:
+            time.sleep(0.5)
+        q.stop()
+
+    run(n_batches=2)
+    assert spark.read.parquet(out).count() == len(ROWS)
+
+    # New file lands while the stream is DOWN.
+    late = Path(landing_dir) / "reclamacoes_late.csv"
+    late.write_bytes(("\n".join([RAW_HEADER, *ROWS]) + "\n").encode("iso-8859-1"))
+
+    run(n_batches=2)
+    total = spark.read.parquet(out).count()
+    assert total == 2 * len(ROWS), (
+        "restart must emit exactly the late file's rows once "
+        f"(got {total}, expected {2 * len(ROWS)})"
+    )
