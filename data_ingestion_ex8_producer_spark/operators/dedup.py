@@ -328,14 +328,14 @@ _LSH_BANDS = 8
 _ROWS_PER_BAND = _MINHASH_PERMS // _LSH_BANDS
 
 
-def minhash_band_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) -> (doc_id, band, r0..r3) LSH band signature rows —
-    the reusable core of MinHash-LSH, shared by the batch candidate query
-    below and the streaming incremental dedup (`streaming/dedup.py`).  See
-    ``dedup_minhash_lsh`` for the plan-shape rationale."""
+def _minhash_perm_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, i, band, r, v): one row per (shingle
+    occurrence x permutation) with the mixed hash value — the SINGLE
+    definition of the salting/mixing/band-layout pipeline, consumed by both
+    the band pivot and the full-signature aggregation so the two can never
+    drift apart.  md5-hash per shingle occurrence is fused straight into the
+    explode — one codegen stage scan->explode->hash->explode(perm)->mix."""
     shingled = with_shingles(docs, _SHINGLE_K)
-    # md5-hash per shingle OCCURRENCE, fused straight into the explode — one
-    # codegen stage scan->explode->hash->explode(perm)->mix->partial-min.
     hashed = shingled.select(
         "doc_id", F.explode("shingle_set").alias("shingle")
     ).select(
@@ -343,31 +343,45 @@ def minhash_band_signatures(docs: DataFrame) -> DataFrame:
         hash48(F.col("shingle")).alias("__h1"),
         hash48(F.concat(F.lit("x:"), F.col("shingle"))).alias("__h2"),
     )
-    perms = hashed.select(
+    return hashed.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_PERMS - 1))).alias("i"),
         F.col("__h1"),
         F.col("__h2"),
     ).select(
         "doc_id",
+        "i",
         (F.col("i") / _ROWS_PER_BAND).cast("int").alias("band"),
         (F.col("i") % _ROWS_PER_BAND).alias("r"),
         mix48(F.col("__h1") + F.col("i") * F.col("__h2")).alias("v"),
     )
-    # ONE aggregation straight to band rows: min(v) per (doc, perm) and the
-    # pivot of each band's 4 ordered minima into 4 long columns fuse into a
-    # single groupBy(doc, band) with 4 conditional mins — min(when(r==k, v))
-    # over the perm-exploded rows IS the per-perm minhash, because each
-    # (band, k) slot sees exactly the rows of perm i = band*4+k.  Saves the
-    # second shuffle a minima-then-pivot plan needs (benched 3.3s -> 2.4s at
-    # sf0.1).  The (band, r0..r3) join key is fixed-width longs, equality
-    # identical to the oracle's comma-joined string signature.
-    return perms.groupBy("doc_id", "band").agg(
+
+
+def _band_pivot(rows: DataFrame, value_col: str = "v") -> DataFrame:
+    """(doc_id, band, r, <value>) -> (doc_id, band, r0..r3): each band's 4
+    ordered minima as 4 long columns.  min(when(r==k, v)) over perm rows IS
+    the per-perm minhash, because each (band, k) slot sees exactly the rows
+    of perm i = band*4+k."""
+    return rows.groupBy("doc_id", "band").agg(
         *[
-            F.min(F.when(F.col("r") == r, F.col("v"))).alias(f"r{r}")
+            F.min(F.when(F.col("r") == r, F.col(value_col))).alias(f"r{r}")
             for r in range(_ROWS_PER_BAND)
         ]
     )
+
+
+def minhash_band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, band, r0..r3) LSH band signature rows —
+    the reusable core of MinHash-LSH, shared by the batch candidate query
+    below and the streaming incremental dedup (`streaming/dedup.py`).
+
+    ONE aggregation straight to band rows: the per-perm min and the pivot of
+    each band's 4 minima fuse into a single groupBy(doc, band) — saving the
+    second shuffle a minima-then-pivot plan needs (benched 3.3s -> 2.4s at
+    sf0.1).  The (band, r0..r3) join key is fixed-width longs, equality
+    identical to the oracle's comma-joined string signature.  See
+    ``dedup_minhash_lsh`` for the perm-explosion rationale."""
+    return _band_pivot(_minhash_perm_rows(docs))
 
 
 def band_match_condition(a: str = "a", b: str = "b"):
@@ -497,25 +511,11 @@ def _minhash_estimate_oracle() -> str:
 def minhash_signature_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, i, mh): the full 32-value minhash signature
     as rows — one min per (doc, permutation), the relation the jaccard
-    estimator compares pairwise.  Same fused explode->mix->partial-min shape
-    as ``minhash_band_signatures`` (see there for why the perm index is a
-    row, not 32 parallel aggregates)."""
-    shingled = with_shingles(docs, _SHINGLE_K)
-    hashed = shingled.select(
-        "doc_id", F.explode("shingle_set").alias("shingle")
-    ).select(
-        "doc_id",
-        hash48(F.col("shingle")).alias("__h1"),
-        hash48(F.concat(F.lit("x:"), F.col("shingle"))).alias("__h2"),
-    )
+    estimator compares pairwise.  Built on the same ``_minhash_perm_rows``
+    pipeline as the band signatures, so the salting/mixing/band layout has
+    exactly one definition."""
     return (
-        hashed.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_PERMS - 1))).alias("i"),
-            F.col("__h1"),
-            F.col("__h2"),
-        )
-        .select("doc_id", "i", mix48(F.col("__h1") + F.col("i") * F.col("__h2")).alias("v"))
+        _minhash_perm_rows(docs)
         .groupBy("doc_id", "i")
         .agg(F.min("v").alias("mh"))
     )
@@ -544,20 +544,14 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE shingle->hash->min pass: the persisted signature rows feed both the
     # band pivot (candidate generation) and the pairwise agreement count.
     sig = minhash_signature_rows(docs).persist()
-    bands = (
+    bands = _band_pivot(
         sig.select(
             "doc_id",
             (F.col("i") / _ROWS_PER_BAND).cast("int").alias("band"),
             (F.col("i") % _ROWS_PER_BAND).alias("r"),
             "mh",
-        )
-        .groupBy("doc_id", "band")
-        .agg(
-            *[
-                F.min(F.when(F.col("r") == r, F.col("mh"))).alias(f"r{r}")
-                for r in range(_ROWS_PER_BAND)
-            ]
-        )
+        ),
+        value_col="mh",
     )
     cand = (
         bands.alias("a")

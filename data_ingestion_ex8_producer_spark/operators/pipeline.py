@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.text import hash48, sql_hash48
 from ..plans.registry import register
 from ._util import t
+from .similarity import _DIM as _EMB_DIM  # one source of truth for vector width
 
 # --------------------------------------------------------------------------
 # Deterministic stratified sampling
@@ -443,14 +444,14 @@ def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_dim_stats",
-    oracle="""
+    oracle=f"""
     SELECT CAST(i - 1 AS BIGINT) AS dim,
            CAST(COUNT(*) AS BIGINT) AS n,
            MIN(CAST(embedding[i] AS DOUBLE)) AS min_v,
            MAX(CAST(embedding[i] AS DOUBLE)) AS max_v,
            CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))
                 AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_q6
-    FROM embeddings CROSS JOIN range(1, 65) r(i)
+    FROM embeddings CROSS JOIN range(1, {_EMB_DIM + 1}) r(i)
     GROUP BY i
     """,
     tags=("pipeline", "vector", "stats"),

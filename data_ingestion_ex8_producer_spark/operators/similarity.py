@@ -227,14 +227,18 @@ def _bucket_udf(n_bits: int = _LSH_BITS):
         n = len(emb)
         if n == 0:
             return pd.Series([], dtype=object)
-        # NULL / wrong-length embeddings get an EMPTY bucket array (posexplode
-        # then drops the row) instead of raising in the worker — the same
-        # degrade-to-no-candidates semantics the Catalyst expression form had.
+        # NULL / wrong-length / non-finite embeddings get an EMPTY bucket
+        # array (posexplode then drops the row) instead of raising in the
+        # worker — the same degrade-to-no-candidates semantics the Catalyst
+        # expression form had.  The finiteness check matters: a single NULL
+        # ELEMENT arrives as NaN, every hyperplane dot would be NaN, and
+        # (NaN >= 0) == False would silently file the vector under bucket 0
+        # of every table — spurious candidates rather than none.
         valid = np.ones(n, dtype=bool)
         E = np.zeros((n, _DIM), dtype=np.float64)
         for r, v in enumerate(emb.values):
             a = None if v is None else np.asarray(v, dtype=np.float64)
-            if a is None or a.shape != (_DIM,):
+            if a is None or a.shape != (_DIM,) or not np.isfinite(a).all():
                 valid[r] = False
             else:
                 E[r, :] = a

@@ -125,13 +125,26 @@ class _StreamReader(DataSourceStreamReader):
     a restart replays any uncommitted interval deterministically by
     re-listing and re-filtering.  Assumptions — the same ones Spark's own
     FileStreamSource makes for a landing zone: files are immutable once
-    placed (mtime never changes) and arrive with current mtimes.  A file
-    landed with an mtime at-or-before an already-advanced watermark (clock
-    skew, copy tools preserving old mtimes) would be skipped; set
-    ``latency_ms`` to hold the watermark that far behind the newest file so
-    in-flight/skewed writes land in a later batch."""
+    placed (mtime never changes).
 
-    def __init__(self, path: str, replay: bool, latency_ms: int = 0) -> None:
+    Two safeguards keep the watermark honest:
+
+    * the watermark NEVER advances past ``now - latency_ms``: a stray file
+      with a far-future mtime (clock skew, archive timestamps) cannot
+      poison the watermark and shadow every later arrival — it is simply
+      ingested when the clock reaches it;
+    * ``latency_ms`` (default 2000) holds the watermark behind wall-clock
+      by more than the filesystem's mtime granularity, so two files landing
+      in the same coarse clock tick cannot race the watermark past each
+      other — both are still in the future when the first is listed.
+      Tests that fabricate old mtimes may set it to 0 for immediacy.
+
+    Legacy r2 checkpoints (offset = the full ``{"seen": [...]}`` file list)
+    are migrated transparently: a start offset in the old format excludes
+    exactly the listed files, so the first post-upgrade batch continues
+    where the old stream stopped."""
+
+    def __init__(self, path: str, replay: bool, latency_ms: int = 2000) -> None:
         self._path = path
         self._replay = replay
         self._latency_ns = latency_ms * 1_000_000
@@ -146,11 +159,11 @@ class _StreamReader(DataSourceStreamReader):
             self._epoch += 1
             return {"epoch": self._epoch}
         best = self._wm
-        cutoff = time.time_ns() - self._latency_ns if self._latency_ns else None
+        cutoff = time.time_ns() - self._latency_ns
         for f in _list_csv_files(self._path):
             k = _file_key(f)
-            if k is None or (cutoff is not None and k[0] > cutoff):
-                continue
+            if k is None or k[0] > cutoff:
+                continue  # not visible yet; eligible once the clock passes it
             if k > best:
                 best = k
         self._wm = best  # monotonic even if files are (wrongly) deleted
@@ -159,6 +172,19 @@ class _StreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         if self._replay:
             files = _list_csv_files(self._path) if end["epoch"] > start["epoch"] else []
+        elif "seen" in start:
+            # Legacy r2 checkpoint: the offset was the full ingested-file
+            # list.  Exclude exactly those files for this boundary batch;
+            # subsequent offsets are watermark-format.
+            import json
+
+            seen = set(json.loads(start["seen"]))
+            hi = (end["t"], end["p"])
+            files = [
+                f
+                for f in _list_csv_files(self._path)
+                if f not in seen and (k := _file_key(f)) is not None and k <= hi
+            ]
         else:
             lo = (start["t"], start["p"])
             hi = (end["t"], end["p"])
@@ -183,7 +209,8 @@ class ReclamacoesPollDataSource(DataSource):
     Options: ``path`` (the landing directory — the 'bucket'), ``replay``
     ("true" to reproduce the reference's re-ingest-forever loop),
     ``latency_ms`` (hold the default-mode watermark this far behind
-    wall-clock so in-flight writes land in a later batch; default 0)."""
+    wall-clock so in-flight/same-clock-tick writes land in a later batch;
+    default 2000)."""
 
     @classmethod
     def name(cls) -> str:
@@ -201,5 +228,5 @@ class ReclamacoesPollDataSource(DataSource):
         return _StreamReader(
             self.options["path"],
             str(self.options.get("replay", "false")).lower() == "true",
-            latency_ms=int(self.options.get("latency_ms", "0")),
+            latency_ms=int(self.options.get("latency_ms", "2000")),
         )

@@ -65,6 +65,8 @@ def test_lsh_buckets_null_and_ragged_embeddings(spark) -> None:
             (0, [0.25] * 64),
             (1, None),
             (2, [0.25] * 3),  # wrong dimension
+            (3, [0.25] * 63 + [None]),  # NULL element -> NaN after Arrow
+            (4, [0.25] * 63 + [float("nan")]),  # explicit NaN
         ],
         "vec_id int, embedding array<float>",
     )
@@ -127,3 +129,41 @@ def test_polling_offset_latency_holds_back_watermark(tmp_path: Path) -> None:
     o1 = r.latestOffset()
     batch = [p.file_path for p in r.partitions(r.initialOffset(), o1) if p.file_path]
     assert batch == [str(d / "old.csv")]
+
+
+def test_polling_legacy_seen_offset_migration(tmp_path: Path) -> None:
+    """A start offset in the r2 format ({"seen": [...]}) must not crash the
+    upgraded source: the boundary batch is every listed file EXCEPT the ones
+    the legacy offset already ingested."""
+    d = tmp_path / "bucket"
+    d.mkdir()
+    for i in range(4):
+        _touch(d / f"f{i}.csv", 1_000_000)
+    r = _StreamReader(str(d), replay=False, latency_ms=0)
+    end = r.latestOffset()
+    legacy_start = {"seen": json.dumps([str(d / "f0.csv"), str(d / "f2.csv")])}
+    batch = sorted(p.file_path for p in r.partitions(legacy_start, end) if p.file_path)
+    assert batch == [str(d / "f1.csv"), str(d / "f3.csv")]
+
+
+def test_polling_future_mtime_does_not_poison_watermark(tmp_path: Path) -> None:
+    """A file with a far-future mtime must not drag the watermark forward
+    (which would silently shadow every normally-timestamped later arrival);
+    it simply stays invisible until the clock reaches it."""
+    import time as _time
+
+    d = tmp_path / "bucket"
+    d.mkdir()
+    _touch(d / "old.csv", 1_000_000)
+    now_s = int(_time.time())
+    _touch(d / "future.csv", now_s + 365 * 24 * 3600)
+    r = _StreamReader(str(d), replay=False, latency_ms=0)
+    o1 = r.latestOffset()
+    batch1 = [p.file_path for p in r.partitions(r.initialOffset(), o1) if p.file_path]
+    assert batch1 == [str(d / "old.csv")]
+
+    # A normally-timestamped late arrival must still be picked up.
+    _touch(d / "late.csv", now_s - 10)
+    o2 = r.latestOffset()
+    batch2 = [p.file_path for p in r.partitions(o1, o2) if p.file_path]
+    assert batch2 == [str(d / "late.csv")]

@@ -82,7 +82,10 @@ def test_stream_once_per_file(registered, landing_dir: str, tmp_path: Path) -> N
     corrected semantics; SURVEY.md §3 delta 1)."""
     spark = registered
     stream = (
-        spark.readStream.format("reclamacoes_poll").option("path", landing_dir).load()
+        spark.readStream.format("reclamacoes_poll")
+        .option("path", landing_dir)
+        .option("latency_ms", "0")  # fixture file is brand new; no hold-back
+        .load()
     )
     _drain(spark, stream, "poll_once", str(tmp_path / "ck1"), n_batches=3)
     out = spark.sql("SELECT * FROM poll_once")
@@ -123,6 +126,7 @@ def test_stream_checkpoint_restart_watermark_offsets(
         q = (
             spark.readStream.format("reclamacoes_poll")
             .option("path", landing_dir)
+            .option("latency_ms", "0")  # test files are brand new
             .load()
             .writeStream.format("parquet")
             .option("path", out)

@@ -58,6 +58,11 @@ def main() -> int:
     argv = list(sys.argv[1:])
     json_out = None
     if argv and argv[0] == "--json":
+        if len(argv) < 2:
+            print(
+                "usage: check_correctness.py [--json out.json] [sf_dir] [query ...]"
+            )
+            return 2
         json_out = argv[1]
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -76,6 +81,9 @@ def main() -> int:
     for name, spec in sorted(specs.items()):
         if only and name not in only:
             continue
+        # Several builders persist() intermediates; release the previous
+        # query's caches so a full 135-spec run doesn't accumulate them.
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = spec.builder(spark, sf_dir)
