@@ -481,3 +481,156 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_q6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus token budget + curation yield funnel (reporting ops)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_corpus_token_budget",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+             / COUNT(*) AS tokens_per_doc
+    FROM documents
+    GROUP BY ROLLUP(lang, source)
+    """,
+    tags=("pipeline", "reporting", "rollup"),
+)
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE first question asked of any training corpus: how many tokens do
+    we have, per language, per (language, source), and overall — one rollup
+    over whitespace token counts, with docs and tokens-per-doc alongside.
+
+    Scale shape: token counting is a narrow map fused into the scan; rollup
+    compiles to a single Expand + hash aggregate with map-side combine over
+    (|langs| x |sources| + |langs| + 1) keys — grouping cardinality is
+    metadata-sized, so the shuffle is tiny at any corpus size.  Counts are
+    BIGINT sums (associative, exact); the single closing division is
+    correctly-rounded IEEE on both engines."""
+    from ..functions.text import tokens
+
+    nt = F.size(tokens())
+    return (
+        t(spark, sf_dir, "documents")
+        .select("lang", "source", nt.alias("nt"))
+        .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            (F.sum("nt").cast("double") / F.count(F.lit(1))).alias("tokens_per_doc"),
+        )
+    )
+
+
+_FUNNEL_MIN_CHARS = 100
+_FUNNEL_LANGS = ("en", "de", "es", "fr")
+_FUNNEL_MIN_TTR = 0.3  # distinct/total token ratio floor
+
+
+@register(
+    "q_curation_funnel",
+    oracle=f"""
+    WITH flags AS (
+        SELECT doc_id,
+               length(text) >= {_FUNNEL_MIN_CHARS} AS f_len,
+               length(text) >= {_FUNNEL_MIN_CHARS}
+                 AND lang IN ({", ".join(repr(l) for l in _FUNNEL_LANGS)}) AS f_lang,
+               length(text) >= {_FUNNEL_MIN_CHARS}
+                 AND lang IN ({", ".join(repr(l) for l in _FUNNEL_LANGS)})
+                 AND CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                          AS DOUBLE)
+                     / len(regexp_split_to_array(trim(text), '\\s+'))
+                     >= {_FUNNEL_MIN_TTR} AS f_quality,
+               md5(text) AS h
+        FROM documents
+    ),
+    dedup AS (
+        SELECT doc_id, f_len, f_lang, f_quality,
+               f_quality AND doc_id = MIN(CASE WHEN f_quality THEN doc_id END)
+                                      OVER (PARTITION BY h) AS f_dedup
+        FROM flags
+    ),
+    agg AS (
+        SELECT COUNT(*) AS raw,
+               SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS len_ok,
+               SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS lang_ok,
+               SUM(CASE WHEN f_quality THEN 1 ELSE 0 END) AS quality_ok,
+               SUM(CASE WHEN f_dedup THEN 1 ELSE 0 END) AS dedup_ok
+        FROM dedup
+    )
+    SELECT stage, stage_name, CAST(n_docs AS BIGINT) AS n_docs FROM (
+        SELECT 0 AS stage, 'raw' AS stage_name, raw AS n_docs FROM agg
+        UNION ALL SELECT 1, 'min_length', len_ok FROM agg
+        UNION ALL SELECT 2, 'lang_whitelist', lang_ok FROM agg
+        UNION ALL SELECT 3, 'quality_ttr', quality_ok FROM agg
+        UNION ALL SELECT 4, 'exact_dedup', dedup_ok FROM agg
+    )
+    """,
+    tags=("pipeline", "reporting", "funnel"),
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation yield report: how many documents survive each cumulative
+    filter stage — raw -> min-length -> language whitelist -> type/token-
+    ratio quality floor -> exact dedup (first doc_id per content hash among
+    quality survivors).  This is the per-release yield table a data team
+    signs off on before spending tokens.
+
+    Scale shape: every stage is a boolean flag computed in ONE narrow pass
+    (no per-stage re-filtering); dedup survivorship is a min-over-window on
+    the content hash (uniform 128-bit key, no skew); the final counts are
+    five conditional BIGINT sums in a single global aggregate whose partial
+    rows are one per task.  One corpus scan, one 16-byte-key shuffle, one
+    5-row result at any corpus size."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    ts = tokens()
+    f_len = F.length("text") >= _FUNNEL_MIN_CHARS
+    f_lang = f_len & F.col("lang").isin(*_FUNNEL_LANGS)
+    ttr = F.size(F.array_distinct(ts)).cast("double") / F.size(ts)
+    f_quality = f_lang & (ttr >= _FUNNEL_MIN_TTR)
+    flags = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        f_len.alias("f_len"),
+        f_lang.alias("f_lang"),
+        f_quality.alias("f_quality"),
+        F.md5("text").alias("h"),
+    )
+    w = Window.partitionBy("h")
+    first_q = F.min(F.when(F.col("f_quality"), F.col("doc_id"))).over(w)
+    flagged = flags.withColumn(
+        "f_dedup", F.col("f_quality") & (F.col("doc_id") == first_q)
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum(F.when(F.col("f_len"), 1).otherwise(0)).alias("len_ok"),
+        F.sum(F.when(F.col("f_lang"), 1).otherwise(0)).alias("lang_ok"),
+        F.sum(F.when(F.col("f_quality"), 1).otherwise(0)).alias("quality_ok"),
+        F.sum(F.when(F.col("f_dedup"), 1).otherwise(0)).alias("dedup_ok"),
+    )
+    stages = [
+        (0, "raw", "raw"),
+        (1, "min_length", "len_ok"),
+        (2, "lang_whitelist", "lang_ok"),
+        (3, "quality_ttr", "quality_ok"),
+        (4, "exact_dedup", "dedup_ok"),
+    ]
+    parts = [
+        agg.select(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col(src).cast("long").alias("n_docs"),
+        )
+        for i, name, src in stages
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
