@@ -141,9 +141,9 @@ def _hit_count(ts: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(ts, lambda x: F.array_contains(arr, x)))
 
 
-@register(
-    "text_lang_id",
-    oracle=f"""
+# Shared between the text_lang_id oracle and the q_lang_confusion oracle so
+# the predictor has exactly one SQL definition.
+_LANG_ID_SQL = f"""
     WITH toks AS (SELECT doc_id, {sql_tokens()} AS ts FROM documents),
     hits AS (
         SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
@@ -162,7 +162,12 @@ def _hit_count(ts: Column, words: tuple[str, ...]) -> Column:
                 WHEN hits_de >= hits_fr THEN 'de'
                 ELSE 'fr' END AS predicted_lang
     FROM hits
-    """,
+    """
+
+
+@register(
+    "text_lang_id",
+    oracle=_LANG_ID_SQL,
     tags=("text", "langid"),
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,4 +680,94 @@ def text_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cs, F.lit(0.0), lambda acc, ch: acc + p(ch) * p(ch)
             ).alias("simpson_index"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Lang-ID evaluation (confusion matrix) + n-gram novelty
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_lang_confusion",
+    oracle=f"""
+    SELECT d.lang, p.predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d
+    JOIN ({_LANG_ID_SQL}) p USING (doc_id)
+    GROUP BY d.lang, p.predicted_lang
+    """,
+    tags=("text", "langid", "evaluation"),
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang-ID evaluation: confusion matrix of the labeled language vs the
+    stopword-profile prediction — the quality report that decides whether a
+    heuristic classifier is good enough to drive the language filter of a
+    curation pipeline.  Composes the registered text_lang_id operator
+    (single predictor definition on both engines).
+
+    Scale shape: the predictor is a narrow map; the matrix is a
+    map-side-combinable groupBy over at most |langs| x (|langs|+1) keys —
+    metadata-sized shuffle at any corpus size."""
+    pred = text_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    truth = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+_NOVELTY_K = 3
+
+
+@register(
+    "q_doc_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({sql_shingle_list(_NOVELTY_K)}) AS shingle
+        FROM documents
+    ),
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle),
+    novel AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+              FROM firsts GROUP BY first_doc),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / t.n_shingles AS novelty
+    FROM tot t LEFT JOIN novel n ON n.doc_id = t.doc_id
+    """,
+    tags=("text", "novelty", "dedup"),
+)
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct word
+    3-grams whose FIRST corpus occurrence (minimum doc_id) is this document
+    — low novelty means the doc is mostly boilerplate/quotation of earlier
+    material, the signal incremental crawls use to skip near-rehashes that
+    pairwise dedup scores miss.
+
+    Scale shape: unlike pairwise dedup there is NO join on the shingle key —
+    first-occurrence is a map-side-combinable MIN per shingle, so hot
+    (stop-)shingles cost one combiner cell instead of df^2 join fan-out;
+    the per-doc rollups are two more combinable aggregates and a join on
+    doc_id.  Everything is linear in corpus size with no skew term, which
+    is why novelty scoring scales where all-pairs similarity cannot."""
+    from ..functions.text import with_shingles
+
+    sh = with_shingles(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), _NOVELTY_K
+    ).select("doc_id", F.explode("shingle_set").alias("shingle"))
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return tot.join(novel, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        (
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+            / F.col("n_shingles")
+        ).alias("novelty"),
     )
