@@ -47,10 +47,11 @@ def main() -> None:
 
     # N timed runs per query, report the min: the host shares cores with
     # other tenants and single runs vary ±15%; the min is the steady-state
-    # cost of the plan, which is what the engine controls.  Default 3 reps;
-    # raise via SPARK_GRAFT_BENCH_REPS when chasing regressions (the r2→r3
-    # investigation used 5).
-    reps = int(os.getenv("SPARK_GRAFT_BENCH_REPS", "3"))
+    # cost of the plan, which is what the engine controls.  Default 5 reps
+    # (the r2→r3 regression investigation, BENCH_NOTES.md, showed 3-rep
+    # minima still straddle the host-noise band while 5-rep minima are
+    # stable); lower via SPARK_GRAFT_BENCH_REPS for quick iteration runs.
+    reps = int(os.getenv("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     for _ in range(reps):
         for name in sorted(specs):
@@ -60,9 +61,10 @@ def main() -> None:
             ).save()
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
-        # Queries that persist() intermediates would otherwise serve run 2
-        # from run 1's cache and under-report their real cost.
-        spark.catalog.clearCache()
+            # Queries that persist() intermediates (capped-shingle dedup,
+            # minhash signatures) must not serve a later query or rep from
+            # this run's cache — every timed run starts cache-cold.
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

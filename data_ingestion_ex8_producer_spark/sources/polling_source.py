@@ -125,7 +125,21 @@ class _StreamReader(DataSourceStreamReader):
     a restart replays any uncommitted interval deterministically by
     re-listing and re-filtering.  Assumptions — the same ones Spark's own
     FileStreamSource makes for a landing zone: files are immutable once
-    placed (mtime never changes).
+    placed (mtime never changes), AND files land with a *current* mtime.
+    The second assumption is a real loss mode the r2 seen-list did not
+    have: a file copied in with its source timestamp preserved
+    (``cp -p``, ``rsync -a``, object-store copies that keep the original
+    LastModified) can land with a key at-or-below the committed watermark
+    and will be silently skipped — it is "before" a boundary the stream
+    already passed.  Landing-zone writers must create files with fresh
+    mtimes (plain ``cp``/upload, or ``touch`` after placement); pipelines
+    that cannot guarantee that should use ``replay=true`` (stateless
+    re-list) or the batch reader.  As best-effort diagnostics the reader
+    keeps an in-memory set of paths from the previous listing and logs a
+    warning when a path FIRST appears with a key already at-or-below the
+    watermark — exactly the preserved-mtime signature (the set is not
+    checkpointed; after a restart the first listing is treated as already
+    seen, so the heuristic never false-positives on restart).
 
     Two safeguards keep the watermark honest:
 
@@ -140,9 +154,13 @@ class _StreamReader(DataSourceStreamReader):
       Tests that fabricate old mtimes may set it to 0 for immediacy.
 
     Legacy r2 checkpoints (offset = the full ``{"seen": [...]}`` file list)
-    are migrated transparently: a start offset in the old format excludes
-    exactly the listed files, so the first post-upgrade batch continues
-    where the old stream stopped."""
+    are migrated transparently, in BOTH restart shapes: a legacy *start*
+    excludes exactly its listed files (first post-upgrade batch continues
+    where the old stream stopped), and a legacy *end* — which happens when
+    the upgrade restart finds an uncommitted r2 batch already planned in
+    the offset WAL — replays that batch with r2 semantics (end's seen-list
+    minus start's), so the WAL'd batch commits with the same contents it
+    was planned with before watermark offsets take over."""
 
     def __init__(self, path: str, replay: bool, latency_ms: int = 2000) -> None:
         self._path = path
@@ -150,6 +168,7 @@ class _StreamReader(DataSourceStreamReader):
         self._latency_ns = latency_ms * 1_000_000
         self._epoch = 0
         self._wm: tuple[int, str] = (-1, "")
+        self._prev_listing: set[str] | None = None  # preserved-mtime heuristic
 
     def initialOffset(self) -> dict:
         return {"epoch": 0} if self._replay else {"t": -1, "p": ""}
@@ -160,18 +179,54 @@ class _StreamReader(DataSourceStreamReader):
             return {"epoch": self._epoch}
         best = self._wm
         cutoff = time.time_ns() - self._latency_ns
-        for f in _list_csv_files(self._path):
+        listing = _list_csv_files(self._path)
+        for f in listing:
             k = _file_key(f)
             if k is None or k[0] > cutoff:
                 continue  # not visible yet; eligible once the clock passes it
             if k > best:
                 best = k
+            elif (
+                self._prev_listing is not None
+                and f not in self._prev_listing
+                and k <= self._wm
+            ):
+                # A path that first appears ALREADY behind the watermark is
+                # the preserved-mtime loss mode (class docstring): warn —
+                # the file will not be ingested by watermark semantics.
+                import warnings
+
+                warnings.warn(
+                    f"reclamacoes_poll: {f!r} appeared with mtime at-or-"
+                    f"below the committed watermark (preserved timestamp?) "
+                    f"— it will be skipped; touch files on landing or use "
+                    f"replay mode",
+                    stacklevel=2,
+                )
+        self._prev_listing = set(listing)
         self._wm = best  # monotonic even if files are (wrongly) deleted
         return {"t": best[0], "p": best[1]}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         if self._replay:
             files = _list_csv_files(self._path) if end["epoch"] > start["epoch"] else []
+        elif "seen" in end:
+            # Fully legacy (start, end): the upgrade restart found an
+            # UNCOMMITTED r2 batch in the offset WAL.  Replay it with r2
+            # semantics — the batch is end's seen-list minus start's (start
+            # may be the watermark-format initialOffset if the legacy
+            # stream had never committed; treat that as empty).
+            import json
+
+            end_seen = set(json.loads(end["seen"]))
+            start_seen = (
+                set(json.loads(start["seen"])) if "seen" in start else set()
+            )
+            files = [
+                f
+                for f in _list_csv_files(self._path)
+                if f in end_seen and f not in start_seen
+            ]
         elif "seen" in start:
             # Legacy r2 checkpoint: the offset was the full ingested-file
             # list.  Exclude exactly those files for this boundary batch;

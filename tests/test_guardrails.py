@@ -167,3 +167,57 @@ def test_polling_future_mtime_does_not_poison_watermark(tmp_path: Path) -> None:
     o2 = r.latestOffset()
     batch2 = [p.file_path for p in r.partitions(o1, o2) if p.file_path]
     assert batch2 == [str(d / "late.csv")]
+
+
+def test_polling_fully_legacy_offset_pair(tmp_path: Path) -> None:
+    """BOTH offsets in the r2 format — the upgrade restart found an
+    uncommitted r2 batch already planned in the offset WAL.  The batch must
+    replay with r2 semantics (end's seen-list minus start's), not crash on
+    end["t"]."""
+    d = tmp_path / "bucket"
+    d.mkdir()
+    for i in range(4):
+        _touch(d / f"f{i}.csv", 1_000_000)
+    r = _StreamReader(str(d), replay=False, latency_ms=0)
+    legacy_start = {"seen": json.dumps([str(d / "f0.csv")])}
+    legacy_end = {
+        "seen": json.dumps([str(d / "f0.csv"), str(d / "f1.csv"), str(d / "f3.csv")])
+    }
+    batch = sorted(
+        p.file_path for p in r.partitions(legacy_start, legacy_end) if p.file_path
+    )
+    assert batch == [str(d / "f1.csv"), str(d / "f3.csv")]
+
+    # Degenerate shape: watermark-format initialOffset + legacy end (the
+    # legacy stream had planned but never committed its FIRST batch).
+    batch0 = sorted(
+        p.file_path
+        for p in r.partitions({"t": -1, "p": ""}, legacy_end)
+        if p.file_path
+    )
+    assert batch0 == [str(d / "f0.csv"), str(d / "f1.csv"), str(d / "f3.csv")]
+
+
+def test_polling_preserved_mtime_arrival_warns(tmp_path: Path) -> None:
+    """A file that FIRST appears with an mtime at-or-below the committed
+    watermark (cp -p / rsync -a style) is skipped by watermark semantics —
+    the reader must at least warn so the loss mode is visible."""
+    import warnings as _warnings
+
+    d = tmp_path / "bucket"
+    d.mkdir()
+    _touch(d / "a.csv", 1_000_000)
+    r = _StreamReader(str(d), replay=False, latency_ms=0)
+    o1 = r.latestOffset()
+    assert [p.file_path for p in r.partitions(r.initialOffset(), o1) if p.file_path]
+
+    # Lands AFTER the watermark passed 1_000_000, but with an older mtime.
+    _touch(d / "preserved.csv", 999_000)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        o2 = r.latestOffset()
+    assert any("preserved" in str(w.message) for w in caught), (
+        "preserved-mtime arrival must emit a warning"
+    )
+    # And (documented loss mode) the file is indeed not in the next batch.
+    assert [p.file_path for p in r.partitions(o1, o2) if p.file_path] == []
