@@ -543,6 +543,10 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(t(spark, sf_dir, "documents"), spark)
     # ONE shingle->hash->min pass: the persisted signature rows feed both the
     # band pivot (candidate generation) and the pairwise agreement count.
+    # Lifecycle: a builder returns a lazy plan, so it cannot unpersist after
+    # its own action — consumers own cleanup.  bench.py clearCache()s after
+    # every timed run and check_correctness clears between queries, so the
+    # persist never warms a later measurement or leaks across queries.
     sig = minhash_signature_rows(docs).persist()
     bands = _band_pivot(
         sig.select(
@@ -830,6 +834,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(sym.doc_a.alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Convergence is folded INTO the update pass: the new label and a
+        # did-it-change flag come out of the same join, the eager
+        # localCheckpoint materializes both in one job, and the fixpoint
+        # test is a cheap scan of the just-cached blocks — r3 ran a second
+        # full labels-join job per round just to count changes.
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -837,17 +846,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        labels = updated.select("doc_id", "label")
+        if updated.filter("changed").limit(1).count() == 0:
             break
 
     cluster_sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))

@@ -452,6 +452,7 @@ def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))
                 AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_q6
     FROM embeddings CROSS JOIN range(1, {_EMB_DIM + 1}) r(i)
+    WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
     GROUP BY i
     """,
     tags=("pipeline", "vector", "stats"),
@@ -466,9 +467,19 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition to <= 64 rows before the (tiny) shuffle; no skew because key
     cardinality is the fixed dimension count.  The mean uses the module's
     integer-quantized sum (round(x * 1e6) as BIGINT): associative, exact,
-    and identical on both engines regardless of summation order."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    and identical on both engines regardless of summation order.
+
+    Population contract: NULL or wrong-length embeddings are EXCLUDED by an
+    explicit filter on BOTH engines (posexplode would silently drop only
+    the NULLs while the oracle's CROSS JOIN range would keep them as NULL
+    cells — the filter makes the two populations identical by
+    construction, not by luck of clean testdata)."""
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == _EMB_DIM)
+        )
+        .select("vec_id", F.posexplode("embedding").alias("dim", "x"))
     )
     xd = F.col("x").cast("double")
     return e.groupBy("dim").agg(
@@ -573,6 +584,7 @@ _FUNNEL_MIN_TTR = 0.3  # distinct/total token ratio floor
     )
     """,
     tags=("pipeline", "reporting", "funnel"),
+    bench=True,
 )
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation yield report: how many documents survive each cumulative

@@ -141,26 +141,48 @@ def _hit_count(ts: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(ts, lambda x: F.array_contains(arr, x)))
 
 
-# Shared between the text_lang_id oracle and the q_lang_confusion oracle so
-# the predictor has exactly one SQL definition.
+def _predicted_lang_col() -> Column:
+    """The stopword-profile predictor as ONE Catalyst expression over
+    ``text`` — argmax of profile hits with a fixed tie-break order, 'und'
+    when nothing matches.  A single definition shared by text_lang_id and
+    q_lang_confusion so the classifier can never drift between the
+    per-document report and its evaluation."""
+    ts = tokens()
+    hits = {lang: _hit_count(ts, words) for lang, words in _LANG_PROFILES.items()}
+    total = sum(hits.values(), F.lit(0))
+    return (
+        F.when(total == 0, "und")
+        .when(hits["en"] >= F.greatest(hits["es"], hits["de"], hits["fr"]), "en")
+        .when(hits["es"] >= F.greatest(hits["de"], hits["fr"]), "es")
+        .when(hits["de"] >= hits["fr"], "de")
+        .otherwise("fr")
+    )
+
+
+# SQL twin of the predictor, shared by the text_lang_id and q_lang_confusion
+# oracles so the classifier has exactly one SQL definition too.  The hit
+# exprs assume a token-list column named ``ts`` in scope.
+_LANG_HITS_SQL = ",\n               ".join(
+    f"len(list_filter(ts, x -> list_contains({list(words)}, x))) AS hits_{lang}"
+    for lang, words in _LANG_PROFILES.items()
+)
+_LANG_PRED_CASE_SQL = """CASE WHEN hits_en + hits_es + hits_de + hits_fr = 0 THEN 'und'
+                WHEN hits_en >= greatest(hits_es, hits_de, hits_fr) THEN 'en'
+                WHEN hits_es >= greatest(hits_de, hits_fr) THEN 'es'
+                WHEN hits_de >= hits_fr THEN 'de'
+                ELSE 'fr' END"""
+
 _LANG_ID_SQL = f"""
     WITH toks AS (SELECT doc_id, {sql_tokens()} AS ts FROM documents),
     hits AS (
         SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
-               len(list_filter(ts, x -> list_contains({list(_LANG_PROFILES['en'])}, x))) AS hits_en,
-               len(list_filter(ts, x -> list_contains({list(_LANG_PROFILES['es'])}, x))) AS hits_es,
-               len(list_filter(ts, x -> list_contains({list(_LANG_PROFILES['de'])}, x))) AS hits_de,
-               len(list_filter(ts, x -> list_contains({list(_LANG_PROFILES['fr'])}, x))) AS hits_fr
+               {_LANG_HITS_SQL}
         FROM toks
     )
     SELECT doc_id, n_tokens,
            CAST(hits_en AS BIGINT) AS hits_en, CAST(hits_es AS BIGINT) AS hits_es,
            CAST(hits_de AS BIGINT) AS hits_de, CAST(hits_fr AS BIGINT) AS hits_fr,
-           CASE WHEN hits_en + hits_es + hits_de + hits_fr = 0 THEN 'und'
-                WHEN hits_en >= greatest(hits_es, hits_de, hits_fr) THEN 'en'
-                WHEN hits_es >= greatest(hits_de, hits_fr) THEN 'es'
-                WHEN hits_de >= hits_fr THEN 'de'
-                ELSE 'fr' END AS predicted_lang
+           {_LANG_PRED_CASE_SQL} AS predicted_lang
     FROM hits
     """
 
@@ -178,14 +200,6 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle) is identical."""
     ts = tokens()
     hits = {lang: _hit_count(ts, words) for lang, words in _LANG_PROFILES.items()}
-    total = sum(hits.values(), F.lit(0))
-    predicted = (
-        F.when(total == 0, "und")
-        .when(hits["en"] >= F.greatest(hits["es"], hits["de"], hits["fr"]), "en")
-        .when(hits["es"] >= F.greatest(hits["de"], hits["fr"]), "es")
-        .when(hits["de"] >= hits["fr"], "de")
-        .otherwise("fr")
-    )
     return t(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(ts).cast("long").alias("n_tokens"),
@@ -193,7 +207,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits["es"].cast("long").alias("hits_es"),
         hits["de"].cast("long").alias("hits_de"),
         hits["fr"].cast("long").alias("hits_fr"),
-        predicted.alias("predicted_lang"),
+        _predicted_lang_col().alias("predicted_lang"),
     )
 
 
@@ -590,10 +604,15 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram count as the contamination severity.
 
     Scale shape: benchmark suites are FIXED-SIZE — they do not grow with the
-    training corpus — so the distinct eval-shingle set broadcasts and the
-    check is a broadcast semi-join-shaped hash join against the corpus
-    shingle stream: no corpus-side shuffle until the tiny matched subset is
-    grouped per doc.  This is the decontamination pass every pretraining
+    training corpus — so in production the distinct eval-shingle set
+    broadcasts and the check is a broadcast semi-join-shaped hash join
+    against the corpus shingle stream: no corpus-side shuffle until the
+    tiny matched subset is grouped per doc.  CAVEAT: this demo's eval set
+    is a doc_id % 11 slice of the SAME corpus (testdata has no separate
+    benchmark table), so HERE the "eval" side is 1/11 of the corpus and the
+    broadcast grows linearly with it — the broadcast-constant claim holds
+    only for the real shape (a true fixed eval table swapped in for the
+    modulo slice).  This is the decontamination pass every pretraining
     pipeline runs before a data release."""
     from ..functions.text import with_shingles
 
@@ -691,10 +710,16 @@ def text_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_lang_confusion",
     oracle=f"""
-    SELECT d.lang, p.predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
-    FROM documents d
-    JOIN ({_LANG_ID_SQL}) p USING (doc_id)
-    GROUP BY d.lang, p.predicted_lang
+    WITH toks AS (SELECT lang, {sql_tokens()} AS ts FROM documents),
+    hits AS (
+        SELECT lang,
+               {_LANG_HITS_SQL}
+        FROM toks
+    ),
+    pred AS (SELECT lang, {_LANG_PRED_CASE_SQL} AS predicted_lang FROM hits)
+    SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred
+    GROUP BY lang, predicted_lang
     """,
     tags=("text", "langid", "evaluation"),
 )
@@ -702,16 +727,18 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lang-ID evaluation: confusion matrix of the labeled language vs the
     stopword-profile prediction — the quality report that decides whether a
     heuristic classifier is good enough to drive the language filter of a
-    curation pipeline.  Composes the registered text_lang_id operator
-    (single predictor definition on both engines).
+    curation pipeline.  Shares the `_predicted_lang_col` /
+    `_LANG_PRED_CASE_SQL` predictor definition with text_lang_id on both
+    engines.
 
-    Scale shape: the predictor is a narrow map; the matrix is a
-    map-side-combinable groupBy over at most |langs| x (|langs|+1) keys —
-    metadata-sized shuffle at any corpus size."""
-    pred = text_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
-    truth = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    Scale shape: the truth label rides along the predictor's narrow map —
+    NO join anywhere (r3 re-joined `documents` to itself on doc_id; that
+    shuffle is gone).  One scan, then a map-side-combinable groupBy over at
+    most |langs| x (|langs|+1) keys — metadata-sized shuffle at any corpus
+    size."""
     return (
-        truth.join(pred, "doc_id")
+        t(spark, sf_dir, "documents")
+        .select("lang", _predicted_lang_col().alias("predicted_lang"))
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
@@ -738,6 +765,7 @@ _NOVELTY_K = 3
     FROM tot t LEFT JOIN novel n ON n.doc_id = t.doc_id
     """,
     tags=("text", "novelty", "dedup"),
+    bench=True,
 )
 def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty: the fraction of a doc's distinct word

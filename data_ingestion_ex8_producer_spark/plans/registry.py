@@ -82,11 +82,14 @@ def register(
 # cover every operator family (relational, TPC-H, aggregation, set ops,
 # windows, scalar functions, subqueries, analytics, event-time, dedup, text,
 # similarity, multimodal, Python UDF/UDAF/UDTF, curation) with 2-5
-# representatives each.  Round 3 rotated four slots so the r2 additions
-# (text_chunk, text_repetition, emb_quantize_int8, q_mixture_weights) get
-# driver-level evidence; the rotated-out names (q_filter_project, q_argminmax,
-# q_date_funcs, q_window_running_sum) remain exact-oracle-verified by
-# tests/test_queries_oracle.py and CORRECTNESS_full artifacts.  Names not
+# representatives each.  Each round rotates the previous round's additions
+# into the window so they get driver-level evidence, then rotates them back
+# out once they have it.  Round 4 swaps in the r3 additions
+# (q_lang_confusion, q_doc_ngram_novelty, q_corpus_token_budget,
+# q_curation_funnel) and rotates out the r2 additions (text_chunk,
+# text_repetition, emb_quantize_int8, q_mixture_weights), which earned their
+# driver-green rows in CORRECTNESS_r03 and remain exact-oracle-verified by
+# tests/test_queries_oracle.py and the CORRECTNESS_full artifacts.  Names not
 # listed keep their module registration order after the priority block.
 _PRIORITY: tuple[str, ...] = (
     # relational: scan/filter/project, sort/limit, joins
@@ -135,8 +138,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_stats",
     "text_tfidf",
     "text_lang_id",
-    "text_chunk",
-    "text_repetition",
+    "q_lang_confusion",
+    "q_doc_ngram_novelty",
     # similarity search
     "sim_bruteforce_topk",
     "sim_lsh_topk",
@@ -152,8 +155,8 @@ _PRIORITY: tuple[str, ...] = (
     # curation / pipeline
     "q_hash_sample",
     "emb_normalize",
-    "emb_quantize_int8",
-    "q_mixture_weights",
+    "q_corpus_token_budget",
+    "q_curation_funnel",
 )
 
 
