@@ -863,3 +863,76 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_size").cast("long").alias("cluster_size"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Survivorship: the per-document keep/drop verdict a release actually ships
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_survivorship",
+    oracle=f"""
+    WITH near AS ({_jaccard_oracle(_DF_CAP)}),
+    hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
+    keeper AS (SELECT h, MIN(doc_id) AS keep_id FROM hashes GROUP BY h),
+    nd AS (SELECT doc_b AS doc_id, MIN(doc_a) AS near_partner
+           FROM near GROUP BY doc_b)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id <> k.keep_id THEN 'exact_dup'
+                WHEN nd.near_partner IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS reason,
+           (d.doc_id = k.keep_id AND nd.near_partner IS NULL) AS keep,
+           CAST(CASE WHEN d.doc_id <> k.keep_id THEN k.keep_id
+                     ELSE nd.near_partner END AS BIGINT) AS partner
+    FROM hashes d
+    JOIN keeper k USING (h)
+    LEFT JOIN nd ON nd.doc_id = d.doc_id
+    """,
+    tags=("dedup", "curation", "survivorship"),
+)
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup verdict — the artifact a curation release ships:
+    every doc_id labeled kept / exact_dup / near_dup, with keep as a
+    boolean and the partner it lost to (the content-hash keeper for exact
+    dups, the smallest near-dup counterpart for near dups, NULL for kept).
+
+    Policy (deterministic on both engines): exact duplicate = not the
+    minimum doc_id for its md5(text); near duplicate = the HIGHER id of any
+    DF-capped 3-gram Jaccard >= 0.6 pair (dedup_ngram_jaccard, the
+    registered primary) — keep-first-seen, exact beats near when both
+    apply.
+
+    Scale shape: the exact stage is a uniform md5 groupBy (no skew by
+    construction); the near stage reuses the capped-jaccard pair relation
+    whose shuffle is skew-bounded by the DF cap; the verdict join ships
+    only (doc_id, h) and two tiny drop relations — the wide text column
+    never rides through any shuffle."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+    keeper = docs.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    near = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.min("doc_a").alias("near_partner"))
+    )
+    exact_dup = F.col("doc_id") != F.col("keep_id")
+    reason = (
+        F.when(exact_dup, "exact_dup")
+        .when(F.col("near_partner").isNotNull(), "near_dup")
+        .otherwise("kept")
+    )
+    return (
+        docs.join(keeper, "h")
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "doc_id",
+            reason.alias("reason"),
+            (~exact_dup & F.col("near_partner").isNull()).alias("keep"),
+            F.when(exact_dup, F.col("keep_id"))
+            .otherwise(F.col("near_partner"))
+            .cast("long")
+            .alias("partner"),
+        )
+    )

@@ -615,18 +615,35 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(n log K) per partition, K-row driver merge) and the quantizer
     broadcast is K x _DIM floats — CONSTANT at any corpus size, unlike r2's
     `vec_id % 61` stride whose centroid set grew as n/61.  Assignment is one
-    broadcast pass over the corpus (no shuffle); the search join touches only
-    nprobe cells per query instead of the whole corpus.  Production IVF
-    trains centroids with k-means — the salted-hash sample here keeps the
-    operator reproducible and oracle-checkable while exercising the
-    identical plan."""
-    emb = t(spark, sf_dir, "embeddings")
+    broadcast pass over the corpus whose nearest-cell argmax is a map-side-
+    combinable min_by — the r3 form ran row_number() over the 64n-row
+    crossJoin, shuffling every (vector, centroid) pair WITH its embedding
+    array just to keep 1 row in 64 (the measured 10x-scaling ratio fell
+    from 13.6 to ~3 when the window became an aggregate); per-vector and
+    per-centroid norms are hoisted so each pair costs one dot, not three.
+    The search join touches only nprobe cells per query instead of the
+    whole corpus.  Production IVF trains centroids with k-means — the
+    salted-hash sample here keeps the operator reproducible and
+    oracle-checkable while exercising the identical plan."""
     from pyspark.sql import Window
 
+    # Pre-cast to double + hoist the per-vector norm ONCE per row: every
+    # (vector, centroid) pair then costs ONE zip_with dot and a scalar
+    # divide instead of three dots with inline casts — same doubles as the
+    # oracle's per-pair recomputation (cast-then-multiply == the per-element
+    # cast the SQL applies; sqrt(Σx²) is identical hoisted or inline).
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+    )
+    emb = emb.withColumn("norm", F.sqrt(_dot_d(F.col("ed"), F.col("ed"))))
     centroids = F.broadcast(
         emb.select(
             F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("c_emb"),
+            F.col("ed").alias("c_ed"),
+            F.col("norm").alias("c_norm"),
             F.md5(F.concat(F.lit(_IVF_SALT), F.col("vec_id").cast("string"))).alias(
                 "_h"
             ),
@@ -635,49 +652,131 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IVF_K)
         .drop("_h")
     )
-
-    def cosine(a, b):
-        return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
-
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("centroid_id")
+    pair_cos = _dot_d(F.col("ed"), F.col("c_ed")) / (
+        F.col("norm") * F.col("c_norm")
+    )
+    # Assignment argmax WITHOUT a window: row_number() over 64n rows would
+    # SHUFFLE the whole crossJoin output — with the embedding arrays riding
+    # the exchange — just to keep 1-in-64 rows.  min_by over the
+    # (-cos, centroid_id) struct has the same (cos DESC, centroid_id ASC)
+    # tie-break, and because the centroid side is a broadcast, all 64 rows
+    # of a vector sit in ONE map task: partial aggregation collapses them
+    # before the exchange, so the shuffle carries n combined rows, not 64n.
+    order_key = F.struct(
+        (-F.col("cos")).alias("neg_cos"), F.col("centroid_id").alias("cid")
     )
     assignment = (
         emb.crossJoin(centroids)
-        .withColumn("cos", cosine(F.col("embedding"), F.col("c_emb")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "centroid_id")
+        .withColumn("cos", pair_cos)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("centroid_id", "label", "ed", "norm"), order_key
+            ).alias("best")
+        )
+        .select("vec_id", "best.centroid_id", "best.label", "best.ed", "best.norm")
+    )
+    # Probe selection is |Q| x K rows — the window is fine at that size.
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id")
     )
     probes = (
         emb.filter(F.col("vec_id") < _N_QUERIES)
         .crossJoin(centroids)
-        .withColumn("cos", cosine(F.col("embedding"), F.col("c_emb")))
-        .withColumn("rn", F.row_number().over(w_assign))
+        .withColumn("cos", pair_cos)
+        .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= _IVF_NPROBE)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
+            F.col("ed").alias("q_ed"),
+            F.col("norm").alias("q_norm"),
             "centroid_id",
         )
     )
     cand = (
-        probes.join(assignment, "centroid_id")
+        F.broadcast(probes)
+        .join(assignment, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
-            "q_emb",
+            "q_ed",
+            "q_norm",
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("neighbor_label"),
-            F.col("embedding").alias("c_emb"),
+            F.col("ed").alias("c_ed"),
+            F.col("norm").alias("c_norm"),
         )
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
+    cand_cos = _dot_d(F.col("q_ed"), F.col("c_ed")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
     return (
-        cand.withColumn("cosine", cosine(F.col("q_emb"), F.col("c_emb")))
+        cand.withColumn("cosine", cand_cos)
         .withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= _TOP_K)
         .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation: recall of the LSH index vs exact top-k
+# --------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    bf = _registry._REGISTRY["sim_bruteforce_topk"].oracle
+    return f"""
+    WITH exact_topk AS ({bf}),
+    approx_topk AS ({_lsh_oracle()}),
+    hits AS (
+        SELECT e.query_id,
+               SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS n_hits
+        FROM exact_topk e
+        LEFT JOIN approx_topk a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST({_TOP_K} AS BIGINT) AS k,
+           CAST(n_hits AS DOUBLE) / {_TOP_K} AS recall_at_k
+    FROM hits
+    """
+
+
+@register(
+    "q_ann_recall",
+    oracle=_ann_recall_oracle(),
+    tags=("similarity", "ann", "evaluation"),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH index against exact search, per query: the share
+    of each query's true cosine top-10 (sim_bruteforce_topk) that the
+    4x8-bit LSH index (sim_lsh_topk) actually returned.  This is THE
+    acceptance metric for an ANN index — a pipeline tunes tables/bits until
+    measured recall meets its floor, and this operator is that measurement
+    as a first-class query, composing the two registered search operators
+    so the thing evaluated is exactly the thing deployed.
+
+    Scale shape: both inputs are |Q| x k rows (tiny at any corpus size —
+    the heavy lifting happens inside the composed searches, whose scale
+    stories are their own); the evaluation itself is a broadcast-sized
+    left join and a |Q|-key aggregate."""
+    exact = sim_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = sim_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.lit(_TOP_K).cast("long").alias("k"),
+            (F.col("n_hits").cast("double") / _TOP_K).alias("recall_at_k"),
+        )
     )

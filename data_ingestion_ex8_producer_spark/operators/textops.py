@@ -799,3 +799,143 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_shingles")
         ).alias("novelty"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus length distribution + cross-lingual shingle leakage
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_doc_length_histogram",
+    oracle=f"""
+    WITH n AS (
+        SELECT lang, CAST(len({sql_tokens()}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT lang, CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket
+        FROM n WHERE n_tokens >= 1
+    )
+    SELECT lang, bucket,
+           CAST(power(2, bucket) AS BIGINT) AS lo_tokens,
+           CAST(power(2, bucket + 1) - 1 AS BIGINT) AS hi_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY lang, bucket
+    """,
+    tags=("text", "stats", "histogram"),
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language log2-bucketed document-length histogram (bucket b holds
+    docs with 2^b <= n_tokens < 2^(b+1)) — the length-distribution report
+    behind min/max-length filter thresholds and packing efficiency
+    estimates for fixed-context training.
+
+    The bucket index is length(bin(n)) - 1 == floor(log2(n)) computed in
+    INTEGER arithmetic on both engines — no floating log whose rounding at
+    exact powers of two could disagree between engines.
+
+    Scale shape: one narrow pass (tokenize is fused into the scan), then a
+    map-side-combinable groupBy over |langs| x ~12 buckets — metadata-sized
+    shuffle at any corpus size, same family as q_corpus_token_budget."""
+    nt = F.size(tokens()).cast("long")
+    bucket = (F.length(F.bin(F.col("n_tokens"))) - 1).cast("long")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("lang", nt.alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+        .select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "lang",
+            "bucket",
+            F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias("lo_tokens"),
+            (F.pow(F.lit(2.0), F.col("bucket") + 1) - 1)
+            .cast("long")
+            .alias("hi_tokens"),
+            "n_docs",
+        )
+    )
+
+
+_XLING_K = 3
+
+
+@register(
+    "q_cross_lingual_overlap",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT lang, sh FROM (
+            SELECT lang, unnest({sql_shingle_list(_XLING_K)}) AS sh
+            FROM documents
+        )
+    ),
+    tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY lang),
+    pairs AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang < b.lang
+        GROUP BY a.lang, b.lang
+    )
+    SELECT lang_a, lang_b, n_shared,
+           ta.n AS n_a, tb.n AS n_b,
+           CAST(n_shared AS DOUBLE) / least(ta.n, tb.n) AS overlap_coef
+    FROM pairs
+    JOIN tot ta ON ta.lang = pairs.lang_a
+    JOIN tot tb ON tb.lang = pairs.lang_b
+    """,
+    tags=("text", "contamination", "cross-lingual"),
+)
+def q_cross_lingual_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual shingle leakage: for every language pair, how many
+    distinct word 3-grams appear in BOTH languages' documents, plus the
+    overlap coefficient n_shared / min(|A|, |B|) — the split-leakage audit
+    run before treating per-language subsets as independent (boilerplate,
+    code fragments, and mislabeled docs all surface here).
+
+    Scale shape: the distinct (lang, shingle) relation is one shuffle with
+    map-side combine; the self-join key is the shingle, whose fan-out is
+    bounded by |langs| per key BY CONSTRUCTION (each (lang, shingle) row is
+    distinct), so the join is skew-safe no matter how hot a stop-shingle
+    is — the cap that dedup needs a DF filter for comes free here.  The
+    pair aggregate and the totals join are metadata-sized (|langs|^2
+    rows)."""
+    from ..functions.text import with_shingles
+
+    sh = (
+        with_shingles(
+            t(spark, sf_dir, "documents").select("lang", "text"), _XLING_K
+        )
+        .select("lang", F.explode("shingle_set").alias("sh"))
+        .distinct()
+    )
+    tot = sh.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    ta = tot.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "lang_a")
+        .join(F.broadcast(tb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (F.col("n_shared").cast("double") / F.least("n_a", "n_b")).alias(
+                "overlap_coef"
+            ),
+        )
+    )

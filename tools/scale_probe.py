@@ -60,6 +60,14 @@ CAPPED_VS_EXACT = (
     ("dedup_embedding_neardup", "dedup_embedding_cosine_exact"),
 )
 
+# Deeper point for the DF-cap story: at 10x of the sf0.01 base the hottest
+# shingle df barely exceeds the cap (the capped and exact forms look alike);
+# at this K the replicated corpus pushes hot-shingle df far past the cap, so
+# the exact twin's per-key df^2 term dominates while the capped form stays
+# linear — the regime the cap exists for.
+JACCARD_DEEP_K = 30
+JACCARD_PAIR = ("dedup_ngram_jaccard", "dedup_ngram_jaccard_exact")
+
 _REPLICATED = {
     "lineitem": "l_orderkey",
     "orders": "o_orderkey",
@@ -138,11 +146,19 @@ def main() -> None:
         print(f"building {k}x replica of {exact_base} in {exact_dir} ...")
         build_replicated(exact_base, exact_dir, k)
 
+    deep_dir = f"/tmp/scale_probe_exact_x{JACCARD_DEEP_K}"
+    if not os.path.exists(f"{deep_dir}/documents.parquet"):
+        print(f"building {JACCARD_DEEP_K}x replica of {exact_base} in {deep_dir} ...")
+        build_replicated(exact_base, deep_dir, JACCARD_DEEP_K)
+
     spark = build_session("scale_probe")
     specs = all_specs()
     rows = _probe_set(spark, specs, PROBE_QUERIES, base, out_dir, k)
     exact_names = [n for pair in CAPPED_VS_EXACT for n in pair]
     exact_rows = _probe_set(spark, specs, exact_names, exact_base, exact_dir, k)
+    deep_rows = _probe_set(
+        spark, specs, JACCARD_PAIR, exact_base, deep_dir, JACCARD_DEEP_K
+    )
 
     lines = [
         f"# SCALING — headline operators at 1x vs {k}x fact volume",
@@ -173,6 +189,23 @@ def main() -> None:
         "|---|---|---|---|",
     ]
     for name, tb, tg, r in exact_rows:
+        lines.append(f"| {name} | {tb:.2f} | {tg:.2f} | {r:.1f} |")
+    lines += [
+        "",
+        f"## DF-cap regime: capped vs exact jaccard at 1x vs {JACCARD_DEEP_K}x "
+        f"(`{exact_base}` base)",
+        "",
+        f"At {k}x the hottest shingle df barely exceeds the DF cap, so the",
+        "capped and exact forms look alike; at this deeper point hot-shingle",
+        "df is far past the cap and the exact twin pays its per-key df^2",
+        "join fan-out while the capped primary drops the hot set before the",
+        "pair join — the widening gap is the cap earning its keep.",
+        "",
+        f"| operator | 1x sec | {JACCARD_DEEP_K}x sec | time ratio "
+        f"(data ratio {JACCARD_DEEP_K}.0) |",
+        "|---|---|---|---|",
+    ]
+    for name, tb, tg, r in deep_rows:
         lines.append(f"| {name} | {tb:.2f} | {tg:.2f} | {r:.1f} |")
     lines += [
         "",
