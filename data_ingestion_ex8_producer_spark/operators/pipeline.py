@@ -646,3 +646,111 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# Embedding outlier shortlist (distance-to-centroid QA)
+# --------------------------------------------------------------------------
+
+_OUT_Q = 1_000_000_000_000  # 1e-12 grid for per-element squared-diff sums
+_OUT_TOPN = 10
+
+
+@register(
+    "q_embedding_outliers",
+    oracle=f"""
+    WITH elems AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(round(x * {_QUANT}) AS BIGINT)) AS DOUBLE)
+                 / ({_QUANT} * COUNT(*)) AS c
+        FROM elems GROUP BY label, pos
+    ),
+    d2 AS (
+        SELECT e.vec_id, e.label,
+               SUM(CAST(round((e.x - c.c) * (e.x - c.c) * {_OUT_Q}) AS BIGINT))
+                 AS sq
+        FROM elems e
+        JOIN cent c ON c.label = e.label AND c.pos = e.pos
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label,
+           sqrt(CAST(sq AS DOUBLE) / {_OUT_Q}) AS dist,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY sq DESC, vec_id) AS rk
+        FROM d2
+    ) WHERE rk <= {_OUT_TOPN}
+    """,
+    tags=("pipeline", "vector", "outliers", "evaluation"),
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: the 10 vectors FURTHEST from their label's centroid,
+    per label — mislabeled points, decode failures, and distribution drift
+    all surface at the top of this list before they poison an ANN index or
+    a classifier head.
+
+    Exactness discipline (the module's integer-quantization pattern, twice):
+    centroids come from 1e-6-quantized BIGINT sums (exact at any
+    parallelism, same grid as emb_centroid_by_label); each vector's squared
+    distance is then a SUM of per-element round(diff^2 * 1e12) BIGINTs —
+    associative, order-free, identical on both engines — and the outlier
+    ranking orders by the INTEGER sum, so ranks never depend on a floating
+    comparison (the reported dist is derived afterwards).  Headroom:
+    diff^2 <= 4 on unit-scale elements -> 4e12/element, x64 dims ~ 2.6e14
+    per vector, far under BIGINT.
+
+    Scale shape: posexplode -> broadcast join against the (labels x dims)
+    centroid table (metadata-sized at any corpus) -> map-side-combinable
+    BIGINT sum on (vec_id, label) -> per-label top-10 via WindowGroupLimit
+    (partial top-k before the label shuffle, so a popular label never
+    concentrates its full membership on one task)."""
+    from pyspark.sql import Window
+
+    elems = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", "label", "pos", F.col("x").cast("double").alias("x"))
+    cent = (
+        elems.select(
+            "label",
+            "pos",
+            F.round(F.col("x") * _QUANT).cast("long").alias("xq"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("xq").alias("sxq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos",
+            (F.col("sxq").cast("double") / (F.lit(_QUANT) * F.col("n"))).alias(
+                "c"
+            ),
+        )
+    )
+    diff = F.col("x") - F.col("c")
+    d2 = (
+        elems.join(F.broadcast(cent), ["label", "pos"])
+        .select(
+            "vec_id",
+            "label",
+            F.round(diff * diff * _OUT_Q).cast("long").alias("dq"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("dq").alias("sq"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("sq").desc(), F.col("vec_id"))
+    return (
+        d2.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _OUT_TOPN)
+        .select(
+            "vec_id",
+            "label",
+            F.sqrt(F.col("sq").cast("double") / _OUT_Q).alias("dist"),
+            "rk",
+        )
+    )

@@ -604,6 +604,7 @@ def _sql_cosine(a: str, b: str) -> str:
     FROM ranked WHERE rk <= {_TOP_K}
     """,
     tags=("similarity", "ivf", "ann"),
+    bench=True,
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: K fixed deterministic coarse centroids (smallest salted
@@ -760,6 +761,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured recall meets its floor, and this operator is that measurement
     as a first-class query, composing the two registered search operators
     so the thing evaluated is exactly the thing deployed.
+
+    What it reports here: ~0.1 mean recall@10 at sf0.01 — honestly low,
+    and exactly the diagnosis the metric exists to deliver: the synthetic
+    embeddings are near-uniform on the sphere (max pairwise cosine ~0.5),
+    the adversarial regime for sign-LSH, and 8-bit buckets (collision
+    probability (1-θ/π)^8 per table) are tuned too selective for it.  The
+    remedy the measurement points to — fewer bits and/or more tables, cf.
+    dedup_embedding_neardup's recall-leaning 6-bit config — is a
+    parameter change, not a plan change.
 
     Scale shape: both inputs are |Q| x k rows (tiny at any corpus size —
     the heavy lifting happens inside the composed searches, whose scale

@@ -49,6 +49,8 @@ PROBE_QUERIES = (
     "sim_ivf_topk",
     "text_tfidf",
     "text_chunk",
+    "q_doc_ngram_novelty",
+    "q_curation_funnel",
 )
 
 # Scale-path operator vs its deliberately-quadratic exact twin, measured at a
