@@ -324,3 +324,146 @@ def q_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("day_start").isNotNull())
     )
+
+
+# --------------------------------------------------------------------------
+# Burst detection + per-user feature extraction
+# --------------------------------------------------------------------------
+
+_BURST_TRAIL = 6  # trailing observed hour-buckets in the baseline
+_BURST_FACTOR = 2  # burst = count > FACTOR x trailing mean
+
+
+@register(
+    "q_event_burst_detection",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    ),
+    trailed AS (
+        SELECT event_type, hour_start, n_events,
+               CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS trail_sum,
+               CAST(COUNT(n_events) OVER w AS BIGINT) AS trail_n
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                     ROWS BETWEEN {_BURST_TRAIL} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_start, n_events, trail_sum, trail_n,
+           (trail_n > 0 AND n_events * trail_n > {_BURST_FACTOR} * trail_sum)
+             AS is_burst
+    FROM trailed
+    """,
+    tags=("events", "window", "anomaly"),
+)
+def q_event_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-burst flags: an hour bucket is a burst when its event count
+    exceeds 2x the mean of the trailing 6 OBSERVED buckets of
+    the same event type (hours with zero events produce no bucket and are
+    skipped by the frame — the documented semantics; a gap-filled variant
+    would compose q_time_series_gapfill first).
+
+    Exactness: the burst predicate is pure INTEGER arithmetic —
+    ``count * trail_n > 2 * trail_sum`` instead of a floating
+    count-vs-mean comparison — so the flag can never disagree across
+    engines at the decision boundary.
+
+    Scale shape: the hourly rollup is a map-side-combinable groupBy whose
+    output is (event_types x hours) — time-bounded metadata, tiny relative
+    to the event stream; the trailing frame then runs over that rollup, so
+    the window shuffle is metadata-sized no matter how many raw events an
+    hour contains.  (The same two-stage shape streams: tumbling agg +
+    stateful comparison.)"""
+    from pyspark.sql import Window
+
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "event_type",
+            F.col("window.start").alias("hour_start"),
+            "n_events",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-_BURST_TRAIL, -1)
+    )
+    trail_sum = F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("long")
+    trail_n = F.count("n_events").over(w).cast("long")
+    return hourly.select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        trail_sum.alias("trail_sum"),
+        trail_n.alias("trail_n"),
+        (
+            (trail_n > 0)
+            & (F.col("n_events") * trail_n > _BURST_FACTOR * trail_sum)
+        ).alias("is_burst"),
+    )
+
+
+@register(
+    "q_user_activity_features",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clicks,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_views,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS error_rate,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)
+             AS avg_value,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS span_seconds
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("events", "features", "ml"),
+)
+def q_user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector — the feature-extraction pass that
+    turns a raw event stream into ML-model inputs: activity volume, type
+    diversity, click/view counts, error rate, exact-decimal value totals,
+    and first-to-last-event span.
+
+    One shuffle on user_id with full map-side partial aggregation (every
+    feature is an algebraic aggregate; COUNT(DISTINCT event_type) expands
+    to the standard two-phase distinct-agg plan).  Value sums follow the
+    module's exact-decimal discipline so the doubles hash identically on
+    both engines."""
+    e = t(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(12,4)")
+    total_value = F.sum(val).cast("double")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicks"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n_views"),
+        (
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("error_rate"),
+        total_value.alias("total_value"),
+        (total_value / F.count(F.lit(1))).alias("avg_value"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        )
+        .cast("long")
+        .alias("span_seconds"),
+    )

