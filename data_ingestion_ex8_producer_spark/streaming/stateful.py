@@ -173,3 +173,95 @@ def user_profiles(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming burst detection (stateful twin of operators/events.py's
+# q_event_burst_detection)
+# --------------------------------------------------------------------------
+
+BURST_SCHEMA = (
+    "event_type string, hour_start timestamp, n_events bigint, "
+    "trail_sum bigint, trail_n bigint, is_burst boolean"
+)
+# Parallel arrays: observed hour buckets (epoch micros) + their counts.
+_BURST_STATE_SCHEMA = "hours array<long>, counts array<long>"
+_BURST_TRAIL = 6      # same trailing-bucket count as the batch twin
+_BURST_FACTOR = 2
+_BURST_RETAIN = 24    # observed buckets kept for late-update handling
+
+
+def _update_bursts(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type trailing-mean burst flags across micro-batches.
+
+    State is the last ``_BURST_RETAIN`` observed (hour, count) buckets —
+    constant-size.  Each batch merges its hourly counts into the state,
+    recomputes the integer-exact burst predicate (count * trail_n >
+    FACTOR * trail_sum over the trailing ``_BURST_TRAIL`` OBSERVED
+    buckets — identical to the batch twin's ROWS frame), and emits every
+    retained bucket in update mode (latest emission per (type, hour)
+    wins downstream).  Late events for buckets older than the retention
+    horizon are dropped — the explicit analog of a watermark."""
+    if state.exists:
+        hours, counts = list(state.get[0]), list(state.get[1])
+        m = dict(zip(hours, counts))
+        oldest_retained = min(hours) if hours else None
+    else:
+        m = {}
+        oldest_retained = None
+    floor_hour = 3_600_000_000  # micros per hour
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        us = pdf["ts"].astype("int64") // 1_000  # ns -> us
+        bucket = (us // floor_hour) * floor_hour
+        for h, c in bucket.value_counts().items():
+            h = int(h)
+            if oldest_retained is not None and h < oldest_retained:
+                continue  # older than the retention horizon: dropped
+            m[h] = m.get(h, 0) + int(c)
+    # Flags are computed over the FULL merged history BEFORE pruning, so a
+    # single-batch (availableNow) run reproduces the batch twin exactly;
+    # pruning only limits which buckets a LATER batch may still update.
+    ordered = sorted(m)
+    retained = ordered[-_BURST_RETAIN:]
+    state.update((retained, [m[h] for h in retained]))
+    rows = []
+    for i, h in enumerate(ordered):
+        trail = ordered[max(0, i - _BURST_TRAIL) : i]
+        trail_sum = sum(m[t] for t in trail)
+        trail_n = len(trail)
+        rows.append(
+            (
+                key[0],
+                pd.Timestamp(h, unit="us"),
+                m[h],
+                trail_sum,
+                trail_n,
+                trail_n > 0 and m[h] * trail_n > _BURST_FACTOR * trail_sum,
+            )
+        )
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "event_type", "hour_start", "n_events",
+            "trail_sum", "trail_n", "is_burst",
+        ],
+    )
+
+
+def event_bursts_stream(events: DataFrame) -> DataFrame:
+    """Streaming burst detector: applyInPandasWithState keyed by event_type.
+    tests/test_streaming_stateful.py pins its emissions against the batch
+    q_event_burst_detection on the same events (prefix consistency)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_bursts,
+        outputStructType=BURST_SCHEMA,
+        stateStructType=_BURST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

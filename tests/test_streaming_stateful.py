@@ -274,3 +274,33 @@ def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path: Path) -> Non
     assert rows[100]["purchase_id"] == 101  # matched pair
     assert 102 in rows, f"unmatched signup never emitted: {sorted(rows)}"
     assert rows[102]["purchase_id"] is None and rows[102]["purchase_ts"] is None
+
+
+@pytest.mark.slow
+def test_streaming_bursts_match_batch(spark, tmp_path: Path) -> None:
+    """Single availableNow batch: the stateful streaming burst detector must
+    emit exactly the batch q_event_burst_detection rows (prefix
+    consistency); retention pruning only affects which buckets a LATER
+    batch could still update."""
+    from data_ingestion_ex8_producer_spark.operators.events import (
+        q_event_burst_detection,
+    )
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        event_bursts_stream,
+    )
+
+    events = stream_events_fixture(spark, SF, str(tmp_path / "burst"))
+    _run(event_bursts_stream(events), "stream_bursts", "update")
+    got = {
+        (r["event_type"], r["hour_start"]): (
+            r["n_events"], r["trail_sum"], r["trail_n"], r["is_burst"]
+        )
+        for r in spark.sql("SELECT * FROM stream_bursts").collect()
+    }
+    expected = {
+        (r["event_type"], r["hour_start"]): (
+            r["n_events"], r["trail_sum"], r["trail_n"], r["is_burst"]
+        )
+        for r in q_event_burst_detection(spark, SF).collect()
+    }
+    assert got == expected
