@@ -669,7 +669,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints, found via a banded join (4 x 12-bit keys) + exact
     bit_count verification — identical output to the O(n^2) oracle, with
     O(n x bands) shuffle volume (see module docstring for the recall proof).
-    """
+
+    Honest scale note (SCALING.md measures ratio ~5 at 10x): the SHUFFLE is
+    O(n x bands), but expected candidate pairs inside a band bucket grow as
+    ~n^2 / 2^band_bits on uncorrelated fingerprints — the residual
+    quadratic term every guaranteed-recall banding scheme carries.  The
+    production knob is the fingerprint/band width: widening to 64-bit
+    fingerprints with 4 x 16-bit bands divides the candidate constant by
+    16 at the same hamming-3 guarantee (pigeonhole needs bands > radius,
+    which 4 > 3 still satisfies); this corpus keeps 48/12 so the oracle's
+    packed-lane SQL stays readable."""
     docs = t(spark, sf_dir, "documents").withColumn(
         "tok", F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
     )
