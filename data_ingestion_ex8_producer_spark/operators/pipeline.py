@@ -754,3 +754,107 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Context-packing efficiency + per-source duplication profile
+# --------------------------------------------------------------------------
+
+_PACK_CTX = 256  # tokens per training context
+
+
+@register(
+    "q_packing_efficiency",
+    oracle=f"""
+    WITH n AS (
+        SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(((n_tokens + {_PACK_CTX - 1}) // {_PACK_CTX}) * {_PACK_CTX})
+                AS BIGINT) AS padded_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE)
+             / SUM(((n_tokens + {_PACK_CTX - 1}) // {_PACK_CTX}) * {_PACK_CTX})
+             AS pad_efficiency,
+           CAST((SUM(n_tokens) + {_PACK_CTX - 1}) // {_PACK_CTX} AS BIGINT)
+             AS packed_contexts,
+           CAST(SUM((n_tokens + {_PACK_CTX - 1}) // {_PACK_CTX}) AS BIGINT)
+             AS padded_contexts
+    FROM n
+    """,
+    tags=("pipeline", "reporting", "packing"),
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-packing planning report for a 256-token training context:
+    token efficiency of pad-per-document batching (each doc padded up to a
+    context multiple) vs the concat-and-split packing floor — the numbers
+    that decide whether a pipeline needs sequence packing at all.
+
+    All ceil-divisions are integer arithmetic ((n + C-1) // C on both
+    engines); the single efficiency ratio is one exact-integer division.
+    One narrow scan + a single all-combinable global aggregate: the
+    operator's output is ONE row at any corpus size."""
+    from ..functions.text import tokens
+
+    nt = F.size(tokens()).cast("long")
+    ctx = F.lit(_PACK_CTX)
+    padded = ((F.col("n_tokens") + (_PACK_CTX - 1)) / ctx).cast("long") * ctx
+    n_ctx = ((F.col("n_tokens") + (_PACK_CTX - 1)) / ctx).cast("long")
+    return (
+        t(spark, sf_dir, "documents")
+        .select(nt.alias("n_tokens"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(padded).cast("long").alias("padded_tokens"),
+            (F.sum("n_tokens").cast("double") / F.sum(padded)).alias(
+                "pad_efficiency"
+            ),
+            ((F.sum("n_tokens") + (_PACK_CTX - 1)) / ctx)
+            .cast("long")
+            .alias("packed_contexts"),
+            F.sum(n_ctx).cast("long").alias("padded_contexts"),
+        )
+    )
+
+
+@register(
+    "q_source_dup_profile",
+    oracle="""
+    WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    keeper AS (SELECT h, MIN(doc_id) AS keep_id FROM h GROUP BY h)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dups,
+           CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_rate
+    FROM h JOIN keeper USING (h)
+    GROUP BY source
+    """,
+    tags=("pipeline", "dedup", "reporting"),
+)
+def q_source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication profile: how many of each source's documents
+    are exact copies of earlier content (not the keeper for their hash) —
+    the spam-domain report that feeds per-source quota decisions
+    (q_source_quota_cap) and crawl blocklists.
+
+    Same uniform md5 shuffle as dedup_exact, then a metadata-sized
+    groupBy(source) — no text column ever shuffles."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("text")).alias("h")
+    )
+    keeper = docs.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    dup = (F.col("doc_id") != F.col("keep_id")).cast("int")
+    return (
+        docs.join(keeper, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(dup).cast("long").alias("n_exact_dups"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+        )
+    )
