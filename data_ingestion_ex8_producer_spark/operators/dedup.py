@@ -879,12 +879,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def content_hashed(spark: SparkSession, sf_dir: str, *extra_cols: str) -> DataFrame:
+    """(doc_id, md5(text), *extra_cols) — the content-hash relation behind
+    every keep-first-seen exact-dedup policy.  ONE definition so the
+    survivorship verdict and the per-source dup profile (and any future
+    consumer) can never drift on what "same content" means."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", *extra_cols, F.md5(F.col("text")).alias("h")
+    )
+
+
+def keeper_of(hashed: DataFrame) -> DataFrame:
+    """(h, keep_id): the minimum doc_id per content hash — the keeper."""
+    return hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+
+
+def sql_keeper_ctes(extra_cols: str = "") -> str:
+    """Oracle twin of content_hashed + keeper_of, as two WITH clauses named
+    ``hashes`` and ``keeper``.  ``extra_cols`` rides along in ``hashes``."""
+    cols = f"doc_id, {extra_cols}, " if extra_cols else "doc_id, "
+    return (
+        f"hashes AS (SELECT {cols}md5(text) AS h FROM documents),\n"
+        "    keeper AS (SELECT h, MIN(doc_id) AS keep_id FROM hashes GROUP BY h)"
+    )
+
+
 @register(
     "q_dedup_survivorship",
     oracle=f"""
     WITH near AS ({_jaccard_oracle(_DF_CAP)}),
-    hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
-    keeper AS (SELECT h, MIN(doc_id) AS keep_id FROM hashes GROUP BY h),
+    {sql_keeper_ctes()},
     nd AS (SELECT doc_b AS doc_id, MIN(doc_a) AS near_partner
            FROM near GROUP BY doc_b)
     SELECT d.doc_id,
@@ -915,12 +939,14 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the exact stage is a uniform md5 groupBy (no skew by
     construction); the near stage reuses the capped-jaccard pair relation
     whose shuffle is skew-bounded by the DF cap; the verdict join ships
-    only (doc_id, h) and two tiny drop relations — the wide text column
-    never rides through any shuffle."""
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.md5(F.col("text")).alias("h")
-    )
-    keeper = docs.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    only (doc_id, h) and the narrow drop relations — the wide text column
+    never rides through any shuffle.  The near-partner relation is NOT
+    broadcast-hinted: on a duplicate-heavy corpus (exactly when this
+    report matters) it is a constant fraction of all documents, so the
+    join stays a shuffle join on doc_id and AQE may broadcast it when
+    runtime stats show it is actually small."""
+    docs = content_hashed(spark, sf_dir)
+    keeper = keeper_of(docs)
     near = (
         dedup_ngram_jaccard(spark, sf_dir)
         .groupBy(F.col("doc_b").alias("doc_id"))
@@ -934,7 +960,7 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.join(keeper, "h")
-        .join(F.broadcast(near), "doc_id", "left")
+        .join(near, "doc_id", "left")
         .select(
             "doc_id",
             reason.alias("reason"),

@@ -822,18 +822,9 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_source_dup_profile",
-    oracle="""
-    WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents),
-    keeper AS (SELECT h, MIN(doc_id) AS keep_id FROM h GROUP BY h)
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_exact_dups,
-           CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*) AS dup_rate
-    FROM h JOIN keeper USING (h)
-    GROUP BY source
-    """,
+    oracle=None,  # attached below: shares dedup.sql_keeper_ctes with
+                  # q_dedup_survivorship so the keep-first policy is
+                  # single-sourced on the SQL side too
     tags=("pipeline", "dedup", "reporting"),
 )
 def q_source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -843,11 +834,14 @@ def q_source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_source_quota_cap) and crawl blocklists.
 
     Same uniform md5 shuffle as dedup_exact, then a metadata-sized
-    groupBy(source) — no text column ever shuffles."""
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.md5(F.col("text")).alias("h")
-    )
-    keeper = docs.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    groupBy(source) — no text column ever shuffles.  The content-hash /
+    keeper relations come from dedup.content_hashed/keeper_of — the SAME
+    definitions q_dedup_survivorship uses, so the keep-first policy cannot
+    drift between the per-doc verdict and this per-source rollup."""
+    from .dedup import content_hashed, keeper_of
+
+    docs = content_hashed(spark, sf_dir, "source")
+    keeper = keeper_of(docs)
     dup = (F.col("doc_id") != F.col("keep_id")).cast("int")
     return (
         docs.join(keeper, "h")
@@ -858,3 +852,27 @@ def q_source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_rate"),
         )
     )
+
+
+from ..plans import registry as _registry  # noqa: E402
+from .dedup import sql_keeper_ctes  # noqa: E402
+
+_spec = _registry._REGISTRY["q_source_dup_profile"]
+_registry._REGISTRY["q_source_dup_profile"] = _registry.QuerySpec(
+    name=_spec.name,
+    builder=_spec.builder,
+    oracle=f"""
+    WITH {sql_keeper_ctes("source")}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dups,
+           CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_rate
+    FROM hashes JOIN keeper USING (h)
+    GROUP BY source
+    """,
+    tags=_spec.tags,
+    bench=_spec.bench,
+    doc=_spec.doc,
+)

@@ -559,9 +559,19 @@ def _sql_cosine(a: str, b: str) -> str:
 @register(
     "sim_ivf_topk",
     oracle=f"""
-    WITH centroids AS (
+    WITH emb_valid AS (
+        -- Degenerate vectors (NULL, wrong width, zero/NaN norm) are
+        -- EXCLUDED by contract on both engines: a NaN cosine would rank
+        -- differently under the Spark min_by argmax vs this window — the
+        -- filter pins the population instead of relying on clean data.
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {_DIM}
+          AND {_sql_dot('embedding', 'embedding')} > 0
+          AND NOT isnan({_sql_dot('embedding', 'embedding')})
+    ),
+    centroids AS (
         SELECT vec_id AS centroid_id, embedding AS c_emb
-        FROM embeddings
+        FROM emb_valid
         ORDER BY md5('{_IVF_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
         LIMIT {_IVF_K}
     ),
@@ -571,7 +581,7 @@ def _sql_cosine(a: str, b: str) -> str:
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                       ORDER BY {_sql_cosine('e.embedding', 'c.c_emb')} DESC,
                                                c.centroid_id) AS rn
-            FROM embeddings e CROSS JOIN centroids c
+            FROM emb_valid e CROSS JOIN centroids c
         ) WHERE rn = 1
     ),
     probes AS (
@@ -580,7 +590,7 @@ def _sql_cosine(a: str, b: str) -> str:
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                       ORDER BY {_sql_cosine('q.embedding', 'c.c_emb')} DESC,
                                                c.centroid_id) AS rn
-            FROM embeddings q CROSS JOIN centroids c
+            FROM emb_valid q CROSS JOIN centroids c
             WHERE q.vec_id < {_N_QUERIES}
         ) WHERE rn <= {_IVF_NPROBE}
     ),
@@ -593,7 +603,7 @@ def _sql_cosine(a: str, b: str) -> str:
     scored AS (
         SELECT cand.query_id, cand.neighbor_id, cand.neighbor_label,
                {_sql_cosine('q.embedding', 'cand.c_embedding')} AS cosine
-        FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        FROM cand JOIN emb_valid q ON q.vec_id = cand.query_id
     ),
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -640,6 +650,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
     )
     emb = emb.withColumn("norm", F.sqrt(_dot_d(F.col("ed"), F.col("ed"))))
+    # Same validity contract as the oracle's emb_valid CTE: NULL/wrong-width
+    # vectors and zero/NaN norms are excluded EXPLICITLY — a NaN cosine
+    # would order differently under min_by than under the oracle's window.
+    emb = emb.filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == _DIM)
+        & (F.col("norm") > 0)
+        & ~F.isnan(F.col("norm"))
+    )
     centroids = F.broadcast(
         emb.select(
             F.col("vec_id").alias("centroid_id"),

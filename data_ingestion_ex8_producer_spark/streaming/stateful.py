@@ -184,10 +184,13 @@ BURST_SCHEMA = (
     "event_type string, hour_start timestamp, n_events bigint, "
     "trail_sum bigint, trail_n bigint, is_burst boolean"
 )
-# Parallel arrays: observed hour buckets (epoch micros) + their counts.
-_BURST_STATE_SCHEMA = "hours array<long>, counts array<long>"
-_BURST_TRAIL = 6      # same trailing-bucket count as the batch twin
-_BURST_FACTOR = 2
+# Parallel arrays: observed hour buckets (epoch micros) + their counts, plus
+# the number of buckets ever pruned off the front (tells us whether the
+# oldest retained buckets have complete trailing history).
+_BURST_STATE_SCHEMA = "hours array<long>, counts array<long>, n_pruned bigint"
+# Single source of truth for the predicate parameters: the batch twin.
+from ..operators.events import _BURST_FACTOR, _BURST_TRAIL  # noqa: E402
+
 _BURST_RETAIN = 24    # observed buckets kept for late-update handling
 
 
@@ -198,22 +201,38 @@ def _update_bursts(
 ) -> Iterator[pd.DataFrame]:
     """Per-event-type trailing-mean burst flags across micro-batches.
 
-    State is the last ``_BURST_RETAIN`` observed (hour, count) buckets —
-    constant-size.  Each batch merges its hourly counts into the state,
-    recomputes the integer-exact burst predicate (count * trail_n >
-    FACTOR * trail_sum over the trailing ``_BURST_TRAIL`` OBSERVED
-    buckets — identical to the batch twin's ROWS frame), and emits every
-    retained bucket in update mode (latest emission per (type, hour)
-    wins downstream).  Late events for buckets older than the retention
-    horizon are dropped — the explicit analog of a watermark."""
+    State is the last ``_BURST_RETAIN`` observed (hour, count) buckets plus
+    a pruned-bucket counter — constant-size.  Each batch merges its hourly
+    counts into the state and recomputes the integer-exact burst predicate
+    (count * trail_n > FACTOR * trail_sum over the trailing
+    ``_BURST_TRAIL`` OBSERVED buckets — identical to the batch twin's ROWS
+    frame) for the buckets the batch AFFECTED: the changed buckets and any
+    bucket whose trailing window contains one.  Only those are emitted
+    (update mode: latest emission per (type, hour) wins downstream);
+    untouched buckets keep their previously-emitted, still-correct rows —
+    re-emitting them after pruning would recompute their trails from
+    truncated history and overwrite correct values with wrong ones.
+
+    Late-data contract: once pruning has happened, events for buckets
+    older than the ``_BURST_TRAIL``-th retained bucket are dropped (the
+    explicit analog of a watermark).  The bound exists so every bucket we
+    may still UPDATE has its full trailing window inside retained state;
+    before any pruning, arbitrarily old/out-of-order buckets are accepted
+    because complete history is present."""
     if state.exists:
-        hours, counts = list(state.get[0]), list(state.get[1])
+        hours, counts, n_pruned = (
+            list(state.get[0]), list(state.get[1]), int(state.get[2])
+        )
         m = dict(zip(hours, counts))
-        oldest_retained = min(hours) if hours else None
     else:
-        m = {}
-        oldest_retained = None
+        hours, m, n_pruned = [], {}, 0
+    # Once pruned, only buckets whose full trail is retained stay updatable.
+    update_horizon = (
+        hours[_BURST_TRAIL] if n_pruned > 0 and len(hours) > _BURST_TRAIL
+        else (hours[0] if n_pruned > 0 else None)
+    )
     floor_hour = 3_600_000_000  # micros per hour
+    changed: set[int] = set()
     for pdf in batches:
         if len(pdf) == 0:
             continue
@@ -221,17 +240,24 @@ def _update_bursts(
         bucket = (us // floor_hour) * floor_hour
         for h, c in bucket.value_counts().items():
             h = int(h)
-            if oldest_retained is not None and h < oldest_retained:
-                continue  # older than the retention horizon: dropped
+            if update_horizon is not None and h < update_horizon:
+                continue  # behind the late-data horizon: dropped
             m[h] = m.get(h, 0) + int(c)
-    # Flags are computed over the FULL merged history BEFORE pruning, so a
-    # single-batch (availableNow) run reproduces the batch twin exactly;
-    # pruning only limits which buckets a LATER batch may still update.
+            changed.add(h)
     ordered = sorted(m)
+    # Affected = changed buckets + every bucket whose trailing window
+    # contains a changed bucket (the next _BURST_TRAIL observed positions).
+    idx = {h: i for i, h in enumerate(ordered)}
+    affected: set[int] = set()
+    for h in changed:
+        i = idx[h]
+        affected.update(ordered[i : i + _BURST_TRAIL + 1])
     retained = ordered[-_BURST_RETAIN:]
-    state.update((retained, [m[h] for h in retained]))
+    n_pruned += len(ordered) - len(retained)
+    state.update((retained, [m[h] for h in retained], n_pruned))
     rows = []
-    for i, h in enumerate(ordered):
+    for h in sorted(affected):
+        i = idx[h]
         trail = ordered[max(0, i - _BURST_TRAIL) : i]
         trail_sum = sum(m[t] for t in trail)
         trail_n = len(trail)
@@ -257,7 +283,9 @@ def _update_bursts(
 def event_bursts_stream(events: DataFrame) -> DataFrame:
     """Streaming burst detector: applyInPandasWithState keyed by event_type.
     tests/test_streaming_stateful.py pins its emissions against the batch
-    q_event_burst_detection on the same events (prefix consistency)."""
+    q_event_burst_detection on the same events (prefix consistency), and
+    separately exercises the multi-batch no-overwrite property via direct
+    state-function calls."""
     return events.groupBy("event_type").applyInPandasWithState(
         _update_bursts,
         outputStructType=BURST_SCHEMA,

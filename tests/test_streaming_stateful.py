@@ -304,3 +304,92 @@ def test_streaming_bursts_match_batch(spark, tmp_path: Path) -> None:
         for r in q_event_burst_detection(spark, SF).collect()
     }
     assert got == expected
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for direct state-function unit tests."""
+
+    def __init__(self) -> None:
+        self._value = None
+
+    @property
+    def exists(self) -> bool:
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value) -> None:
+        self._value = value
+
+
+def _mk_events(hour_counts: dict[int, int]):
+    """One pandas batch with `count` events inside each epoch-hour bucket."""
+    import pandas as pd
+
+    ts = []
+    for h, c in hour_counts.items():
+        base = pd.Timestamp(h * 3_600_000_000, unit="us")
+        ts.extend(base + pd.Timedelta(seconds=i) for i in range(c))
+    return pd.DataFrame({"ts": pd.Series(ts, dtype="datetime64[ns]")})
+
+
+def test_burst_state_no_truncated_reemission() -> None:
+    """Multi-batch regression: after pruning, a later batch must NOT re-emit
+    old buckets with trails recomputed from truncated history (update-mode
+    sinks would overwrite the correct earlier rows)."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        _BURST_RETAIN,
+        _update_bursts,
+    )
+
+    state = _FakeState()
+    # Batch 1: 30 hourly buckets -> full-history flags, then prune to 24.
+    batch1 = _mk_events({h: 1 + h % 3 for h in range(100, 130)})
+    out1 = pd.concat(_update_bursts(("click",), iter([batch1]), state))
+    assert len(out1) == 30  # everything is new -> everything emitted
+    assert len(state.get[0]) == _BURST_RETAIN
+
+    # Batch 2: one event in a brand-new bucket.  Only that bucket may be
+    # emitted (nothing else changed; no trailing window contains it).
+    out2 = pd.concat(_update_bursts(("click",), iter([_mk_events({130: 5})]), state))
+    assert list(out2["hour_start"]) == [pd.Timestamp(130 * 3_600_000_000, unit="us")]
+    # Its trail is the 6 preceding retained buckets — complete history.
+    assert out2.iloc[0]["trail_n"] == 6
+
+    # Batch 3: a late event into a retained, updatable bucket re-emits that
+    # bucket and the buckets whose trailing windows contain it — never the
+    # pruned-trail heads.
+    state3_hours = list(state.get[0])
+    target = state3_hours[10] // 3_600_000_000
+    out3 = pd.concat(
+        _update_bursts(("click",), iter([_mk_events({int(target): 2})]), state)
+    )
+    assert 1 <= len(out3) <= 7
+    assert all(h >= state3_hours[10] for h in out3["hour_start"].astype("int64") // 1000)
+
+
+def test_burst_state_drops_data_behind_horizon() -> None:
+    """Once pruning has occurred, events older than the 6th retained bucket
+    are dropped (the watermark analog) — they can no longer be flagged
+    correctly because their trailing history is gone."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import _update_bursts
+
+    state = _FakeState()
+    pd.concat(_update_bursts(("e",), iter([_mk_events({h: 1 for h in range(100, 130)})]), state))
+    hours_before = list(state.get[0])
+    out = pd.concat(_update_bursts(("e",), iter([_mk_events({50: 9})]), state))
+    assert len(out) == 0
+    assert list(state.get[0]) == hours_before
+
+    # Before any pruning, arbitrarily old out-of-order buckets ARE accepted.
+    state2 = _FakeState()
+    pd.concat(_update_bursts(("e",), iter([_mk_events({200: 1, 201: 1})]), state2))
+    out2 = pd.concat(_update_bursts(("e",), iter([_mk_events({150: 4})]), state2))
+    assert 150 * 3_600_000_000 in [int(h) for h in state2.get[0]]
+    assert len(out2) >= 1  # the new bucket (and affected successors) emit

@@ -119,7 +119,11 @@ def _time_spec(spark, spec, sf_dir: str) -> float:
     return best
 
 
-def _probe_set(spark, specs, names, base: str, out_dir: str, k: int):
+def _probe_set(spark, specs, names, base: str, out_dir: str, k: int,
+               base_times: dict | None = None):
+    """Time each query at `base` and at the replicated `out_dir`.  Pass
+    `base_times` (from an earlier pass over the SAME base) to reuse those
+    1x measurements instead of re-running identical multi-second jobs."""
     rows = []
     for name in names:
         spec = specs[name]
@@ -128,7 +132,10 @@ def _probe_set(spark, specs, names, base: str, out_dir: str, k: int):
             "overwrite"
         ).save()
         spark.catalog.clearCache()
-        t_base = _time_spec(spark, spec, base)
+        if base_times and name in base_times:
+            t_base = base_times[name]
+        else:
+            t_base = _time_spec(spark, spec, base)
         t_big = _time_spec(spark, spec, out_dir)
         rows.append((name, t_base, t_big, t_big / t_base))
         print(f"{name}: base {t_base:.2f}s  x{k} {t_big:.2f}s  ratio {t_big / t_base:.1f}")
@@ -159,7 +166,8 @@ def main() -> None:
     exact_names = [n for pair in CAPPED_VS_EXACT for n in pair]
     exact_rows = _probe_set(spark, specs, exact_names, exact_base, exact_dir, k)
     deep_rows = _probe_set(
-        spark, specs, JACCARD_PAIR, exact_base, deep_dir, JACCARD_DEEP_K
+        spark, specs, JACCARD_PAIR, exact_base, deep_dir, JACCARD_DEEP_K,
+        base_times={n: tb for n, tb, _, _ in exact_rows if n in JACCARD_PAIR},
     )
 
     lines = [
