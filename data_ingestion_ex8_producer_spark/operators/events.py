@@ -467,3 +467,66 @@ def q_user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("span_seconds"),
     )
+
+
+_PATH_TOPN = 10
+
+
+@register(
+    "q_event_path_mining",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT event_type || '>' || e2 || '>' || e3 AS path,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, n_occurrences, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path) AS rk
+          FROM paths)
+    WHERE rk <= {_PATH_TOPN}
+    """,
+    tags=("events", "sequence", "paths"),
+)
+def q_event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey mining: the 10 most common 3-step event-type paths across all
+    users (consecutive events in each user's timeline, ordered by ts with
+    event_id as the deterministic tie-break).  Where q_funnel checks ONE
+    prescribed sequence, this discovers which sequences actually happen —
+    the exploration step that decides which funnels are worth defining.
+
+    Scale shape: one shuffle on user_id for the sequence window (the
+    natural sessionization partitioning — skew equals the busiest user's
+    event count, same exposure as every per-user window); the path rollup
+    is a map-side-combinable groupBy over at most |event_types|^3 keys, and
+    the final ranking window runs on that metadata-sized relation (<= 125
+    rows here), so its single-partition sort is trivially bounded."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    w_rank = Window.orderBy(F.col("n_occurrences").desc(), F.col("path"))
+    return (
+        paths.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _PATH_TOPN)
+        .select("path", "n_occurrences", "rk")
+    )
