@@ -971,3 +971,112 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("partner"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch vs known corpus (the daily-crawl shape)
+# --------------------------------------------------------------------------
+
+_INC_MOD = 5  # doc_id % 5 == 0 -> the "incoming batch" stand-in slice
+
+
+@register(
+    "q_incremental_dedup",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({sql_shingle_list(_SHINGLE_K)}) AS shingle
+        FROM documents
+    ),
+    {_jaccard_kept_cte(_DF_CAP)},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS inc_id, b.doc_id AS known_id, COUNT(*) AS inter
+        FROM kept a JOIN kept b ON a.shingle = b.shingle
+        WHERE a.doc_id % {_INC_MOD} = 0 AND b.doc_id % {_INC_MOD} <> 0
+        GROUP BY 1, 2
+    ),
+    near AS (
+        SELECT inc_id, MIN(known_id) AS near_id
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = inc_id
+        JOIN sizes sb ON sb.doc_id = known_id
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+              >= {_JACCARD_THRESHOLD}
+        GROUP BY inc_id
+    ),
+    known_keeper AS (
+        SELECT h, MIN(doc_id) AS keep_id FROM (
+            SELECT doc_id, md5(text) AS h FROM documents
+            WHERE doc_id % {_INC_MOD} <> 0
+        ) GROUP BY h
+    )
+    SELECT i.doc_id,
+           CASE WHEN k.keep_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.near_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict,
+           CAST(COALESCE(k.keep_id, n.near_id) AS BIGINT) AS match_id
+    FROM (SELECT doc_id, md5(text) AS h FROM documents
+          WHERE doc_id % {_INC_MOD} = 0) i
+    LEFT JOIN known_keeper k USING (h)
+    LEFT JOIN near n ON n.inc_id = i.doc_id
+    """,
+    tags=("dedup", "incremental", "curation"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: label each document of an INCOMING batch (here
+    the doc_id % 5 == 0 slice stands in for today's crawl) as exact_dup /
+    near_dup / new against the KNOWN corpus (the rest), with the known
+    document it matched.  Exact beats near; the near match is the smallest
+    known counterpart at capped-shingle Jaccard >= 0.6.
+
+    This is the shape that keeps continuous-crawl dedup alive at 100 TB:
+    the known corpus is never self-joined — both stages are ONE-SIDED
+    joins of the (small) incoming relation against the known side
+    (content-hash equi-join; DF-capped shingle join whose fan-out per key
+    is still bounded by the cap), so daily cost scales with the batch, not
+    the archive.  A production deployment materializes the known shingle/
+    hash relations once and reuses them across batches (here both derive
+    from one table, split by the modulo stand-in)."""
+    docs = content_hashed(spark, sf_dir)
+    inc_docs = docs.filter((F.col("doc_id") % _INC_MOD) == 0)
+    known_keeper = keeper_of(docs.filter((F.col("doc_id") % _INC_MOD) != 0))
+
+    sh = _shingle_relation(spark, sf_dir, _DF_CAP).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inc_sh = sh.filter((F.col("doc_id") % _INC_MOD) == 0).alias("a")
+    known_sh = sh.filter((F.col("doc_id") % _INC_MOD) != 0).alias("b")
+    pairs = (
+        inc_sh.join(known_sh, F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("a.doc_id").alias("inc_id"), F.col("b.doc_id").alias("known_id")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("inc_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("known_id"), F.col("sz").alias("sz_b"))
+    jaccard = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    )
+    near = (
+        pairs.join(sa, "inc_id")
+        .join(sb, "known_id")
+        .filter(jaccard >= _JACCARD_THRESHOLD)
+        .groupBy("inc_id")
+        .agg(F.min("known_id").alias("near_id"))
+    )
+    verdict = (
+        F.when(F.col("keep_id").isNotNull(), "exact_dup")
+        .when(F.col("near_id").isNotNull(), "near_dup")
+        .otherwise("new")
+    )
+    return (
+        inc_docs.join(known_keeper, "h", "left")
+        .join(near, inc_docs.doc_id == near.inc_id, "left")
+        .select(
+            "doc_id",
+            verdict.alias("verdict"),
+            F.coalesce(F.col("keep_id"), F.col("near_id"))
+            .cast("long")
+            .alias("match_id"),
+        )
+    )

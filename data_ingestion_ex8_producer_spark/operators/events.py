@@ -530,3 +530,59 @@ def q_event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _PATH_TOPN)
         .select("path", "n_occurrences", "rk")
     )
+
+
+@register(
+    "q_event_transition_time",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER w AS to_type,
+               CAST(date_diff('microsecond', ts, LEAD(ts) OVER w) AS BIGINT)
+                 AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT from_type, to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000 AS mean_gap_sec
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("events", "sequence", "dwell"),
+)
+def q_event_transition_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition dwell-time matrix: for every (from_type, to_type) pair of
+    consecutive events in a user's timeline, how often the transition
+    happens and the mean seconds it takes — the weighted companion to
+    q_event_path_mining (paths say WHICH journeys happen; this says how
+    fast each hop is, the input to timeout/abandonment thresholds).
+
+    Exactness: gaps are integer MICROSECOND differences summed as BIGINT
+    (associative, order-free); the single closing division chain to mean
+    seconds is identical on both engines.  Scale shape: one user_id window
+    shuffle (shared with every per-user sequence op), then a
+    |types|^2-key combinable rollup — metadata-sized output."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.lead("ts", 1).over(w)) - F.unix_micros(F.col("ts"))
+    seq = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type", 1).over(w).alias("to_type"),
+        gap_us.alias("gap_us"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+            (
+                F.sum("gap_us").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1_000_000.0)
+            ).alias("mean_gap_sec"),
+        )
+    )
