@@ -876,3 +876,79 @@ _registry._REGISTRY["q_source_dup_profile"] = _registry.QuerySpec(
     bench=_spec.bench,
     doc=_spec.doc,
 )
+
+
+# --------------------------------------------------------------------------
+# Robust per-dimension quantiles (exact order statistics)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_dim_quantiles",
+    oracle=f"""
+    WITH elems AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
+    ),
+    ranked AS (
+        SELECT dim, x,
+               ROW_NUMBER() OVER (PARTITION BY dim ORDER BY x) AS rn,
+               COUNT(*) OVER (PARTITION BY dim) AS n
+        FROM elems
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = ((n - 1) * 5) // 100 + 1 THEN x END) AS p05,
+           MAX(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN x END) AS p50,
+           MAX(CASE WHEN rn = ((n - 1) * 95) // 100 + 1 THEN x END) AS p95
+    FROM ranked
+    GROUP BY dim
+    """,
+    tags=("pipeline", "vector", "stats", "quantiles"),
+)
+def q_emb_dim_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-dimension spread profile: exact p05/p50/p95 ORDER
+    STATISTICS (lower-empirical-quantile convention: the value at rank
+    floor((n-1)*p) + 1) for every embedding dimension — the clamp bounds a
+    winsorizing normalizer or int8 quantizer uses so a handful of outliers
+    cannot stretch the value range.
+
+    Why order statistics and not percentile()/quantile_cont: interpolated
+    quantiles AVERAGE two doubles, and the two engines' interpolation
+    arithmetic need not be bit-identical — the k-th smallest element is a
+    VALUE FROM THE DATA, identical by definition (ties ordered by value
+    only, so the selected value is well-defined regardless of tie order).
+
+    Scale shape: posexplode then ONE rank window per dimension partition —
+    64 fixed-cardinality partitions with no skew (every vector contributes
+    exactly one element per dim); the final rollup is metadata-sized.  At
+    extreme corpus sizes the same report comes from partial histograms;
+    the exact form is the oracle-checkable reference."""
+    from pyspark.sql import Window
+
+    elems = (
+        t(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == _EMB_DIM)
+        )
+        .select(F.posexplode("embedding").alias("dim", "x"))
+        .select("dim", F.col("x").cast("double").alias("x"))
+    )
+    w_rank = Window.partitionBy("dim").orderBy("x")
+    w_all = Window.partitionBy("dim")
+    ranked = elems.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
+
+    def at_pct(pct: int):
+        target = F.expr(f"((n - 1) * {pct}) div 100") + 1
+        return F.max(F.when(F.col("rn") == target, F.col("x")))
+
+    return ranked.groupBy("dim").agg(
+        F.max("n").cast("long").alias("n"),
+        at_pct(5).alias("p05"),
+        at_pct(50).alias("p50"),
+        at_pct(95).alias("p95"),
+    ).select(F.col("dim").cast("long").alias("dim"), "n", "p05", "p50", "p95")

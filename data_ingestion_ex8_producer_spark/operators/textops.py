@@ -939,3 +939,75 @@ def q_cross_lingual_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mixed-language (code-switching) detection
+# --------------------------------------------------------------------------
+
+_PURITY_LANGS = tuple(_LANG_PROFILES)  # en, es, de, fr
+
+
+@register(
+    "q_doc_language_purity",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {sql_tokens()} AS ts FROM documents),
+    hits AS (
+        SELECT doc_id, lang,
+               {_LANG_HITS_SQL}
+        FROM toks
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CASE lang {' '.join(f"WHEN '{lg}' THEN hits_{lg}" for lg in _PURITY_LANGS)}
+                    ELSE 0 END AS own_hits,
+               greatest({', '.join(f"CASE WHEN lang = '{lg}' THEN -1 ELSE hits_{lg} END" for lg in _PURITY_LANGS)})
+                 AS best_other_hits
+        FROM hits
+    )
+    SELECT doc_id, lang,
+           CAST(own_hits AS BIGINT) AS own_hits,
+           CAST(best_other_hits AS BIGINT) AS best_other_hits,
+           CASE WHEN own_hits + best_other_hits = 0 THEN NULL
+                ELSE CAST(own_hits AS DOUBLE) / (own_hits + best_other_hits)
+           END AS purity,
+           (own_hits + best_other_hits > 0
+            AND best_other_hits * 2 > own_hits) AS is_mixed
+    FROM scored
+    """,
+    tags=("text", "langid", "quality"),
+)
+def q_doc_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching / mislabel detection: for each document, function-word
+    hits for its LABELED language vs the strongest OTHER language profile;
+    purity = own / (own + best_other), flagged mixed when the foreign
+    signal exceeds half the native one.  Catches both genuinely
+    mixed-language documents and label errors — the docs a per-language
+    training split should quarantine.
+
+    Shares the `_LANG_HITS_SQL` / `_hit_count` profile definitions with
+    text_lang_id and q_lang_confusion (one classifier, three reports).
+    Pure narrow map, no shuffle; NULL purity when no profile matches at
+    all ('und'-like documents)."""
+    ts = tokens()
+    hits = {lg: _hit_count(ts, ws) for lg, ws in _LANG_PROFILES.items()}
+    own = F.lit(0)
+    for lg in _PURITY_LANGS:
+        own = F.when(F.col("lang") == lg, hits[lg]).otherwise(own)
+    best_other = F.greatest(
+        *[
+            F.when(F.col("lang") == lg, F.lit(-1)).otherwise(hits[lg])
+            for lg in _PURITY_LANGS
+        ]
+    )
+    total = own + best_other
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        own.cast("long").alias("own_hits"),
+        best_other.cast("long").alias("best_other_hits"),
+        F.when(total == 0, F.lit(None).cast("double"))
+        .otherwise(own.cast("double") / total)
+        .alias("purity"),
+        ((total > 0) & (best_other * 2 > own)).alias("is_mixed"),
+    )
