@@ -166,33 +166,55 @@ def _shingle_relation(
     return sh
 
 
+def scored_jaccard_pairs(
+    a_sh: DataFrame,
+    b_sh: DataFrame,
+    sizes: DataFrame,
+    cond,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """Shared Jaccard-pair core: join two (doc_id, shingle) relations on
+    ``cond`` (aliases 'a'/'b' are in scope), count intersections, attach the
+    per-doc set sizes, and keep pairs at Jaccard >= _JACCARD_THRESHOLD.
+    ONE definition of the intersection/union arithmetic and the threshold,
+    shared by the self-join dedup forms and the incremental
+    batch-vs-archive form, so the similarity semantics cannot drift."""
+    pairs = (
+        a_sh.alias("a")
+        .join(b_sh.alias("b"), cond)
+        .groupBy(F.col("a.doc_id").alias(out_a), F.col("b.doc_id").alias(out_b))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias(out_a), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias(out_b), F.col("sz").alias("sz_b"))
+    jaccard = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    )
+    return (
+        pairs.join(sa, out_a)
+        .join(sb, out_b)
+        .select(out_a, out_b, jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+def shingle_sizes(sh: DataFrame) -> DataFrame:
+    """Per-doc kept-shingle set size over a (doc_id, shingle) relation."""
+    return sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str, df_cap: int | None) -> DataFrame:
     # The exploded shingle relation feeds three subtrees (both join sides +
     # sizes); persist it so the scan+shingle(+cap) work runs once, not three
     # times.  At 100 TB this is a materialized intermediate table, not a cache.
     sh = _shingle_relation(spark, sf_dir, df_cap).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jaccard = F.col("inter").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("inter")
-    )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    return scored_jaccard_pairs(
+        sh,
+        sh,
+        shingle_sizes(sh),
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
 
 
@@ -894,12 +916,14 @@ def keeper_of(hashed: DataFrame) -> DataFrame:
     return hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
 
 
-def sql_keeper_ctes(extra_cols: str = "") -> str:
+def sql_keeper_ctes(extra_cols: str = "", where: str = "") -> str:
     """Oracle twin of content_hashed + keeper_of, as two WITH clauses named
-    ``hashes`` and ``keeper``.  ``extra_cols`` rides along in ``hashes``."""
+    ``hashes`` and ``keeper``.  ``extra_cols`` rides along in ``hashes``;
+    ``where`` (a full ``WHERE ...`` clause) restricts the population — the
+    incremental form keeps only the known-corpus slice."""
     cols = f"doc_id, {extra_cols}, " if extra_cols else "doc_id, "
     return (
-        f"hashes AS (SELECT {cols}md5(text) AS h FROM documents),\n"
+        f"hashes AS (SELECT {cols}md5(text) AS h FROM documents{where}),\n"
         "    keeper AS (SELECT h, MIN(doc_id) AS keep_id FROM hashes GROUP BY h)"
     )
 
@@ -1004,12 +1028,7 @@ _INC_MOD = 5  # doc_id % 5 == 0 -> the "incoming batch" stand-in slice
               >= {_JACCARD_THRESHOLD}
         GROUP BY inc_id
     ),
-    known_keeper AS (
-        SELECT h, MIN(doc_id) AS keep_id FROM (
-            SELECT doc_id, md5(text) AS h FROM documents
-            WHERE doc_id % {_INC_MOD} <> 0
-        ) GROUP BY h
-    )
+    {sql_keeper_ctes(where=f" WHERE doc_id % {_INC_MOD} <> 0")}
     SELECT i.doc_id,
            CASE WHEN k.keep_id IS NOT NULL THEN 'exact_dup'
                 WHEN n.near_id IS NOT NULL THEN 'near_dup'
@@ -1017,7 +1036,7 @@ _INC_MOD = 5  # doc_id % 5 == 0 -> the "incoming batch" stand-in slice
            CAST(COALESCE(k.keep_id, n.near_id) AS BIGINT) AS match_id
     FROM (SELECT doc_id, md5(text) AS h FROM documents
           WHERE doc_id % {_INC_MOD} = 0) i
-    LEFT JOIN known_keeper k USING (h)
+    LEFT JOIN keeper k USING (h)
     LEFT JOIN near n ON n.inc_id = i.doc_id
     """,
     tags=("dedup", "incremental", "curation"),
@@ -1042,25 +1061,15 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     known_keeper = keeper_of(docs.filter((F.col("doc_id") % _INC_MOD) != 0))
 
     sh = _shingle_relation(spark, sf_dir, _DF_CAP).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inc_sh = sh.filter((F.col("doc_id") % _INC_MOD) == 0).alias("a")
-    known_sh = sh.filter((F.col("doc_id") % _INC_MOD) != 0).alias("b")
-    pairs = (
-        inc_sh.join(known_sh, F.col("a.shingle") == F.col("b.shingle"))
-        .groupBy(
-            F.col("a.doc_id").alias("inc_id"), F.col("b.doc_id").alias("known_id")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("inc_id"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("known_id"), F.col("sz").alias("sz_b"))
-    jaccard = F.col("inter").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("inter")
-    )
     near = (
-        pairs.join(sa, "inc_id")
-        .join(sb, "known_id")
-        .filter(jaccard >= _JACCARD_THRESHOLD)
+        scored_jaccard_pairs(
+            sh.filter((F.col("doc_id") % _INC_MOD) == 0),
+            sh.filter((F.col("doc_id") % _INC_MOD) != 0),
+            shingle_sizes(sh),
+            F.col("a.shingle") == F.col("b.shingle"),
+            out_a="inc_id",
+            out_b="known_id",
+        )
         .groupBy("inc_id")
         .agg(F.min("known_id").alias("near_id"))
     )

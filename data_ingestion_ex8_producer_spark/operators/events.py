@@ -479,7 +479,7 @@ _PATH_TOPN = 10
         SELECT event_type,
                LEAD(event_type, 1) OVER w AS e2,
                LEAD(event_type, 2) OVER w AS e3
-        FROM events
+        FROM events WHERE event_type IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     paths AS (
@@ -511,10 +511,18 @@ def q_event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = t(spark, sf_dir, "events").select(
-        "event_type",
-        F.lead("event_type", 1).over(w).alias("e2"),
-        F.lead("event_type", 2).over(w).alias("e3"),
+    # NULL-typed events are excluded BEFORE the window on both engines:
+    # unguarded, Spark's concat_ws would silently skip a NULL first element
+    # (counting a 2-step path as 3-step) while the oracle's || yields NULL
+    # — the one place the two engines' concat semantics differ.
+    seq = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
     )
     paths = (
         seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())

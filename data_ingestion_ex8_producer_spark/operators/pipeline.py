@@ -441,19 +441,44 @@ def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-dimension embedding statistics (vector-column QA)
 # --------------------------------------------------------------------------
 
+# ONE definition of the per-element embedding population (validity filter +
+# explode), shared by every per-dimension QA operator so the reports always
+# describe the same population.  SQL twin below.
+_SQL_EMB_ELEMS = f"""(
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
+    )"""
+
+
+def _emb_elems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim, x double) with NULL/wrong-length embeddings EXCLUDED —
+    the population contract every per-dimension QA report shares (the
+    filter is explicit on both engines: posexplode would silently drop
+    only NULLs while an oracle-side expansion would keep them as NULL
+    cells)."""
+    return (
+        t(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == _EMB_DIM)
+        )
+        .select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select("vec_id", "dim", F.col("x").cast("double").alias("x"))
+    )
+
 
 @register(
     "emb_dim_stats",
     oracle=f"""
-    SELECT CAST(i - 1 AS BIGINT) AS dim,
+    SELECT CAST(dim AS BIGINT) AS dim,
            CAST(COUNT(*) AS BIGINT) AS n,
-           MIN(CAST(embedding[i] AS DOUBLE)) AS min_v,
-           MAX(CAST(embedding[i] AS DOUBLE)) AS max_v,
-           CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))
+           MIN(x) AS min_v,
+           MAX(x) AS max_v,
+           CAST(SUM(CAST(round(x * 1000000) AS BIGINT))
                 AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_q6
-    FROM embeddings CROSS JOIN range(1, {_EMB_DIM + 1}) r(i)
-    WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
-    GROUP BY i
+    FROM {_SQL_EMB_ELEMS}
+    GROUP BY dim
     """,
     tags=("pipeline", "vector", "stats"),
 )
@@ -473,16 +498,10 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit filter on BOTH engines (posexplode would silently drop only
     the NULLs while the oracle's CROSS JOIN range would keep them as NULL
     cells — the filter makes the two populations identical by
-    construction, not by luck of clean testdata)."""
-    e = (
-        t(spark, sf_dir, "embeddings")
-        .filter(
-            F.col("embedding").isNotNull() & (F.size("embedding") == _EMB_DIM)
-        )
-        .select("vec_id", F.posexplode("embedding").alias("dim", "x"))
-    )
-    xd = F.col("x").cast("double")
-    return e.groupBy("dim").agg(
+    construction, not by luck of clean testdata); both sides come from the
+    shared `_emb_elems` / `_SQL_EMB_ELEMS` definition."""
+    xd = F.col("x")
+    return _emb_elems(spark, sf_dir).groupBy("dim").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min(xd).alias("min_v"),
         F.max(xd).alias("max_v"),
@@ -887,10 +906,7 @@ _registry._REGISTRY["q_source_dup_profile"] = _registry.QuerySpec(
     "q_emb_dim_quantiles",
     oracle=f"""
     WITH elems AS (
-        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
-               CAST(unnest(embedding) AS DOUBLE) AS x
-        FROM embeddings
-        WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
+        SELECT dim, x FROM {_SQL_EMB_ELEMS}
     ),
     ranked AS (
         SELECT dim, x,
@@ -925,17 +941,11 @@ def q_emb_dim_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 fixed-cardinality partitions with no skew (every vector contributes
     exactly one element per dim); the final rollup is metadata-sized.  At
     extreme corpus sizes the same report comes from partial histograms;
-    the exact form is the oracle-checkable reference."""
+    the exact form is the oracle-checkable reference.  Population comes
+    from the shared `_emb_elems` / `_SQL_EMB_ELEMS` definition."""
     from pyspark.sql import Window
 
-    elems = (
-        t(spark, sf_dir, "embeddings")
-        .filter(
-            F.col("embedding").isNotNull() & (F.size("embedding") == _EMB_DIM)
-        )
-        .select(F.posexplode("embedding").alias("dim", "x"))
-        .select("dim", F.col("x").cast("double").alias("x"))
-    )
+    elems = _emb_elems(spark, sf_dir).select("dim", "x")
     w_rank = Window.partitionBy("dim").orderBy("x")
     w_all = Window.partitionBy("dim")
     ranked = elems.withColumn("rn", F.row_number().over(w_rank)).withColumn(
@@ -952,3 +962,64 @@ def q_emb_dim_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         at_pct(50).alias("p50"),
         at_pct(95).alias("p95"),
     ).select(F.col("dim").cast("long").alias("dim"), "n", "p05", "p50", "p95")
+
+
+# --------------------------------------------------------------------------
+# Corpus diversity (exact Simpson index per language)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_source_diversity",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(CAST(n AS HUGEINT) * n) AS DOUBLE)
+             / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS simpson,
+           1.0 - CAST(SUM(CAST(n AS HUGEINT) * n) AS DOUBLE)
+             / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS diversity
+    FROM counts
+    GROUP BY lang
+    """,
+    tags=("pipeline", "reporting", "diversity"),
+)
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language source-concentration report: Simpson index
+    sum(n_i^2)/N^2 over sources (the probability two random docs share a
+    source) and its diversity complement — the number a curation team
+    watches so one domain cannot quietly dominate a language's training
+    mix (the corpus-level counterpart of q_source_quota_cap's per-domain
+    cap).
+
+    Exactness AND overflow headroom: the squared sums run in WIDE exact
+    integers — decimal(38,0) on Spark, HUGEINT (the automatic SUM
+    promotion, forced explicitly on the n*n product) on DuckDB — because
+    long*long would overflow at ~3e9 docs per language, squarely inside
+    the 100 TB framing; doubles appear only in the single closing
+    division, correctly rounded from the same exact integers on both
+    engines.  No transcendental entropy, no order-dependent double
+    accumulation.  Scale shape: a (lang x source) combinable rollup
+    (metadata-sized), then a |langs|-row aggregate.  No data-sized
+    shuffle anywhere."""
+    counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nd = F.col("n").cast("decimal(19,0)")
+    sum_n = F.sum("n")
+    sum_n2 = F.sum(nd * nd)  # decimal(38,0): exact far past long range
+    simpson = sum_n2.cast("double") / (
+        sum_n.cast("double") * sum_n.cast("double")
+    )
+    return counts.groupBy("lang").agg(
+        sum_n.cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        simpson.alias("simpson"),
+        (F.lit(1.0) - simpson).alias("diversity"),
+    )

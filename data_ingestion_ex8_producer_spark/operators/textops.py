@@ -959,6 +959,7 @@ _PURITY_LANGS = tuple(_LANG_PROFILES)  # en, es, de, fr
     ),
     scored AS (
         SELECT doc_id, lang,
+               lang IN ({', '.join(f"'{lg}'" for lg in _PURITY_LANGS)}) AS profiled,
                CASE lang {' '.join(f"WHEN '{lg}' THEN hits_{lg}" for lg in _PURITY_LANGS)}
                     ELSE 0 END AS own_hits,
                greatest({', '.join(f"CASE WHEN lang = '{lg}' THEN -1 ELSE hits_{lg} END" for lg in _PURITY_LANGS)})
@@ -968,10 +969,10 @@ _PURITY_LANGS = tuple(_LANG_PROFILES)  # en, es, de, fr
     SELECT doc_id, lang,
            CAST(own_hits AS BIGINT) AS own_hits,
            CAST(best_other_hits AS BIGINT) AS best_other_hits,
-           CASE WHEN own_hits + best_other_hits = 0 THEN NULL
+           CASE WHEN NOT profiled OR own_hits + best_other_hits = 0 THEN NULL
                 ELSE CAST(own_hits AS DOUBLE) / (own_hits + best_other_hits)
            END AS purity,
-           (own_hits + best_other_hits > 0
+           (profiled AND own_hits + best_other_hits > 0
             AND best_other_hits * 2 > own_hits) AS is_mixed
     FROM scored
     """,
@@ -987,10 +988,13 @@ def q_doc_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shares the `_LANG_HITS_SQL` / `_hit_count` profile definitions with
     text_lang_id and q_lang_confusion (one classifier, three reports).
-    Pure narrow map, no shuffle; NULL purity when no profile matches at
-    all ('und'-like documents)."""
+    Pure narrow map, no shuffle.  A document is UNSCORED (NULL purity,
+    is_mixed false) when its label has no profile (e.g. 'zh' here) — a
+    language the classifier cannot see must not be reported as impure —
+    or when no profile matches at all ('und'-like documents)."""
     ts = tokens()
     hits = {lg: _hit_count(ts, ws) for lg, ws in _LANG_PROFILES.items()}
+    profiled = F.col("lang").isin(*_PURITY_LANGS)
     own = F.lit(0)
     for lg in _PURITY_LANGS:
         own = F.when(F.col("lang") == lg, hits[lg]).otherwise(own)
@@ -1006,8 +1010,8 @@ def q_doc_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         own.cast("long").alias("own_hits"),
         best_other.cast("long").alias("best_other_hits"),
-        F.when(total == 0, F.lit(None).cast("double"))
+        F.when(~profiled | (total == 0), F.lit(None).cast("double"))
         .otherwise(own.cast("double") / total)
         .alias("purity"),
-        ((total > 0) & (best_other * 2 > own)).alias("is_mixed"),
+        (profiled & (total > 0) & (best_other * 2 > own)).alias("is_mixed"),
     )
