@@ -148,3 +148,25 @@ def test_priority_specs_scalar_output(spark, specs, name) -> None:
         if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
     ]
     assert not complex_cols, f"{name} emits non-scalar columns {complex_cols}"
+
+
+# Round-4 heavyweight additions outside the bench set: same quadratic-stage
+# guard as the bench specs (no CartesianProduct anywhere; broadcast-bounded
+# BNLJ is allowed and asserted by the operators' own docs).
+_R4_GUARDED = (
+    "q_incremental_dedup",
+    "q_dedup_survivorship",
+    "q_ann_recall",
+    "q_embedding_outliers",
+    "q_cross_lingual_overlap",
+    "q_event_path_mining",
+    "q_event_transition_time",
+    "q_emb_dim_quantiles",
+    "q_source_diversity",
+)
+
+
+@pytest.mark.parametrize("name", _R4_GUARDED)
+def test_new_specs_no_cartesian_product(spark, specs, name) -> None:
+    plan = _plan(spark, specs[name].builder(spark, SF))
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
