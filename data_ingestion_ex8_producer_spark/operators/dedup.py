@@ -1089,3 +1089,57 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("match_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster-size distribution (dedup reporting closure)
+# --------------------------------------------------------------------------
+
+
+def _cluster_stats_oracle() -> str:
+    from ..plans import registry as _reg
+
+    clusters_sql = _reg._REGISTRY["dedup_clusters"].oracle
+    return f"""
+    WITH clusters AS ({clusters_sql})
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT)
+             AS n_removable
+    FROM clusters
+    GROUP BY cluster_size
+    """
+
+
+@register(
+    "q_dedup_cluster_stats",
+    oracle=_cluster_stats_oracle(),
+    tags=("dedup", "clusters", "reporting"),
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph: for each cluster
+    size, how many clusters exist, how many documents they hold, and how
+    many are removable (all but one keeper per cluster) — the one-page
+    answer to "how much does near-dedup actually shrink this corpus?",
+    closing the dedup family's pipeline (pairs -> clusters -> this
+    report).
+
+    Composes the registered dedup_clusters operator (iterative min-label
+    propagation; its oracle's recursive-CTE closure is reused verbatim as
+    a CTE here — one definition of the clustering on each engine).  The
+    rollup itself is metadata-sized: cluster sizes are small integers, so
+    the final groupBy holds a handful of rows at any corpus size."""
+    clusters = dedup_clusters(spark, sf_dir)
+    return clusters.groupBy("cluster_size").agg(
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("cluster_id"))
+        .cast("long")
+        .alias("n_removable"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "n_removable",
+    )
