@@ -393,3 +393,93 @@ def test_burst_state_drops_data_behind_horizon() -> None:
     out2 = pd.concat(_update_bursts(("e",), iter([_mk_events({150: 4})]), state2))
     assert 150 * 3_600_000_000 in [int(h) for h in state2.get[0]]
     assert len(out2) >= 1  # the new bucket (and affected successors) emit
+
+
+@pytest.mark.slow
+def test_streaming_bursts_checkpoint_restart(spark, tmp_path: Path) -> None:
+    """Two-run checkpoint restart: the burst detector's state (retained
+    buckets + pruned counter) must survive a stream restart, so the
+    latest emission per (type, hour) across BOTH runs equals the batch
+    twin over the full data — run 2 only re-emits buckets its new data
+    affected, with trails computed from the restored state."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_ex8_producer_spark.operators.events import (
+        q_event_burst_detection,
+    )
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+    from data_ingestion_ex8_producer_spark.streaming.events import (
+        stream_events_fixture,
+    )
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        event_bursts_stream,
+    )
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "emissions")
+
+    # Split the events into two time-ordered halves, one file each.
+    events = load_table(spark, SF, "events")
+    half1 = str(tmp_path / "half1")
+    half2 = str(tmp_path / "half2")
+    w1 = events.filter(F.col("ts") <= F.lit("2024-01-15"))
+    w2 = events.filter(F.col("ts") > F.lit("2024-01-15"))
+    assert w1.count() > 0 and w2.count() > 0
+    w1.coalesce(1).write.parquet(half1)
+    w2.coalesce(1).write.parquet(half2)
+
+    schema = events.schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(str(staging))
+
+        def sink(batch_df, epoch_id: int) -> None:
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            event_bursts_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    def _copy_part(src: str, name: str) -> None:
+        part = next(Path(src).glob("part-*.parquet"))
+        shutil.copy(part, staging / name)
+
+    _copy_part(half1, "a.parquet")
+    run_once()
+    _copy_part(half2, "b.parquet")
+    run_once()  # restart from the same checkpoint; only file b is new
+
+    emissions = spark.read.parquet(out)
+    from pyspark.sql import Window
+
+    latest = Window.partitionBy("event_type", "hour_start").orderBy(
+        F.col("epoch").desc()
+    )
+    got = {
+        (r["event_type"], r["hour_start"]): (
+            r["n_events"], r["trail_sum"], r["trail_n"], r["is_burst"]
+        )
+        for r in emissions.withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    expected = {
+        (r["event_type"], r["hour_start"]): (
+            r["n_events"], r["trail_sum"], r["trail_n"], r["is_burst"]
+        )
+        for r in q_event_burst_detection(spark, SF).collect()
+    }
+    assert got == expected
