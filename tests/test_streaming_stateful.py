@@ -483,3 +483,73 @@ def test_streaming_bursts_checkpoint_restart(spark, tmp_path: Path) -> None:
         for r in q_event_burst_detection(spark, SF).collect()
     }
     assert got == expected
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _bucketed_batches(draw):
+    """Random per-hour counts over a <=20-bucket span (below _BURST_RETAIN,
+    so no pruning can occur), split into 1-4 arbitrary batches."""
+    hours = draw(
+        st.dictionaries(
+            st.integers(min_value=500, max_value=519),
+            st.integers(min_value=1, max_value=5),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    events = [(h, i) for h, c in hours.items() for i in range(c)]
+    perm = draw(st.permutations(events))
+    n_batches = draw(st.integers(min_value=1, max_value=4))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(perm)),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in [*cuts, len(perm)]:
+        batches.append(perm[prev:c])
+        prev = c
+    return hours, batches
+
+
+@settings(max_examples=60, deadline=None)
+@given(_bucketed_batches())
+def test_burst_state_split_invariance(case) -> None:
+    """PROPERTY: while the bucket span stays inside the retention window,
+    ANY split of the events into micro-batches (any order, any cuts,
+    including empty batches) yields latest-emission-wins results identical
+    to processing everything in one batch — the prefix-consistency
+    contract of the stateful operator, without Spark in the loop."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import _update_bursts
+
+    hours, batches = case
+
+    def run(batch_list):
+        state = _FakeState()
+        latest: dict = {}
+        for evs in batch_list:
+            counts: dict[int, int] = {}
+            for h, _ in evs:
+                counts[h] = counts.get(h, 0) + 1
+            out = pd.concat(
+                _update_bursts(("k",), iter([_mk_events(counts)]), state)
+            )
+            for r in out.itertuples(index=False):
+                latest[r.hour_start] = (
+                    r.n_events, r.trail_sum, r.trail_n, r.is_burst
+                )
+        return latest
+
+    single = run([[(h, i) for h, c in hours.items() for i in range(c)]])
+    split = run(batches)
+    assert split == single
