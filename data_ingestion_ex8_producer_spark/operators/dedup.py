@@ -150,6 +150,15 @@ def _shingle_relation(
     the cap: that set is tiny by construction (only stop-shingles exceed
     it), so it broadcasts at any corpus size — broadcasting the kept
     vocabulary instead would ship the whole (huge) long tail.
+
+    Known subplan duplication, deliberate: Catalyst does not dedupe the
+    explode pipeline shared by the hot-set aggregate and the anti-join
+    input, so the tokenize/shingle/hash pass runs twice.  An interleaved
+    A/B with the pre-cap relation persisted measured NO local win (min
+    2.40 s vs 2.43 s at sf0.1 — the duplicated pass is column-pruned and
+    CPU-cheap next to the pair join).  At 100 TB the pre-cap relation is
+    what a pipeline materializes once as a table, at which point both
+    consumers read it and the duplication disappears structurally.
     """
     docs = with_shingles(spread(t(spark, sf_dir, "documents"), spark), _SHINGLE_K)
     sh = docs.select("doc_id", F.explode("shingle_set").alias("shingle")).select(
