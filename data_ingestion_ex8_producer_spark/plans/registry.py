@@ -81,23 +81,28 @@ def register(
 # sample a prefix of the registry, so the first 50 names below are chosen to
 # cover every operator family (relational, TPC-H, aggregation, set ops,
 # windows, scalar functions, subqueries, analytics, event-time, dedup, text,
-# similarity, multimodal, Python UDF/UDAF/UDTF, curation) with 2-5
+# similarity, multimodal, Python UDF/UDAF/UDTF, curation) with 2-6
 # representatives each.  Each round rotates the previous round's additions
 # into the window so they get driver-level evidence, then rotates them back
-# out once they have it.  Round 4 swaps in the r3 additions
-# (q_lang_confusion, q_doc_ngram_novelty, q_corpus_token_budget,
-# q_curation_funnel) and rotates out the r2 additions (text_chunk,
-# text_repetition, emb_quantize_int8, q_mixture_weights), which earned their
-# driver-green rows in CORRECTNESS_r03 and remain exact-oracle-verified by
-# tests/test_queries_oracle.py and the CORRECTNESS_full artifacts.  Names not
-# listed keep their module registration order after the priority block.
+# out once they have it.  Round 5 swaps in the substantive r4 additions
+# (q_event_burst_detection, q_event_path_mining, q_event_transition_time,
+# q_user_activity_features, q_incremental_dedup, q_dedup_survivorship,
+# q_ann_recall, mm_audio_window_rms) plus the r5 tuned-ANN pair
+# (sim_lsh_topk_tuned, q_ann_recall_tuned) and rotates out names with 3+
+# driver-green rounds (q_asof_join, q_collect_array, q_recursive_calendar,
+# q_event_dedup, q_time_series_gapfill, q_string_funcs) and the r3
+# additions evidenced in CORRECTNESS_r04 (q_lang_confusion,
+# q_doc_ngram_novelty, q_corpus_token_budget, q_curation_funnel).  Every
+# rotated-out name remains exact-oracle-verified
+# by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
+# scale factors.  Names not listed keep their module registration order
+# after the priority block.
 _PRIORITY: tuple[str, ...] = (
     # relational: scan/filter/project, sort/limit, joins
     "q1_pricing_summary",
     "q_top_orders",
     "q_semi_join",
     "q_anti_join",
-    "q_asof_join",
     # TPC-H style multi-join analytics
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -106,7 +111,6 @@ _PRIORITY: tuple[str, ...] = (
     # aggregation
     "q_agg_distinct",
     "q_rollup",
-    "q_collect_array",
     # set operations
     "q_union_all",
     "q_except_all",
@@ -114,40 +118,44 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_rank",
     "q_topk_per_group",
     # scalar functions
-    "q_string_funcs",
     "q_regex_extract",
     "q_higher_order_funcs",
-    # subqueries + recursive CTE
+    # subqueries
     "q_scalar_subquery",
     "q_correlated_exists",
-    "q_recursive_calendar",
     # extended analytics
     "q_pivot",
     "q_funnel",
-    # event-time (batch twins of the streaming operators)
+    # event-time + event-sequence analytics
     "q_tumbling_window",
     "q_session_window",
-    "q_event_dedup",
-    "q_time_series_gapfill",
+    "q_event_burst_detection",
+    "q_event_path_mining",
+    "q_event_transition_time",
+    "q_user_activity_features",
     # deduplication
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "q_incremental_dedup",
+    "q_dedup_survivorship",
     # text analysis
     "text_token_stats",
     "text_tfidf",
     "text_lang_id",
-    "q_lang_confusion",
-    "q_doc_ngram_novelty",
-    # similarity search
+    # similarity search + ANN evaluation
     "sim_bruteforce_topk",
     "sim_lsh_topk",
+    "sim_lsh_topk_tuned",
     "sim_ivf_topk",
+    "q_ann_recall",
+    "q_ann_recall_tuned",
     # multimodal
     "mm_binary_stats",
     "mm_decode_meta",
     "mm_embed_features",
+    "mm_audio_window_rms",
     # Python UDF / UDAF / UDTF
     "udf_accent_fold",
     "udaf_minmax_normalize",
@@ -155,8 +163,6 @@ _PRIORITY: tuple[str, ...] = (
     # curation / pipeline
     "q_hash_sample",
     "emb_normalize",
-    "q_corpus_token_budget",
-    "q_curation_funnel",
 )
 
 
