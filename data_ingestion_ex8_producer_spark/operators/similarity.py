@@ -672,19 +672,31 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells.
 
     The scale shape: centroid selection is a TakeOrderedAndProject of K rows
-    (O(n log K) per partition, K-row driver merge) and the quantizer
-    broadcast is K x _DIM floats — CONSTANT at any corpus size, unlike r2's
-    `vec_id % 61` stride whose centroid set grew as n/61.  Assignment is one
-    broadcast pass over the corpus whose nearest-cell argmax is a map-side-
-    combinable min_by — the r3 form ran row_number() over the 64n-row
-    crossJoin, shuffling every (vector, centroid) pair WITH its embedding
-    array just to keep 1 row in 64 (the measured 10x-scaling ratio fell
-    from 13.6 to ~3 when the window became an aggregate); per-vector and
-    per-centroid norms are hoisted so each pair costs one dot, not three.
-    The search join touches only nprobe cells per query instead of the
-    whole corpus.  Production IVF trains centroids with k-means — the
-    salted-hash sample here keeps the operator reproducible and
-    oracle-checkable while exercising the identical plan."""
+    (O(n log K) per partition, K-row driver merge); the K x _DIM quantizer
+    is CONSTANT-size at any corpus scale, unlike r2's `vec_id % 61` stride
+    whose centroid set grew as n/61.  Assignment is a SHUFFLE-FREE numpy
+    pandas_udf pass over the corpus (the _bucket_udf pattern): the quantizer
+    ships to executors inside the UDF closure (K-row collect of a
+    constant-size relation — the standard train-then-broadcast lifecycle of
+    a coarse quantizer, and the one deliberate collect beyond the CSV
+    header probe), and all K dots per vector are computed vectorized per
+    Arrow batch with the same strict left-fold summation as the oracle, so
+    even the floating cosines are bit-identical and argmax over the
+    id-ascending centroid axis reproduces the oracle's (cos DESC,
+    centroid_id ASC) tie-break.  History: r3 ran row_number() over the
+    64n-row crossJoin (shuffling every pair WITH its embedding, 13.6x time
+    at 10x data); r4's map-side min_by aggregate cut that to ~3x at the
+    sf0.01 base but still paid 64n interpreted zip_with dots, which
+    dominated at the sf0.1 base (7.4x at 10x — the discrepancy the two r4
+    SCALING tables recorded); this vectorized form removes both the
+    exchange and the interpreted dots, and the two bases now agree:
+    measured 1.2x at 10x of sf0.01 and 1.6x at 10x of sf0.1 (the 10x-sf0.1
+    point fell 8.74s -> 2.31s; see SCALING.md).  The search join touches
+    only nprobe cells per
+    query instead of the whole corpus.  Production IVF trains centroids
+    with k-means — the salted-hash sample here keeps the operator
+    reproducible and oracle-checkable while exercising the identical
+    plan."""
     from pyspark.sql import Window
 
     # Pre-cast to double + hoist the per-vector norm ONCE per row: every
@@ -708,7 +720,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("norm") > 0)
         & ~F.isnan(F.col("norm"))
     )
-    centroids = F.broadcast(
+    # The coarse quantizer: K rows, collected once and shipped in the
+    # assignment UDF's closure (K x _DIM doubles ≈ 32 KiB at K=64 —
+    # constant at any corpus size; a real deployment would broadcast its
+    # k-means codebook the same way).  Sorted by centroid_id so numpy
+    # argmax's first-max-wins reproduces the oracle's centroid_id ASC
+    # tie-break.
+    centroid_rows = sorted(
         emb.select(
             F.col("vec_id").alias("centroid_id"),
             F.col("ed").alias("c_ed"),
@@ -720,30 +738,58 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_h", "centroid_id")
         .limit(_IVF_K)
         .drop("_h")
+        .collect(),
+        key=lambda r: r.centroid_id,
+    )
+    c_mat = np.array([r.c_ed for r in centroid_rows], dtype=np.float64)
+    c_norm_vec = np.array([r.c_norm for r in centroid_rows], dtype=np.float64)
+    c_id_vec = np.array([r.centroid_id for r in centroid_rows], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _assign(ed: pd.Series, norm: pd.Series) -> pd.Series:
+        # Nearest-centroid assignment, vectorized per Arrow batch.  Each of
+        # the K dots accumulates over the dimension index
+        # (acc += E[:,i] * C[:,i]) — a strict left-to-right float64 fold,
+        # bit-identical to the Catalyst/DuckDB aggregate/list_sum the
+        # oracle evaluates (no FMA: numpy multiply and add are separate
+        # correctly-rounded ops), so cosine ties and near-ties resolve
+        # identically on both engines.  Rows are pre-filtered valid
+        # (non-NULL, _DIM-wide, finite positive norm); anything else maps
+        # to centroid -1, which no probe references.
+        n = len(ed)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        E = np.zeros((n, _DIM), dtype=np.float64)
+        valid = np.ones(n, dtype=bool)
+        for r, v in enumerate(ed.values):
+            a = None if v is None else np.asarray(v, dtype=np.float64)
+            if a is None or a.shape != (_DIM,) or not np.isfinite(a).all():
+                valid[r] = False
+            else:
+                E[r, :] = a
+        acc = np.zeros((n, c_mat.shape[0]), dtype=np.float64)
+        for i in range(_DIM):
+            acc += E[:, i : i + 1] * c_mat[:, i]
+        cos = acc / (norm.values[:, None] * c_norm_vec[None, :])
+        best = c_id_vec[np.argmax(cos, axis=1)]
+        return pd.Series(np.where(valid, best, -1))
+
+    # Assignment is SHUFFLE-FREE: one narrow map over the corpus — no
+    # crossJoin, no exchange, no embedding arrays in flight.
+    assignment = emb.withColumn(
+        "centroid_id", _assign(F.col("ed"), F.col("norm"))
+    ).select("vec_id", "centroid_id", "label", "ed", "norm")
+    centroids = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(r.centroid_id), list(r.c_ed), float(r.c_norm))
+                for r in centroid_rows
+            ],
+            "centroid_id long, c_ed array<double>, c_norm double",
+        )
     )
     pair_cos = _dot_d(F.col("ed"), F.col("c_ed")) / (
         F.col("norm") * F.col("c_norm")
-    )
-    # Assignment argmax WITHOUT a window: row_number() over 64n rows would
-    # SHUFFLE the whole crossJoin output — with the embedding arrays riding
-    # the exchange — just to keep 1-in-64 rows.  min_by over the
-    # (-cos, centroid_id) struct has the same (cos DESC, centroid_id ASC)
-    # tie-break, and because the centroid side is a broadcast, all 64 rows
-    # of a vector sit in ONE map task: partial aggregation collapses them
-    # before the exchange, so the shuffle carries n combined rows, not 64n.
-    order_key = F.struct(
-        (-F.col("cos")).alias("neg_cos"), F.col("centroid_id").alias("cid")
-    )
-    assignment = (
-        emb.crossJoin(centroids)
-        .withColumn("cos", pair_cos)
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct("centroid_id", "label", "ed", "norm"), order_key
-            ).alias("best")
-        )
-        .select("vec_id", "best.centroid_id", "best.label", "best.ed", "best.norm")
     )
     # Probe selection is |Q| x K rows — the window is fine at that size.
     w_probe = Window.partitionBy("vec_id").orderBy(
