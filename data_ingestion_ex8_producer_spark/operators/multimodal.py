@@ -298,6 +298,7 @@ _RMS_WINDOW = 256  # samples per analysis window
     WITH pos AS (
         SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
         FROM documents
+        WHERE octet_length(encode(text)) = length(text)
     ),
     b AS (
         SELECT doc_id, i,
@@ -328,9 +329,13 @@ def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike the decode seam above this is NOT a fake: the arithmetic is real
     windowed DSP on the real bytes (numpy ``frombuffer`` -> vectorized
     square/sum per Arrow batch), and the oracle replays it exactly via
-    codepoint arithmetic (the corpus is ASCII, so byte == codepoint — the
-    property a real audio table gets from storing PCM, not text).  RMS and
-    peak derive from exact BIGINT sums, so the doubles hash identically.
+    codepoint arithmetic.  byte == codepoint only holds for ASCII text, so
+    both engines GUARD the population with an explicit
+    octet_length == char_length filter instead of assuming a clean corpus —
+    a non-ASCII document is excluded identically on both sides rather than
+    silently diverging sample counts (a real audio table stores binary PCM,
+    where the question never arises).  RMS and peak derive from exact
+    BIGINT sums, so the doubles hash identically.
 
     Scale shape: mapInPandas streams Arrow batches with zero per-row Python
     overhead; output is len/256 rows per doc.  No shuffle at all — the
@@ -367,6 +372,7 @@ def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         t(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") == F.length("text"))
         .select("doc_id", F.col("text").cast("binary").alias("payload"))
         .mapInPandas(
             rms_batches,

@@ -444,18 +444,24 @@ def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ONE definition of the per-element embedding population (validity filter +
 # explode), shared by every per-dimension QA operator so the reports always
 # describe the same population.  SQL twin below.
-_SQL_EMB_ELEMS = f"""(
-        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+def _sql_emb_elems(extra: str = "") -> str:
+    """The element population as a SQL derived table; ``extra`` carries
+    additional embedding columns (e.g. ``" label,"``) through the unnest."""
+    return f"""(
+        SELECT vec_id,{extra} generate_subscripts(embedding, 1) - 1 AS dim,
                CAST(unnest(embedding) AS DOUBLE) AS x
         FROM embeddings
         WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
     )"""
 
 
-def _emb_elems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, dim, x double) with NULL/wrong-length embeddings EXCLUDED —
-    the population contract every per-dimension QA report shares (the
-    filter is explicit on both engines: posexplode would silently drop
+_SQL_EMB_ELEMS = _sql_emb_elems()
+
+
+def _emb_elems(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
+    """(vec_id, *extra, dim, x double) with NULL/wrong-length embeddings
+    EXCLUDED — the population contract every per-dimension QA report shares
+    (the filter is explicit on both engines: posexplode would silently drop
     only NULLs while an oracle-side expansion would keep them as NULL
     cells)."""
     return (
@@ -463,8 +469,8 @@ def _emb_elems(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("embedding").isNotNull() & (F.size("embedding") == _EMB_DIM)
         )
-        .select("vec_id", F.posexplode("embedding").alias("dim", "x"))
-        .select("vec_id", "dim", F.col("x").cast("double").alias("x"))
+        .select("vec_id", *extra, F.posexplode("embedding").alias("dim", "x"))
+        .select("vec_id", *extra, "dim", F.col("x").cast("double").alias("x"))
     )
 
 
@@ -679,10 +685,7 @@ _OUT_TOPN = 10
     "q_embedding_outliers",
     oracle=f"""
     WITH elems AS (
-        SELECT vec_id, label,
-               generate_subscripts(embedding, 1) - 1 AS pos,
-               CAST(unnest(embedding) AS DOUBLE) AS x
-        FROM embeddings
+        SELECT vec_id, label, dim AS pos, x FROM {{elems}}
     ),
     cent AS (
         SELECT label, pos,
@@ -706,7 +709,7 @@ _OUT_TOPN = 10
                                      ORDER BY sq DESC, vec_id) AS rk
         FROM d2
     ) WHERE rk <= {_OUT_TOPN}
-    """,
+    """.replace("{elems}", _sql_emb_elems(" label,")),
     tags=("pipeline", "vector", "outliers", "evaluation"),
 )
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,12 +732,16 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid table (metadata-sized at any corpus) -> map-side-combinable
     BIGINT sum on (vec_id, label) -> per-label top-10 via WindowGroupLimit
     (partial top-k before the label shuffle, so a popular label never
-    concentrates its full membership on one task)."""
+    concentrates its full membership on one task).
+
+    Population contract: elements come from the shared _emb_elems /
+    _sql_emb_elems definition (label carried through), so NULL or
+    wrong-length embeddings are excluded EXACTLY as the sibling QA reports
+    (emb_dim_stats, q_emb_dim_quantiles) exclude them — a malformed vector
+    can neither skew a centroid nor appear as a spurious outlier."""
     from pyspark.sql import Window
 
-    elems = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
-    ).select("vec_id", "label", "pos", F.col("x").cast("double").alias("x"))
+    elems = _emb_elems(spark, sf_dir, "label").withColumnRenamed("dim", "pos")
     cent = (
         elems.select(
             "label",
@@ -811,16 +818,20 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     context multiple) vs the concat-and-split packing floor — the numbers
     that decide whether a pipeline needs sequence packing at all.
 
-    All ceil-divisions are integer arithmetic ((n + C-1) // C on both
-    engines); the single efficiency ratio is one exact-integer division.
-    One narrow scan + a single all-combinable global aggregate: the
-    operator's output is ONE row at any corpus size."""
+    All ceil-divisions are true integer arithmetic on both engines — the
+    Spark side uses the SQL `div` operator (long // long), matching the
+    oracle's `//` exactly at ANY magnitude, not just while the numerator
+    fits a double's 53-bit mantissa; the single efficiency ratio is one
+    exact-integer division.  One narrow scan + a single all-combinable
+    global aggregate: the operator's output is ONE row at any corpus
+    size."""
     from ..functions.text import tokens
 
     nt = F.size(tokens()).cast("long")
-    ctx = F.lit(_PACK_CTX)
-    padded = ((F.col("n_tokens") + (_PACK_CTX - 1)) / ctx).cast("long") * ctx
-    n_ctx = ((F.col("n_tokens") + (_PACK_CTX - 1)) / ctx).cast("long")
+    padded = F.expr(
+        f"((n_tokens + {_PACK_CTX - 1}) div {_PACK_CTX}) * {_PACK_CTX}"
+    )
+    n_ctx = F.expr(f"(n_tokens + {_PACK_CTX - 1}) div {_PACK_CTX}")
     return (
         t(spark, sf_dir, "documents")
         .select(nt.alias("n_tokens"))
@@ -831,7 +842,7 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tokens").cast("double") / F.sum(padded)).alias(
                 "pad_efficiency"
             ),
-            ((F.sum("n_tokens") + (_PACK_CTX - 1)) / ctx)
+            F.expr(f"(sum(n_tokens) + {_PACK_CTX - 1}) div {_PACK_CTX}")
             .cast("long")
             .alias("packed_contexts"),
             F.sum(n_ctx).cast("long").alias("padded_contexts"),
