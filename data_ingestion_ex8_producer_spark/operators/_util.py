@@ -30,6 +30,53 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# ---- persist lifecycle ----------------------------------------------------
+#
+# Several builders persist a mid-plan relation that their returned (lazy)
+# DataFrame references more than once (shingle relations, minhash bands).
+# The builder cannot unpersist it — the caller hasn't consumed the result
+# yet — so without a seam every composed call in a long-lived session
+# accumulates cached relations until the executors evict under pressure.
+# bench.py and the correctness gates clear the whole cache between queries;
+# this registry is the contract for everyone else: builders register every
+# persist via persist_tracked(), and a session wraps consumption in
+# persisted_scope() (or calls release_persisted() at its own cadence) to
+# release exactly the relations created inside the scope.
+
+_LIVE_PERSISTED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """persist() + register for later release via persisted_scope() /
+    release_persisted()."""
+    df = df.persist()
+    _LIVE_PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked relation; returns how many were released."""
+    n = 0
+    while _LIVE_PERSISTED:
+        _LIVE_PERSISTED.pop().unpersist()
+        n += 1
+    return n
+
+
+class persisted_scope:
+    """Context manager releasing every relation persist_tracked() registered
+    inside the ``with`` block — consume the builder's DataFrame INSIDE the
+    block (the persisted relations back its plan)."""
+
+    def __enter__(self) -> "persisted_scope":
+        self._mark = len(_LIVE_PERSISTED)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        while len(_LIVE_PERSISTED) > self._mark:
+            _LIVE_PERSISTED.pop().unpersist()
+
+
 def spread(df: DataFrame, spark: SparkSession, *keys: str) -> DataFrame:
     """Repartition ``df`` up to the session's core count IFF the scan gave
     fewer partitions — the guard that makes CPU-heavy per-row stages (explode

@@ -37,7 +37,7 @@ from ..functions.text import (
     with_shingles,
 )
 from ..plans.registry import register
-from ._util import spread, t
+from ._util import persist_tracked, spread, t
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -217,7 +217,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, df_cap: int | None) -> Data
     # The exploded shingle relation feeds three subtrees (both join sides +
     # sizes); persist it so the scan+shingle(+cap) work runs once, not three
     # times.  At 100 TB this is a materialized intermediate table, not a cache.
-    sh = _shingle_relation(spark, sf_dir, df_cap).persist()
+    sh = persist_tracked(_shingle_relation(spark, sf_dir, df_cap))
     return scored_jaccard_pairs(
         sh,
         sh,
@@ -292,7 +292,7 @@ def _containment_oracle(df_cap: int | None) -> str:
 def _containment_pairs(
     spark: SparkSession, sf_dir: str, df_cap: int | None
 ) -> DataFrame:
-    sh = _shingle_relation(spark, sf_dir, df_cap).persist()
+    sh = persist_tracked(_shingle_relation(spark, sf_dir, df_cap))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -459,7 +459,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(t(spark, sf_dir, "documents"), spark)
     # Tiny (|docs| x 8 rows), feeds both join sides — persist.
-    bands = minhash_band_signatures(docs).persist()
+    bands = persist_tracked(minhash_band_signatures(docs))
     return (
         bands.alias("a")
         .join(bands.alias("b"), band_match_condition())
@@ -575,10 +575,12 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE shingle->hash->min pass: the persisted signature rows feed both the
     # band pivot (candidate generation) and the pairwise agreement count.
     # Lifecycle: a builder returns a lazy plan, so it cannot unpersist after
-    # its own action — consumers own cleanup.  bench.py clearCache()s after
-    # every timed run and check_correctness clears between queries, so the
-    # persist never warms a later measurement or leaks across queries.
-    sig = minhash_signature_rows(docs).persist()
+    # its own action — consumers own cleanup, via _util.persisted_scope()
+    # (every persist here is registered with persist_tracked).  bench.py
+    # clearCache()s after every timed run and check_correctness clears
+    # between queries, so the persist never warms a later measurement or
+    # leaks across queries; long-lived sessions use the scope.
+    sig = persist_tracked(minhash_signature_rows(docs))
     bands = _band_pivot(
         sig.select(
             "doc_id",
@@ -716,11 +718,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode("tok").alias("token")).withColumn(
         "th", hash48(F.col("token"))
     )
-    sig = (
+    sig = persist_tracked(  # |docs| x 1 long, feeds both sides of the banded join
         toks.groupBy("doc_id")
         .agg(*_simhash_agg())
         .select("doc_id", _simhash_combine())
-        .persist()  # |docs| x 1 long, feeds both sides of the banded join
     )
     band_structs = [
         F.struct(
@@ -861,9 +862,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     component and would NOT be the engine-side plan).
     """
     edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    sym = edges.union(
+    sym = persist_tracked(edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    ))
     labels = sym.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     ).localCheckpoint()
@@ -1069,7 +1070,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc_docs = docs.filter((F.col("doc_id") % _INC_MOD) == 0)
     known_keeper = keeper_of(docs.filter((F.col("doc_id") % _INC_MOD) != 0))
 
-    sh = _shingle_relation(spark, sf_dir, _DF_CAP).persist()
+    sh = persist_tracked(_shingle_relation(spark, sf_dir, _DF_CAP))
     near = (
         scored_jaccard_pairs(
             sh.filter((F.col("doc_id") % _INC_MOD) == 0),
