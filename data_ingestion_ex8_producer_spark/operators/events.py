@@ -363,8 +363,8 @@ def q_event_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traffic-burst flags: an hour bucket is a burst when its event count
     exceeds 2x the mean of the trailing 6 OBSERVED buckets of
     the same event type (hours with zero events produce no bucket and are
-    skipped by the frame — the documented semantics; a gap-filled variant
-    would compose q_time_series_gapfill first).
+    skipped by the frame — the documented semantics; q_event_burst_gapfilled
+    below is the dense-spine variant where empty hours count as zeros).
 
     Exactness: the burst predicate is pure INTEGER arithmetic —
     ``count * trail_n > 2 * trail_sum`` instead of a floating
@@ -400,6 +400,118 @@ def q_event_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour_start",
         "n_events",
+        trail_sum.alias("trail_sum"),
+        trail_n.alias("trail_n"),
+        (
+            (trail_n > 0)
+            & (F.col("n_events") * trail_n > _BURST_FACTOR * trail_sum)
+        ).alias("is_burst"),
+    )
+
+
+@register(
+    "q_event_burst_gapfilled",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+               CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT t.event_type, h.hour_start,
+               COALESCE(a.n_events, 0) AS n_events,
+               CAST(a.n_events IS NULL AS BOOLEAN) AS is_gap
+        FROM types t
+        CROSS JOIN hours h
+        LEFT JOIN hourly a
+          ON a.event_type = t.event_type AND a.hour_start = h.hour_start
+    ),
+    trailed AS (
+        SELECT event_type, hour_start, n_events, is_gap,
+               CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS trail_sum,
+               CAST(COUNT(n_events) OVER w AS BIGINT) AS trail_n
+        FROM dense
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                     ROWS BETWEEN {_BURST_TRAIL} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_start, n_events, is_gap, trail_sum, trail_n,
+           (trail_n > 0 AND n_events * trail_n > {_BURST_FACTOR} * trail_sum)
+             AS is_burst
+    FROM trailed
+    """,
+    tags=("events", "window", "anomaly", "gapfill"),
+)
+def q_event_burst_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection over a GAP-FILLED hour spine — the variant an
+    on-call alerting pipeline actually wants: q_event_burst_detection's
+    trailing baseline skips empty hours entirely (its frame sees only
+    observed buckets), so traffic resuming after a quiet night is compared
+    against pre-quiet levels and looks normal.  Here every (event_type,
+    hour) cell of the dense spine exists — empty hours count as
+    zero-activity buckets that DRAG the trailing mean down — so a
+    resumption spike is flagged, and gap rows themselves are marked
+    (`is_gap`, the q_time_series_gapfill convention) for the silence-alert
+    path.  Same integer-only burst predicate as the sparse variant
+    (count * trail_n > 2 * trail_sum — no floating decision boundary).
+
+    Scale shape: the spine is |event_types| x |hours| — generated metadata
+    (one aggregated min/max row exploded, crossJoined against the distinct
+    types, both broadcast-sized), NOT a scan product — left-joined to the
+    same map-side-combinable hourly rollup the sparse variant uses; the
+    trailing window again runs over bucket metadata, never raw events.
+    The dense-spine trade-off at 100 TB: rollup output grows from observed
+    to all cells, still time-bounded metadata (e.g. 10 types x 1 year =
+    87.6k rows)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_start"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_actual"))
+    dense = (
+        types.crossJoin(hours)
+        .join(hourly, ["event_type", "hour_start"], "left")
+        .select(
+            "event_type",
+            "hour_start",
+            F.coalesce(F.col("n_actual"), F.lit(0)).cast("long").alias("n_events"),
+            F.col("n_actual").isNull().alias("is_gap"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-_BURST_TRAIL, -1)
+    )
+    trail_sum = F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("long")
+    trail_n = F.count("n_events").over(w).cast("long")
+    return dense.select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        "is_gap",
         trail_sum.alias("trail_sum"),
         trail_n.alias("trail_n"),
         (
@@ -493,7 +605,8 @@ _PATH_TOPN = 10
           FROM paths)
     WHERE rk <= {_PATH_TOPN}
     """,
-    tags=("events", "sequence", "paths"),
+    tags=("events", "sequence", "paths", "bench"),
+    bench=True,
 )
 def q_event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Journey mining: the 10 most common 3-step event-type paths across all
