@@ -1153,3 +1153,98 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_removable",
     )
+
+
+# --------------------------------------------------------------------------
+# Candidate-set quality: recall/precision of the scale paths vs exact truth
+# --------------------------------------------------------------------------
+
+
+def _pair_recall_oracle() -> str:
+    return f"""
+    WITH truth AS ({_jaccard_oracle(None)}),
+    capped AS ({_jaccard_oracle(_DF_CAP)}),
+    mh AS ({_minhash_oracle()}),
+    stats AS (
+        SELECT 'df_capped' AS method,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM capped) AS n_pred,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM capped c
+                JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                 AS n_common
+        UNION ALL
+        SELECT 'minhash_lsh',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM mh),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM truth),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM mh m
+                JOIN truth t ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b)
+    )
+    SELECT method, n_pred, n_truth, n_common,
+           CAST(n_common AS DOUBLE) / n_truth AS recall_vs_exact,
+           CASE WHEN n_pred > 0
+                THEN CAST(n_common AS DOUBLE) / n_pred END AS precision_vs_exact
+    FROM stats
+    """
+
+
+@register(
+    "q_dedup_pair_recall",
+    oracle=_pair_recall_oracle(),
+    tags=("dedup", "evaluation"),
+)
+def q_dedup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall AND precision of the two deployed near-dup scale paths against
+    the exact all-shingles Jaccard truth — the dedup-side twin of
+    q_ann_recall's acceptance-metric pattern: before a pipeline trusts a
+    capped or sketched dedup pass at 100 TB, it measures what fraction of
+    true duplicate pairs the cheap path finds (recall) and how much of what
+    it flags is real (precision), at a scale where the exact form is still
+    runnable.
+
+    Two methods, one report row each, composing the REGISTERED operators so
+    the thing measured is the thing deployed:
+
+    * ``df_capped``   — dedup_ngram_jaccard (DF-capped shingle join).  The
+      cap changes both candidates and the computed Jaccard (sizes count
+      kept shingles only), so its pair set can drift from truth exactly
+      where hot shingles dominate a document.
+    * ``minhash_lsh`` — dedup_minhash_lsh band-collision CANDIDATES
+      (precision < 1 expected by design: the S-curve admits sub-threshold
+      pairs; the verify stage downstream restores it).
+
+    Scale shape: the heavy lifting is inside the composed operators (each
+    with its own scale story; the exact truth is the one deliberately
+    quadratic anchor, which is the point of running the measurement at
+    evaluation scale).  The evaluation itself joins pair-id sets (tiny) and
+    emits 2 rows."""
+    truth = dedup_ngram_jaccard_exact(spark, sf_dir).select("doc_a", "doc_b")
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    parts = []
+    for method, pred_df in (
+        ("df_capped", dedup_ngram_jaccard(spark, sf_dir)),
+        ("minhash_lsh", dedup_minhash_lsh(spark, sf_dir)),
+    ):
+        pred = pred_df.select("doc_a", "doc_b")
+        n_pred = pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+        n_common = (
+            pred.join(truth, ["doc_a", "doc_b"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        )
+        parts.append(
+            n_pred.crossJoin(n_common)
+            .crossJoin(n_truth)
+            .select(
+                F.lit(method).alias("method"),
+                "n_pred",
+                "n_truth",
+                "n_common",
+                (F.col("n_common").cast("double") / F.col("n_truth")).alias(
+                    "recall_vs_exact"
+                ),
+                F.when(
+                    F.col("n_pred") > 0,
+                    F.col("n_common").cast("double") / F.col("n_pred"),
+                ).alias("precision_vs_exact"),
+            )
+        )
+    return parts[0].unionAll(parts[1])

@@ -707,3 +707,84 @@ def q_event_transition_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_gap_sec"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Shuffle-key skew diagnostics
+# --------------------------------------------------------------------------
+
+_SKEW_TOPN = 20
+
+
+@register(
+    "q_key_skew_profile",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_events) AS BIGINT) AS total_events,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM per_key
+    )
+    SELECT CAST(rk AS INTEGER) AS rk, user_id, n_events,
+           CAST(n_events AS DOUBLE) / total_events AS share,
+           CAST(n_events AS DOUBLE) * n_keys / total_events AS x_over_mean
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS rk
+        FROM per_key
+    ) CROSS JOIN tot
+    WHERE rk <= {_SKEW_TOPN}
+    """,
+    tags=("events", "diagnostics", "skew"),
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report for the stream's natural partitioning key:
+    the 20 heaviest user_ids with their event count, corpus share, and
+    multiple-over-mean — the diagnostic every operator in this module that
+    shuffles on user_id (sessionization, path mining, activity features)
+    is sized against, turned into a first-class query.  A pipeline runs
+    this BEFORE choosing between plain hash partitioning, salting, and
+    AQE skew-join handling; the x_over_mean column is exactly the factor
+    by which the hottest task outweighs the average one.
+
+    Exactness: counts are integers; share and x_over_mean are single IEEE
+    divisions of exact integers (identical on both engines).
+
+    Scale shape: one map-side-combinable groupBy(user_id) (the same
+    shuffle being diagnosed — unavoidable and minimal), a 1-row total
+    broadcast back over the top slice, and a global top-20 via
+    WindowGroupLimit: each map task forwards at most 20 candidate keys,
+    so the final single-partition ranking sees tasks x 20 rows of
+    metadata, never the key population."""
+    from pyspark.sql import Window
+
+    per_key = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    tot = per_key.agg(
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    return (
+        per_key.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SKEW_TOPN)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rk",
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("total_events")).alias(
+                "share"
+            ),
+            (
+                F.col("n_events").cast("double")
+                * F.col("n_keys")
+                / F.col("total_events")
+            ).alias("x_over_mean"),
+        )
+    )

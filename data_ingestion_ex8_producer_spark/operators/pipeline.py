@@ -1034,3 +1034,129 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         simpson.alias("simpson"),
         (F.lit(1.0) - simpson).alias("diversity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Balanced (data-derived-rate) downsampling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_balanced_downsample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    floor_n AS (SELECT MIN(n) AS min_n FROM counts),
+    rates AS (
+        SELECT lang, CAST(min_n AS DOUBLE) / n AS rate
+        FROM counts CROSS JOIN floor_n
+    )
+    SELECT d.doc_id, d.lang, r.rate
+    FROM documents d JOIN rates r ON r.lang = d.lang
+    WHERE CAST({sql_hash48("'balance:' || CAST(d.doc_id AS VARCHAR)")} AS DOUBLE)
+          / {_HASH_SPACE} < r.rate
+    """,
+    tags=("pipeline", "sampling", "balance"),
+)
+def q_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced stratified downsampling with DATA-DERIVED rates: each
+    language stratum is hash-sampled down toward the size of the SMALLEST
+    stratum (rate = min_count / count), the two-pass move a mixture
+    pipeline makes when it wants an equal-representation corpus rather
+    than q_hash_sample's fixed rates or q_mixture_weights' reweighting.
+
+    Sampling stays a pure function of the row key (salted hash48 <
+    rate), so the kept set is stable across reruns, partitioning, and
+    engines; the expected kept size per stratum is min_count (exact
+    equality needs reservoir-style global coordination — the documented
+    trade for a shuffle-free keep decision).
+
+    Scale shape: pass 1 is a metadata-sized groupBy(lang) whose result —
+    |langs| rows — broadcasts at any corpus size; pass 2 is a narrow
+    broadcast join + filter, no shuffle of the corpus at all.  The rate
+    arithmetic is one exact IEEE division per stratum, identical on both
+    engines."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    floor_n = counts.agg(F.min("n").alias("min_n"))
+    rates = F.broadcast(
+        counts.crossJoin(F.broadcast(floor_n)).select(
+            "lang", (F.col("min_n").cast("double") / F.col("n")).alias("rate")
+        )
+    )
+    u = hash48(F.concat(F.lit("balance:"), F.col("doc_id").cast("string"))).cast(
+        "double"
+    ) / F.lit(_HASH_SPACE)
+    return (
+        docs.join(rates, "lang")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "lang", "rate")
+    )
+
+
+# --------------------------------------------------------------------------
+# Global curriculum order (distributed total ranking)
+# --------------------------------------------------------------------------
+
+_CURRICULUM_BUCKET = 64  # n_chars per ranking bucket
+
+
+@register(
+    "q_curriculum_order",
+    oracle="""
+    SELECT doc_id, n_chars,
+           ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS train_order
+    FROM documents
+    """,
+    tags=("pipeline", "curriculum", "ordering"),
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global curriculum position for every document — train on short
+    documents first (ORDER BY n_chars, doc_id), as a TOTAL order the data
+    loader can range-request.  The oracle is one global ROW_NUMBER(); the
+    Spark side deliberately is NOT: a global window is a single-partition
+    sort — the classic scale-killer this operator exists to demonstrate
+    around.
+
+    Two-phase distributed ranking instead: (1) bucket each doc by
+    n_chars div 64 and count per bucket — a map-side-combinable
+    metadata aggregate; (2) turn bucket counts into starting offsets with
+    a running sum over the TINY bucket table (the only unpartitioned
+    window, over |buckets| rows of metadata), broadcast them back, and
+    row_number WITHIN each bucket partition + offset = the exact global
+    rank.  Every rank-carrying shuffle is partitioned by bucket, so
+    parallelism equals the bucket count at any corpus size; residual skew
+    is one bucket's share of the length distribution (tighten the bucket
+    width to split hot lengths).  This is the same two-phase trick a
+    100 TB sort-based pipeline uses for stable global ids."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"n_chars div {_CURRICULUM_BUCKET}").alias("bucket"),
+    )
+    bucket_counts = docs.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_in_bucket")
+    )
+    # Running offset over the metadata-sized bucket table: |buckets| rows,
+    # the one place a global window is fine.
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_counts.select(
+        "bucket",
+        F.coalesce(F.sum("n_in_bucket").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("n_chars", "doc_id")
+    return (
+        docs.join(F.broadcast(offsets), "bucket")
+        .withColumn("rk_in_bucket", F.row_number().over(w_in))
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.col("offset") + F.col("rk_in_bucket")).alias("train_order"),
+        )
+    )

@@ -605,13 +605,14 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
-@register(
-    "sim_ivf_topk",
-    oracle=f"""
-    WITH emb_valid AS (
+# The IVF coarse-quantizer pipeline as shared SQL CTEs: the valid-vector
+# population, the K deterministic centroids, and the nearest-centroid
+# assignment.  sim_ivf_topk searches with them; q_emb_kmeans_step trains
+# with them — ONE definition so the two cannot drift.
+_SQL_IVF_CTES = f"""emb_valid AS (
         -- Degenerate vectors (NULL, wrong width, zero/NaN norm) are
         -- EXCLUDED by contract on both engines: a NaN cosine would rank
-        -- differently under the Spark min_by argmax vs this window — the
+        -- differently under the Spark argmax vs this window — the
         -- filter pins the population instead of relying on clean data.
         SELECT vec_id, label, embedding FROM embeddings
         WHERE embedding IS NOT NULL AND len(embedding) = {_DIM}
@@ -632,7 +633,113 @@ def _sql_cosine(a: str, b: str) -> str:
                                                c.centroid_id) AS rn
             FROM emb_valid e CROSS JOIN centroids c
         ) WHERE rn = 1
-    ),
+    )"""
+
+
+def _ivf_valid_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The valid-vector population, pre-cast to double with the per-vector
+    norm hoisted ONCE per row (same doubles as the oracle's per-pair
+    recomputation: cast-then-multiply == the per-element cast the SQL
+    applies; sqrt(Σx²) is identical hoisted or inline).  Same validity
+    contract as the oracle's emb_valid CTE: NULL/wrong-width vectors and
+    zero/NaN norms are excluded EXPLICITLY — a NaN cosine would order
+    differently under numpy argmax than under the oracle's window."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+    )
+    emb = emb.withColumn("norm", F.sqrt(_dot_d(F.col("ed"), F.col("ed"))))
+    return emb.filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == _DIM)
+        & (F.col("norm") > 0)
+        & ~F.isnan(F.col("norm"))
+    )
+
+
+def _ivf_centroid_rows(emb: DataFrame) -> list:
+    """The coarse quantizer: K rows, collected once (K x _DIM doubles ≈
+    32 KiB at K=64 — constant at any corpus size; a real deployment would
+    broadcast its k-means codebook the same way).  Sorted by centroid_id so
+    numpy argmax's first-max-wins reproduces the oracle's centroid_id ASC
+    tie-break."""
+    return sorted(
+        emb.select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("ed").alias("c_ed"),
+            F.col("norm").alias("c_norm"),
+            F.md5(F.concat(F.lit(_IVF_SALT), F.col("vec_id").cast("string"))).alias(
+                "_h"
+            ),
+        )
+        .orderBy("_h", "centroid_id")
+        .limit(_IVF_K)
+        .drop("_h")
+        .collect(),
+        key=lambda r: r.centroid_id,
+    )
+
+
+def _ivf_assignment(emb: DataFrame, centroid_rows: list) -> DataFrame:
+    """Nearest-centroid assignment as a SHUFFLE-FREE numpy pandas_udf pass:
+    one narrow map over the corpus — no crossJoin, no exchange, no
+    embedding arrays in flight.  The quantizer ships in the UDF closure."""
+    c_mat = np.array([r.c_ed for r in centroid_rows], dtype=np.float64)
+    c_norm_vec = np.array([r.c_norm for r in centroid_rows], dtype=np.float64)
+    c_id_vec = np.array([r.centroid_id for r in centroid_rows], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _assign(ed: pd.Series, norm: pd.Series) -> pd.Series:
+        # Vectorized per Arrow batch.  Each of the K dots accumulates over
+        # the dimension index (acc += E[:,i] * C[:,i]) — a strict
+        # left-to-right float64 fold, bit-identical to the Catalyst/DuckDB
+        # aggregate/list_sum the oracle evaluates (no FMA: numpy multiply
+        # and add are separate correctly-rounded ops), so cosine ties and
+        # near-ties resolve identically on both engines.  Rows are
+        # pre-filtered valid (non-NULL, _DIM-wide, finite positive norm);
+        # anything else maps to centroid -1, which no consumer references.
+        n = len(ed)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        E = np.zeros((n, _DIM), dtype=np.float64)
+        valid = np.ones(n, dtype=bool)
+        for r, v in enumerate(ed.values):
+            a = None if v is None else np.asarray(v, dtype=np.float64)
+            if a is None or a.shape != (_DIM,) or not np.isfinite(a).all():
+                valid[r] = False
+            else:
+                E[r, :] = a
+        acc = np.zeros((n, c_mat.shape[0]), dtype=np.float64)
+        for i in range(_DIM):
+            acc += E[:, i : i + 1] * c_mat[:, i]
+        cos = acc / (norm.values[:, None] * c_norm_vec[None, :])
+        best = c_id_vec[np.argmax(cos, axis=1)]
+        return pd.Series(np.where(valid, best, -1))
+
+    return emb.withColumn(
+        "centroid_id", _assign(F.col("ed"), F.col("norm"))
+    ).select("vec_id", "centroid_id", "label", "ed", "norm")
+
+
+def _ivf_centroid_frame(spark: SparkSession, centroid_rows: list) -> DataFrame:
+    """The collected quantizer back as a constant broadcast frame."""
+    return F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(r.centroid_id), list(r.c_ed), float(r.c_norm))
+                for r in centroid_rows
+            ],
+            "centroid_id long, c_ed array<double>, c_norm double",
+        )
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH {_SQL_IVF_CTES},
     probes AS (
         SELECT query_id, centroid_id FROM (
             SELECT q.vec_id AS query_id, c.centroid_id,
@@ -699,95 +806,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan."""
     from pyspark.sql import Window
 
-    # Pre-cast to double + hoist the per-vector norm ONCE per row: every
-    # (vector, centroid) pair then costs ONE zip_with dot and a scalar
-    # divide instead of three dots with inline casts — same doubles as the
-    # oracle's per-pair recomputation (cast-then-multiply == the per-element
-    # cast the SQL applies; sqrt(Σx²) is identical hoisted or inline).
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
-    )
-    emb = emb.withColumn("norm", F.sqrt(_dot_d(F.col("ed"), F.col("ed"))))
-    # Same validity contract as the oracle's emb_valid CTE: NULL/wrong-width
-    # vectors and zero/NaN norms are excluded EXPLICITLY — a NaN cosine
-    # would order differently under min_by than under the oracle's window.
-    emb = emb.filter(
-        F.col("embedding").isNotNull()
-        & (F.size("embedding") == _DIM)
-        & (F.col("norm") > 0)
-        & ~F.isnan(F.col("norm"))
-    )
-    # The coarse quantizer: K rows, collected once and shipped in the
-    # assignment UDF's closure (K x _DIM doubles ≈ 32 KiB at K=64 —
-    # constant at any corpus size; a real deployment would broadcast its
-    # k-means codebook the same way).  Sorted by centroid_id so numpy
-    # argmax's first-max-wins reproduces the oracle's centroid_id ASC
-    # tie-break.
-    centroid_rows = sorted(
-        emb.select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("ed").alias("c_ed"),
-            F.col("norm").alias("c_norm"),
-            F.md5(F.concat(F.lit(_IVF_SALT), F.col("vec_id").cast("string"))).alias(
-                "_h"
-            ),
-        )
-        .orderBy("_h", "centroid_id")
-        .limit(_IVF_K)
-        .drop("_h")
-        .collect(),
-        key=lambda r: r.centroid_id,
-    )
-    c_mat = np.array([r.c_ed for r in centroid_rows], dtype=np.float64)
-    c_norm_vec = np.array([r.c_norm for r in centroid_rows], dtype=np.float64)
-    c_id_vec = np.array([r.centroid_id for r in centroid_rows], dtype=np.int64)
-
-    @F.pandas_udf("long")
-    def _assign(ed: pd.Series, norm: pd.Series) -> pd.Series:
-        # Nearest-centroid assignment, vectorized per Arrow batch.  Each of
-        # the K dots accumulates over the dimension index
-        # (acc += E[:,i] * C[:,i]) — a strict left-to-right float64 fold,
-        # bit-identical to the Catalyst/DuckDB aggregate/list_sum the
-        # oracle evaluates (no FMA: numpy multiply and add are separate
-        # correctly-rounded ops), so cosine ties and near-ties resolve
-        # identically on both engines.  Rows are pre-filtered valid
-        # (non-NULL, _DIM-wide, finite positive norm); anything else maps
-        # to centroid -1, which no probe references.
-        n = len(ed)
-        if n == 0:
-            return pd.Series([], dtype="int64")
-        E = np.zeros((n, _DIM), dtype=np.float64)
-        valid = np.ones(n, dtype=bool)
-        for r, v in enumerate(ed.values):
-            a = None if v is None else np.asarray(v, dtype=np.float64)
-            if a is None or a.shape != (_DIM,) or not np.isfinite(a).all():
-                valid[r] = False
-            else:
-                E[r, :] = a
-        acc = np.zeros((n, c_mat.shape[0]), dtype=np.float64)
-        for i in range(_DIM):
-            acc += E[:, i : i + 1] * c_mat[:, i]
-        cos = acc / (norm.values[:, None] * c_norm_vec[None, :])
-        best = c_id_vec[np.argmax(cos, axis=1)]
-        return pd.Series(np.where(valid, best, -1))
-
-    # Assignment is SHUFFLE-FREE: one narrow map over the corpus — no
-    # crossJoin, no exchange, no embedding arrays in flight.
-    assignment = emb.withColumn(
-        "centroid_id", _assign(F.col("ed"), F.col("norm"))
-    ).select("vec_id", "centroid_id", "label", "ed", "norm")
-    centroids = F.broadcast(
-        spark.createDataFrame(
-            [
-                (int(r.centroid_id), list(r.c_ed), float(r.c_norm))
-                for r in centroid_rows
-            ],
-            "centroid_id long, c_ed array<double>, c_norm double",
-        )
-    )
+    emb = _ivf_valid_emb(spark, sf_dir)
+    centroid_rows = _ivf_centroid_rows(emb)
+    assignment = _ivf_assignment(emb, centroid_rows)
+    centroids = _ivf_centroid_frame(spark, centroid_rows)
     pair_cos = _dot_d(F.col("ed"), F.col("c_ed")) / (
         F.col("norm") * F.col("c_norm")
     )
@@ -928,3 +950,147 @@ def q_ann_recall_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the thing deployed; same broadcast-sized evaluation shape as
     q_ann_recall."""
     return _ann_recall_frame(spark, sf_dir, sim_lsh_topk_tuned(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Spherical k-means training step (the IVF quantizer's training loop body)
+# --------------------------------------------------------------------------
+
+_KM_Q6 = 1_000_000
+_KM_Q12 = 1_000_000_000_000
+
+
+@register(
+    "q_emb_kmeans_step",
+    oracle=f"""
+    WITH {_SQL_IVF_CTES},
+    members AS (
+        SELECT a.vec_id, a.centroid_id, a.embedding, c.c_emb
+        FROM assignment a JOIN centroids c USING (centroid_id)
+    ),
+    stats AS (
+        SELECT centroid_id,
+               CAST(COUNT(*) AS BIGINT) AS n_assigned,
+               CAST(SUM(CAST(round(
+                   ({_sql_cosine('members.embedding', 'members.c_emb')})
+                   * {_KM_Q6}) AS BIGINT)) AS DOUBLE)
+                 / {_KM_Q6}.0 / COUNT(*) AS mean_cos_q6
+        FROM members GROUP BY centroid_id
+    ),
+    elems AS (
+        SELECT centroid_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM assignment
+    ),
+    newc AS (
+        SELECT centroid_id, dim,
+               CAST(SUM(CAST(round(x * {_KM_Q6}) AS BIGINT)) AS DOUBLE)
+                 / ({_KM_Q6} * COUNT(*)) AS new_c
+        FROM elems GROUP BY centroid_id, dim
+    ),
+    oldc AS (
+        SELECT centroid_id, generate_subscripts(c_emb, 1) - 1 AS dim,
+               CAST(unnest(c_emb) AS DOUBLE) AS old_c
+        FROM centroids
+    ),
+    moved AS (
+        SELECT n.centroid_id,
+               sqrt(CAST(SUM(CAST(round((n.new_c - o.old_c) * (n.new_c - o.old_c)
+                                        * {_KM_Q12}) AS BIGINT)) AS DOUBLE)
+                    / {_KM_Q12}) AS shift
+        FROM newc n JOIN oldc o ON o.centroid_id = n.centroid_id AND o.dim = n.dim
+        GROUP BY n.centroid_id
+    )
+    SELECT s.centroid_id, s.n_assigned, s.mean_cos_q6, m.shift
+    FROM stats s JOIN moved m ON m.centroid_id = s.centroid_id
+    """,
+    tags=("similarity", "ivf", "kmeans", "training"),
+)
+def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical k-means (Lloyd) iteration over the embedding corpus —
+    the training-loop body behind every production IVF index (sim_ivf_topk's
+    docstring promises "production IVF trains centroids with k-means"; this
+    is that step, as a registered query): assign every vector to its nearest
+    centroid, recompute each cell's mean vector, and report per cell the
+    membership count, the mean member-to-centroid cosine (cell coherence),
+    and how far the centroid moved (the convergence signal a training driver
+    loops on).
+
+    Shares the IVF machinery verbatim — _ivf_valid_emb population,
+    _ivf_centroid_rows quantizer, the shuffle-free vectorized assignment
+    UDF, and the _SQL_IVF_CTES oracle text — so the step trains EXACTLY the
+    structure sim_ivf_topk searches.
+
+    Exactness: member cosines are bit-identical doubles (left-fold dots),
+    so their 1e-6-quantized BIGINT sums agree; new centroids are
+    1e-6-quantized means (exact at any parallelism, the emb_centroid
+    pattern); the squared centroid displacement is a 1e-12-quantized BIGINT
+    sum — every aggregate is associative integer arithmetic, every derived
+    double a deterministic function of integers.
+
+    Scale shape: assignment is the same narrow shuffle-free map as the
+    search path; the update is ONE map-side-combinable shuffle on
+    (centroid_id, dim) — K x _DIM = 4096 keys of partial BIGINT sums, so
+    the exchange carries kilobytes per map task regardless of corpus size —
+    plus a K-key rollup for the report.  The whole step is two metadata
+    shuffles per iteration at any scale; a 100 TB training run loops this
+    exact plan."""
+    emb = _ivf_valid_emb(spark, sf_dir)
+    centroid_rows = _ivf_centroid_rows(emb)
+    assignment = _ivf_assignment(emb, centroid_rows)
+    centroids = _ivf_centroid_frame(spark, centroid_rows)
+
+    member_cos = _dot_d(F.col("ed"), F.col("c_ed")) / (
+        F.col("norm") * F.col("c_norm")
+    )
+    stats = (
+        assignment.join(centroids, "centroid_id")
+        .select(
+            "centroid_id",
+            F.round(member_cos * _KM_Q6).cast("long").alias("cq"),
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            (
+                F.sum("cq").cast("double") / _KM_Q6 / F.count(F.lit(1))
+            ).alias("mean_cos_q6"),
+        )
+    )
+    elems = assignment.select(
+        "centroid_id", F.posexplode("ed").alias("dim", "x")
+    )
+    newc = (
+        elems.select(
+            "centroid_id",
+            "dim",
+            F.round(F.col("x") * _KM_Q6).cast("long").alias("xq"),
+        )
+        .groupBy("centroid_id", "dim")
+        .agg(F.sum("xq").alias("sxq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "centroid_id",
+            "dim",
+            (F.col("sxq").cast("double") / (F.lit(_KM_Q6) * F.col("n"))).alias(
+                "new_c"
+            ),
+        )
+    )
+    oldc = centroids.select(
+        "centroid_id", F.posexplode("c_ed").alias("dim", "old_c")
+    )
+    d = F.col("new_c") - F.col("old_c")
+    moved = (
+        newc.join(F.broadcast(oldc), ["centroid_id", "dim"])
+        .select(
+            "centroid_id",
+            F.round(d * d * _KM_Q12).cast("long").alias("dq"),
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.sqrt(F.sum("dq").cast("double") / _KM_Q12).alias("shift")
+        )
+    )
+    return stats.join(moved, "centroid_id").select(
+        "centroid_id", "n_assigned", "mean_cos_q6", "shift"
+    )

@@ -1015,3 +1015,67 @@ def q_doc_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("purity"),
         (profiled & (total > 0) & (best_other * 2 > own)).alias("is_mixed"),
     )
+
+
+# --------------------------------------------------------------------------
+# DF-weighted commonness (boilerplate prior)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_doc_commonness",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({sql_shingle_list(_NOVELTY_K)}) AS shingle
+        FROM documents
+    ),
+    df AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(df.df) AS BIGINT) AS sum_df,
+           CAST(MAX(df.df) AS BIGINT) AS max_df,
+           CAST(SUM(df.df) AS DOUBLE) / COUNT(*) AS mean_df
+    FROM sh JOIN df ON df.shingle = sh.shingle
+    GROUP BY sh.doc_id
+    """,
+    tags=("text", "quality", "boilerplate"),
+)
+def q_doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-commonness score: the mean (and max) document
+    frequency of the doc's distinct word 3-grams — the complement of
+    q_doc_ngram_novelty's first-occurrence signal.  High mean_df means the
+    document is built from phrases the whole corpus repeats (templates,
+    boilerplate, licence blocks — candidates for downweighting); low
+    mean_df means rare content (either valuable or noise — route to the
+    quality scorer).  This df-weighted prior is what C4-style pipelines
+    consult before dropping high-frequency spans.
+
+    Exactness: df values are integers, sum_df/max_df are exact BIGINT
+    aggregates, and mean_df is one IEEE division of exact integers —
+    identical on both engines, no quantization needed.
+
+    Scale shape: NO pairwise join — the df table is a map-side-combinable
+    groupBy(shingle), then one annotate-join back onto the (doc_id,
+    shingle) relation (each row matches exactly ONE df row, so hot
+    stop-shingles cost df combiner cells and df annotated rows, never the
+    df^2 fan-out the capped dedup join must guard against), then a
+    combinable per-doc rollup.  Linear in corpus size with no quadratic
+    skew term — same reason novelty scoring scales."""
+    from ..functions.text import with_shingles
+
+    sh = with_shingles(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), _NOVELTY_K
+    ).select("doc_id", F.explode("shingle_set").alias("shingle"))
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("sum_df"),
+            F.max("df").cast("long").alias("max_df"),
+            (F.sum("df").cast("double") / F.count(F.lit(1))).alias("mean_df"),
+        )
+    )
