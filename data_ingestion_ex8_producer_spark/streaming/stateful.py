@@ -293,3 +293,125 @@ def event_bursts_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming gap-filled burst detection (stateful twin of
+# operators/events.py's q_event_burst_gapfilled)
+# --------------------------------------------------------------------------
+
+GAPFILLED_BURST_SCHEMA = (
+    "event_type string, hour_start timestamp, n_events bigint, is_gap boolean, "
+    "trail_sum bigint, trail_n bigint, is_burst boolean"
+)
+# Dense spine state: the first retained hour (epoch micros) + a CONTIGUOUS
+# per-hour count array (zeros are real buckets here), + pruned-bucket count.
+_GF_STATE_SCHEMA = "first_hour bigint, counts array<long>, n_pruned bigint"
+
+_HOUR_US = 3_600_000_000
+
+
+def _update_bursts_gapfilled(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap-filled trailing-mean burst flags across micro-batches.
+
+    Same contract as ``_update_bursts`` except the spine is DENSE: every
+    hour between this key's first and latest observed bucket exists, empty
+    hours count as zero-activity buckets that drag the trailing mean down,
+    and advancing the frontier MATERIALIZES the intervening gap buckets
+    (emitted with ``is_gap=true`` — the silence-alert rows).  Semantics
+    delta vs the batch twin, documented: the batch spec's spine spans the
+    GLOBAL min..max hour for every type, while a keyed stateful processor
+    can only know its own key's span — per-type bounds (the tests pin
+    per-type-bounds equivalence; keys whose span equals the global span
+    match the batch spec row-for-row).
+
+    State stays constant-size: the dense spine is pruned to the trailing
+    ``_BURST_RETAIN`` buckets, and once pruning has happened, events older
+    than the ``_BURST_TRAIL``-th retained bucket are dropped (the explicit
+    watermark analog), so every updatable bucket always has its full
+    trailing window in state."""
+    if state.exists:
+        first, counts, n_pruned = (
+            int(state.get[0]), list(state.get[1]), int(state.get[2])
+        )
+        m = {first + i * _HOUR_US: int(c) for i, c in enumerate(counts)}
+    else:
+        m, n_pruned = {}, 0
+    dense0 = sorted(m)
+    update_horizon = (
+        dense0[_BURST_TRAIL] if n_pruned > 0 and len(dense0) > _BURST_TRAIL
+        else (dense0[0] if n_pruned > 0 else None)
+    )
+    changed: set[int] = set()
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        us = pdf["ts"].astype("int64") // 1_000  # ns -> us
+        bucket = (us // _HOUR_US) * _HOUR_US
+        for h, c in bucket.value_counts().items():
+            h = int(h)
+            if update_horizon is not None and h < update_horizon:
+                continue  # behind the late-data horizon: dropped
+            m[h] = m.get(h, 0) + int(c)
+            changed.add(h)
+    cols = [
+        "event_type", "hour_start", "n_events", "is_gap",
+        "trail_sum", "trail_n", "is_burst",
+    ]
+    if not m:
+        yield pd.DataFrame([], columns=cols)
+        return
+    # Densify: every missing hour inside [lo, hi] becomes a NEW zero bucket
+    # (changed -> emitted with its trail, exactly once).
+    lo, hi = min(m), max(m)
+    dense, h = [], lo
+    while h <= hi:
+        if h not in m:
+            m[h] = 0
+            changed.add(h)
+        dense.append(h)
+        h += _HOUR_US
+    idx = {h: i for i, h in enumerate(dense)}
+    affected: set[int] = set()
+    for h in changed:
+        i = idx[h]
+        affected.update(dense[i : i + _BURST_TRAIL + 1])
+    retained = dense[-_BURST_RETAIN:]
+    n_pruned += len(dense) - len(retained)
+    state.update((retained[0], [m[x] for x in retained], n_pruned))
+    rows = []
+    for h in sorted(affected):
+        i = idx[h]
+        trail = dense[max(0, i - _BURST_TRAIL) : i]
+        trail_sum = sum(m[t] for t in trail)
+        trail_n = len(trail)
+        rows.append(
+            (
+                key[0],
+                pd.Timestamp(h, unit="us"),
+                m[h],
+                m[h] == 0,
+                trail_sum,
+                trail_n,
+                trail_n > 0 and m[h] * trail_n > _BURST_FACTOR * trail_sum,
+            )
+        )
+    yield pd.DataFrame(rows, columns=cols)
+
+
+def event_bursts_gapfilled_stream(events: DataFrame) -> DataFrame:
+    """Streaming gap-filled burst detector: applyInPandasWithState keyed by
+    event_type over a dense per-key hour spine.  tests pin its emissions
+    against a per-type-bounds batch reference (and against the registered
+    q_event_burst_gapfilled rows for keys spanning the global range)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_bursts_gapfilled,
+        outputStructType=GAPFILLED_BURST_SCHEMA,
+        stateStructType=_GF_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

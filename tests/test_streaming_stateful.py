@@ -553,3 +553,176 @@ def test_burst_state_split_invariance(case) -> None:
     single = run([[(h, i) for h, c in hours.items() for i in range(c)]])
     split = run(batches)
     assert split == single
+
+
+# --------------------------------------------------------------------------
+# Gap-filled burst detector (streaming twin of q_event_burst_gapfilled)
+# --------------------------------------------------------------------------
+
+
+def _gapfilled_reference(spark, per_type_bounds: bool):
+    """Batch reference for the gap-filled burst flags.  With
+    per_type_bounds=True the spine spans each event_type's own min..max
+    hour (the keyed-state semantics); with False it is the registered
+    q_event_burst_gapfilled (global bounds)."""
+    from pyspark.sql import Window
+
+    from data_ingestion_ex8_producer_spark.operators.events import (
+        _BURST_FACTOR,
+        _BURST_TRAIL,
+        q_event_burst_gapfilled,
+    )
+
+    if not per_type_bounds:
+        return q_event_burst_gapfilled(spark, SF)
+    ev = _batch_events(spark)
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_start"
+        ),
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_actual"))
+    dense = spine.join(hourly, ["event_type", "hour_start"], "left").select(
+        "event_type",
+        "hour_start",
+        F.coalesce(F.col("n_actual"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("n_actual").isNull().alias("is_gap"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-_BURST_TRAIL, -1)
+    )
+    trail_sum = F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("long")
+    trail_n = F.count("n_events").over(w).cast("long")
+    return dense.select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        "is_gap",
+        trail_sum.alias("trail_sum"),
+        trail_n.alias("trail_n"),
+        (
+            (trail_n > 0)
+            & (F.col("n_events") * trail_n > _BURST_FACTOR * trail_sum)
+        ).alias("is_burst"),
+    )
+
+
+@pytest.mark.slow
+def test_streaming_gapfilled_bursts_match_batch(spark, tmp_path: Path) -> None:
+    """Single availableNow batch: the gap-filled streaming detector emits
+    exactly the per-type-bounds batch reference rows — including the
+    synthesized zero-activity gap rows — and, for every event_type whose
+    own span equals the global span, exactly the registered
+    q_event_burst_gapfilled rows."""
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        event_bursts_gapfilled_stream,
+    )
+
+    events = stream_events_fixture(spark, SF, str(tmp_path / "gfburst"))
+    _run(event_bursts_gapfilled_stream(events), "stream_gf_bursts", "update")
+
+    def keyed(rows):
+        return {
+            (r["event_type"], r["hour_start"]): (
+                r["n_events"], r["is_gap"], r["trail_sum"], r["trail_n"],
+                r["is_burst"],
+            )
+            for r in rows
+        }
+
+    got = keyed(spark.sql("SELECT * FROM stream_gf_bursts").collect())
+    expected = keyed(_gapfilled_reference(spark, per_type_bounds=True).collect())
+    assert got == expected
+    assert any(v[1] for v in got.values()), "fixture has no gap hours?"
+
+    # Keys spanning the global range must match the REGISTERED batch spec.
+    glob = keyed(_gapfilled_reference(spark, per_type_bounds=False).collect())
+    glob_hours = {h for (_, h) in glob}
+    lo, hi = min(glob_hours), max(glob_hours)
+    full_span_types = {
+        et for (et, h) in got if h == lo
+    } & {et for (et, h) in got if h == hi}
+    checked = 0
+    for (et, h), v in glob.items():
+        if et in full_span_types:
+            assert got[(et, h)] == v, (et, h)
+            checked += 1
+    if full_span_types:
+        assert checked > 0
+
+
+def test_gapfilled_state_materializes_gap_buckets() -> None:
+    """Direct state-function check: advancing the frontier materializes the
+    intervening zero buckets exactly once, with correct trails, and zero
+    buckets drag the trailing mean down (a post-quiet resumption is
+    flagged where the sparse detector would stay silent)."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        _update_bursts_gapfilled,
+    )
+
+    state = _FakeState()
+    out1 = pd.concat(
+        _update_bursts_gapfilled(("e",), iter([_mk_events({100: 4, 101: 4})]), state)
+    )
+    assert len(out1) == 2 and not out1["is_gap"].any()
+
+    # Quiet hours 102..107, then 4 events at 108: the six zero buckets are
+    # synthesized (is_gap) and the resumption bursts against a zero trail.
+    out2 = pd.concat(
+        _update_bursts_gapfilled(("e",), iter([_mk_events({108: 4})]), state)
+    )
+    emitted = dict(
+        zip(out2["hour_start"].astype("int64") // (3_600_000_000 * 1000), out2["is_gap"])
+    )
+    assert {102, 103, 104, 105, 106, 107} <= {h for h, g in emitted.items() if g}
+    row108 = out2[out2["hour_start"] == pd.Timestamp(108 * 3_600_000_000, unit="us")]
+    assert row108.iloc[0]["trail_sum"] == 0  # all-zero trailing window
+    assert bool(row108.iloc[0]["is_burst"])
+    # The sparse detector's trail for 108 would be the OBSERVED buckets
+    # (100, 101: sum 8, n 2) -> 4*2 > 2*8 is false: not flagged.  The dense
+    # twin flags it — exactly the on-call difference the operator exists for.
+
+    # Idempotence of the spine: a later event into 109 must not re-emit or
+    # re-create the 102..107 gap rows (their trails are unchanged).
+    out3 = pd.concat(
+        _update_bursts_gapfilled(("e",), iter([_mk_events({109: 1})]), state)
+    )
+    assert list(out3["hour_start"]) == [pd.Timestamp(109 * 3_600_000_000, unit="us")]
+
+
+def test_gapfilled_state_prunes_and_respects_horizon() -> None:
+    """Constant-size state: the dense spine prunes to _BURST_RETAIN buckets,
+    and once pruned, events behind the horizon are dropped."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        _BURST_RETAIN,
+        _update_bursts_gapfilled,
+    )
+
+    state = _FakeState()
+    pd.concat(
+        _update_bursts_gapfilled(("e",), iter([_mk_events({100: 1, 129: 1})]), state)
+    )
+    first, counts, n_pruned = state.get
+    assert len(counts) == _BURST_RETAIN
+    assert n_pruned == 30 - _BURST_RETAIN
+    assert first == (129 - _BURST_RETAIN + 1) * 3_600_000_000
+
+    before = (state.get[0], list(state.get[1]), state.get[2])
+    out = pd.concat(
+        _update_bursts_gapfilled(("e",), iter([_mk_events({100: 7})]), state)
+    )
+    assert len(out) == 0
+    assert (state.get[0], list(state.get[1]), state.get[2]) == before
