@@ -797,8 +797,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominated at the sf0.1 base (7.4x at 10x — the discrepancy the two r4
     SCALING tables recorded); this vectorized form removes both the
     exchange and the interpreted dots, and the two bases now agree:
-    measured 1.2x at 10x of sf0.01 and 1.6x at 10x of sf0.1 (the 10x-sf0.1
-    point fell 8.74s -> 2.31s; see SCALING.md).  The search join touches
+    measured ~1.2x at 10x of sf0.01 and ~1.9x at 10x of sf0.1 (the
+    10x-sf0.1 point fell 8.74s -> ~2.3s; SCALING.md carries the committed
+    run).  The search join touches
     only nprobe cells per
     query instead of the whole corpus.  Production IVF trains centroids
     with k-means — the salted-hash sample here keeps the operator
