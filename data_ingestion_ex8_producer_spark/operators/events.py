@@ -788,3 +788,142 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("x_over_mean"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution + time-weighted averages
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_purchase_attribution",
+    oracle="""
+    WITH touched AS (
+        SELECT event_type, value,
+               COALESCE(
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   'direct') AS attributed_type
+        FROM events
+    )
+    SELECT attributed_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS attributed_value
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY attributed_type
+    """,
+    tags=("events", "attribution"),
+)
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch purchase attribution: every purchase's value is credited
+    to the user's most recent PRECEDING non-purchase event type (purchases
+    with no prior touch credit 'direct') — the marketing-attribution rollup
+    behind conversion reporting, and the window idiom (last_value IGNORE
+    NULLS over an unbounded-preceding frame) that one lag(1) cannot express
+    when conversions arrive back-to-back.
+
+    Exactness: attributed_value sums exact decimal casts (the _util
+    doctrine), counts are integers.
+
+    Scale shape: ONE shuffle on user_id (the sessionization key all
+    sequence operators share; skew = busiest user, see
+    q_key_skew_profile), then a map-side-combinable rollup to |types|+1
+    rows of metadata."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("attributed_type", F.coalesce(touch, F.lit("direct")))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("attributed_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+_TWAP_Q4 = 10_000  # value quantization grid for the weighted sum
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle=f"""
+    WITH gapped AS (
+        SELECT event_type,
+               CAST(round(value * {_TWAP_Q4}) AS BIGINT) AS vq,
+               CAST(date_diff('second', ts,
+                              LEAD(ts) OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id))
+                    AS BIGINT) AS hold_sec
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(hold_sec) AS BIGINT) AS total_sec,
+           CAST(SUM(vq * hold_sec) AS DOUBLE)
+             / ({_TWAP_Q4} * SUM(hold_sec)) AS twap
+    FROM gapped
+    WHERE hold_sec IS NOT NULL AND hold_sec > 0
+    GROUP BY event_type
+    """,
+    tags=("events", "timeseries", "twap"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (TWAP): each observation
+    is weighted by how long it 'held' — the seconds until the type's next
+    event — so bursts of readings don't dominate the average the way they
+    do a plain mean.  The standard downsampling statistic for irregular
+    time series (sensor/price feeds).
+
+    Exactness: values quantize to a 1e-4 BIGINT grid BEFORE weighting, so
+    the weighted sum is pure integer arithmetic (|vq| <= ~3.3e6, hold_sec
+    <= ~1e5 at this timeline, product <= ~3e11, far under BIGINT even
+    summed over millions of intervals); the final division is one IEEE op
+    on exact integers.  Zero-length holds (same-timestamp events) are
+    excluded identically on both engines — they carry no time weight and
+    would otherwise depend on intra-timestamp ordering.
+
+    Scale shape: one shuffle on event_type for the lead window (|types|
+    partitions — for a high-cardinality key this would be the per-key
+    sessionization shuffle instead), then a combinable |types|-row
+    rollup."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gapped = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * _TWAP_Q4).cast("long").alias("vq"),
+        (
+            F.unix_timestamp(F.lead("ts", 1).over(w))
+            - F.unix_timestamp(F.col("ts"))
+        )
+        .cast("long")
+        .alias("hold_sec"),
+    )
+    return (
+        gapped.filter(F.col("hold_sec").isNotNull() & (F.col("hold_sec") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("hold_sec").cast("long").alias("total_sec"),
+            (
+                F.sum(F.col("vq") * F.col("hold_sec")).cast("double")
+                / (F.lit(_TWAP_Q4) * F.sum("hold_sec"))
+            ).alias("twap"),
+        )
+    )

@@ -609,16 +609,19 @@ def _sql_cosine(a: str, b: str) -> str:
 # population, the K deterministic centroids, and the nearest-centroid
 # assignment.  sim_ivf_topk searches with them; q_emb_kmeans_step trains
 # with them — ONE definition so the two cannot drift.
-_SQL_IVF_CTES = f"""emb_valid AS (
-        -- Degenerate vectors (NULL, wrong width, zero/NaN norm) are
-        -- EXCLUDED by contract on both engines: a NaN cosine would rank
-        -- differently under the Spark argmax vs this window — the
-        -- filter pins the population instead of relying on clean data.
+# The valid-vector population (shared by IVF, the k-means step, and PQ —
+# ONE contract): NULL, wrong-width, and zero/NaN-norm vectors are EXCLUDED
+# by contract on both engines — a NaN distance/cosine would rank
+# differently under the Spark argmax/argmin than under the oracle's
+# window; the filter pins the population instead of relying on clean data.
+_SQL_EMB_VALID = f"""emb_valid AS (
         SELECT vec_id, label, embedding FROM embeddings
         WHERE embedding IS NOT NULL AND len(embedding) = {_DIM}
           AND {_sql_dot('embedding', 'embedding')} > 0
           AND NOT isnan({_sql_dot('embedding', 'embedding')})
-    ),
+    )"""
+
+_SQL_IVF_CTES = f"""{_SQL_EMB_VALID},
     centroids AS (
         SELECT vec_id AS centroid_id, embedding AS c_emb
         FROM emb_valid
@@ -1094,4 +1097,138 @@ def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stats.join(moved, "centroid_id").select(
         "centroid_id", "n_assigned", "mean_cos_q6", "shift"
+    )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (the PQ half of an IVF-PQ vector index)
+# --------------------------------------------------------------------------
+
+_PQ_M = 8          # subspaces (8 dims each over the 64-dim vectors)
+_PQ_K = 16         # codebook entries per subspace (4-bit codes)
+_PQ_SALT = "pq-codebook:"
+_PQ_Q9 = 1_000_000_000  # squared-distance quantization grid
+
+
+def _pq_oracle() -> str:
+    sub_dim = _DIM // _PQ_M
+    branches = []
+    for m in range(_PQ_M):
+        terms = " + ".join(
+            f"(CAST(e.embedding[{m * sub_dim + i}] AS DOUBLE)"
+            f" - CAST(c.c_emb[{m * sub_dim + i}] AS DOUBLE))"
+            f" * (CAST(e.embedding[{m * sub_dim + i}] AS DOUBLE)"
+            f" - CAST(c.c_emb[{m * sub_dim + i}] AS DOUBLE))"
+            for i in range(1, sub_dim + 1)
+        )
+        branches.append(
+            f"SELECT e.vec_id, {m} AS subspace, c.code,\n"
+            f"       CAST(round(({terms}) * {_PQ_Q9}) AS BIGINT) AS dq\n"
+            f"FROM emb_valid e CROSS JOIN codebook c"
+        )
+    dists = "\n        UNION ALL\n        ".join(branches)
+    return f"""
+    WITH {_SQL_EMB_VALID},
+    codebook AS (
+        SELECT vec_id AS code, embedding AS c_emb
+        FROM emb_valid
+        ORDER BY md5('{_PQ_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_PQ_K}
+    ),
+    dists AS (
+        {dists}
+    )
+    SELECT vec_id, CAST(subspace AS INTEGER) AS subspace, code,
+           CAST(dq AS DOUBLE) / {_PQ_Q9} AS dist_sq
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                     ORDER BY dq, code) AS rn
+        FROM dists
+    ) WHERE rn = 1
+    """
+
+
+@register(
+    "q_emb_pq_codes",
+    oracle=_pq_oracle(),
+    tags=("similarity", "pq", "quantization", "ann"),
+)
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment — the PQ half of an IVF-PQ
+    index (sim_ivf_topk is the IVF half): each 64-dim vector splits into 8
+    subvectors of 8 dims, and each subvector is encoded as the id of its
+    nearest (squared-L2) entry in a 16-entry per-subspace codebook — 8
+    4-bit codes that let a search engine scan compressed codes with
+    distance lookup tables instead of raw floats.  Output is long-format
+    (vec_id, subspace, code, dist_sq): the codes ARE the compressed
+    vector; dist_sq per subspace sums to the reconstruction error the
+    quantizer trade-off is tuned on.
+
+    The codebook is the 16 smallest-salted-md5 valid vectors (same
+    deterministic train-sample trick as the IVF centroids; production PQ
+    k-means-trains per-subspace codebooks — same shapes, same plan),
+    sorted by code id so numpy argmin's first-min-wins reproduces the
+    oracle's (dq, code) tie-break.  Distances are left-fold sums of exact
+    IEEE (x-c)^2 terms — bit-identical across engines — then HALF-UP
+    quantized to a 1e-9 BIGINT grid (floor(x*Q + 0.5), matching both
+    engines' round() for the non-negative dq), and the ARGMIN RUNS ON THE
+    INTEGER, so code assignment can never hinge on a float comparison.
+
+    Scale shape: one SHUFFLE-FREE mapInPandas pass over the corpus (the
+    vectorized-assignment pattern of _ivf_assignment; the 16x64 codebook
+    rides in the closure) emitting 8 metadata rows per vector — encoding
+    100 TB of vectors is embarrassingly parallel, exactly like the IVF
+    assignment it composes with."""
+    from collections.abc import Iterator as _Iter
+
+    emb = _ivf_valid_emb(spark, sf_dir)
+    code_rows = sorted(
+        emb.select(
+            F.col("vec_id").alias("code"),
+            F.col("ed").alias("c_ed"),
+            F.md5(F.concat(F.lit(_PQ_SALT), F.col("vec_id").cast("string"))).alias(
+                "_h"
+            ),
+        )
+        .orderBy("_h", "code")
+        .limit(_PQ_K)
+        .drop("_h")
+        .collect(),
+        key=lambda r: r.code,
+    )
+    c_mat = np.array([r.c_ed for r in code_rows], dtype=np.float64)  # (K, 64)
+    code_ids = np.array([r.code for r in code_rows], dtype=np.int64)
+    sub_dim = _DIM // _PQ_M
+
+    def encode(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["ed"]])
+            vec_ids = pdf["vec_id"].to_numpy()
+            out_vec, out_m, out_code, out_d = [], [], [], []
+            for m in range(_PQ_M):
+                acc = np.zeros((n, _PQ_K), dtype=np.float64)
+                for i in range(m * sub_dim, (m + 1) * sub_dim):
+                    d = E[:, i : i + 1] - c_mat[:, i]
+                    acc += d * d
+                # HALF-UP on a non-negative grid == both engines' round().
+                dq = np.floor(acc * _PQ_Q9 + 0.5).astype(np.int64)
+                best = np.argmin(dq, axis=1)  # first min = smallest code
+                out_vec.append(vec_ids)
+                out_m.append(np.full(n, m, dtype=np.int32))
+                out_code.append(code_ids[best])
+                out_d.append(dq[np.arange(n), best] / _PQ_Q9)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_vec),
+                    "subspace": np.concatenate(out_m),
+                    "code": np.concatenate(out_code),
+                    "dist_sq": np.concatenate(out_d),
+                }
+            )
+
+    return emb.select("vec_id", "ed").mapInPandas(
+        encode, "vec_id long, subspace int, code long, dist_sq double"
     )

@@ -1,0 +1,77 @@
+"""Semantic pins for the vector-index family (IVF / k-means step / PQ)
+beyond the oracle matrix: self-encoding identities and conservation laws
+that must hold on ANY corpus, not just the fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_ex8_producer_spark.operators.similarity import (
+    _IVF_K,
+    _PQ_K,
+    _ivf_centroid_rows,
+    _ivf_valid_emb,
+    q_emb_kmeans_step,
+    q_emb_pq_codes,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark):
+    """A codebook vector's nearest sub-centroid in every subspace is itself
+    at squared distance exactly 0 — the self-encoding identity that any
+    correct quantizer satisfies (ties at distance 0 go to the smaller code
+    id, so a duplicated codebook vector may map to its twin)."""
+    codes = q_emb_pq_codes(spark, SF)
+    rows = codes.collect()
+    by_vec: dict[int, list] = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    code_ids = {r.code for r in rows}
+    assert len(code_ids) <= _PQ_K
+    # Every vector is encoded in all 8 subspaces exactly once.
+    assert all(
+        sorted(x.subspace for x in v) == list(range(8)) for v in by_vec.values()
+    )
+    # Codebook members self-encode at 0 distance.
+    for cid in code_ids:
+        if cid in by_vec:
+            for r in by_vec[cid]:
+                if r.code == cid:
+                    assert r.dist_sq == 0.0
+    # At least one codebook member encodes itself in every subspace
+    # (duplicates aside, most should).
+    self_hits = sum(
+        1
+        for cid in code_ids
+        if cid in by_vec and all(r.dist_sq == 0.0 for r in by_vec[cid])
+    )
+    assert self_hits >= 1
+
+
+def test_kmeans_step_conserves_membership(spark):
+    """One Lloyd iteration: cell memberships partition the valid corpus
+    (counts sum to the population), coherence is a cosine in [-1, 1], and
+    centroid shift is a non-negative distance."""
+    step = q_emb_kmeans_step(spark, SF).collect()
+    emb = _ivf_valid_emb(spark, SF)
+    n_valid = emb.count()
+    assert sum(r.n_assigned for r in step) == n_valid
+    assert len(step) <= _IVF_K
+    for r in step:
+        assert -1.0 - 1e-9 <= r.mean_cos_q6 <= 1.0 + 1e-9
+        assert r.shift >= 0.0
+    # The quantizer is a sample OF the corpus: every centroid is its own
+    # nearest centroid (cos 1.0), so cells containing their centroid can't
+    # all have moved to coherence < 1/n.
+    assert any(r.mean_cos_q6 > 0 for r in step)
+
+
+def test_ivf_centroids_are_deterministic(spark):
+    """The salted-md5 quantizer selection is a pure function of the data:
+    two independent selections return identical rows in identical order."""
+    emb = _ivf_valid_emb(spark, SF)
+    a = [(r.centroid_id, r.c_norm) for r in _ivf_centroid_rows(emb)]
+    b = [(r.centroid_id, r.c_norm) for r in _ivf_centroid_rows(emb)]
+    assert a == b and len(a) == _IVF_K
