@@ -9,10 +9,16 @@ from pyspark.sql import functions as F
 from data_ingestion_ex8_producer_spark.operators.similarity import (
     _IVF_K,
     _PQ_K,
+    _TOP_K,
     _ivf_centroid_rows,
     _ivf_valid_emb,
     q_emb_kmeans_step,
     q_emb_pq_codes,
+    q_pq_recall,
+    q_pq_recall_rerank,
+    sim_bruteforce_l2_topk,
+    sim_bruteforce_topk,
+    sim_pq_adc_rerank_topk,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -66,6 +72,57 @@ def test_kmeans_step_conserves_membership(spark):
     # nearest centroid (cos 1.0), so cells containing their centroid can't
     # all have moved to coherence < 1/n.
     assert any(r.mean_cos_q6 > 0 for r in step)
+
+
+def test_l2_and_cosine_topk_coincide_on_unit_norm_corpus(spark):
+    """The testdata embeddings are unit-norm, so squared L2 = 2 - 2*cos and
+    the exact L2 top-k must return the same neighbor SETS as the exact
+    cosine top-k (ranks agree too, up to quantization ties) — the identity
+    that makes q_pq_recall's L2 truth set comparable with the cosine ops."""
+    l2 = sim_bruteforce_l2_topk(spark, SF).collect()
+    cos = sim_bruteforce_topk(spark, SF).collect()
+    assert {(r.query_id, r.neighbor_id) for r in l2} == {
+        (r.query_id, r.neighbor_id) for r in cos
+    }
+    assert all(r.dist_sq >= 0 for r in l2)
+
+
+def test_pq_rerank_dominates_raw_adc_recall(spark):
+    """The deployed two-stage PQ search must beat the raw ADC ranking it
+    wraps — per query, never just on average — and clear the 0.9 mean
+    floor the config was tuned to; recall values stay in [0, 1] with
+    k = _TOP_K on every row."""
+    raw = {r.query_id: r.recall_at_k for r in q_pq_recall(spark, SF).collect()}
+    rer = {
+        r.query_id: r.recall_at_k
+        for r in q_pq_recall_rerank(spark, SF).collect()
+    }
+    assert set(raw) == set(rer) and len(rer) == 8
+    assert all(rer[q] >= raw[q] for q in raw)
+    assert all(0.0 <= v <= 1.0 for v in list(raw.values()) + list(rer.values()))
+    assert sum(rer.values()) / len(rer) >= 0.9
+
+
+def test_pq_rerank_distances_are_exact(spark):
+    """Re-ranked results carry EXACT distances: every (query, neighbor)
+    the rerank returns must match the brute-force L2 distance for that
+    pair exactly (same quantized grid), and per-query results are rk
+    1..k with non-decreasing distance."""
+    rer = sim_pq_adc_rerank_topk(spark, SF).collect()
+    exact = {
+        (r.query_id, r.neighbor_id): r.dist_sq
+        for r in sim_bruteforce_l2_topk(spark, SF).collect()
+    }
+    by_q: dict[int, list] = {}
+    for r in rer:
+        by_q.setdefault(r.query_id, []).append(r)
+        if (r.query_id, r.neighbor_id) in exact:
+            assert r.dist_sq == exact[(r.query_id, r.neighbor_id)]
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rows] == list(range(1, _TOP_K + 1))
+        dists = [r.dist_sq for r in rows]
+        assert dists == sorted(dists)
 
 
 def test_ivf_centroids_are_deterministic(spark):
