@@ -1079,3 +1079,173 @@ def q_doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("df").cast("double") / F.count(F.lit(1))).alias("mean_df"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer training signals: BPE merge candidates + vocabulary coverage
+# --------------------------------------------------------------------------
+
+_BPE_TOP = 25
+
+
+@register(
+    "q_bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest({sql_tokens()}) AS word FROM documents
+    ),
+    wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wf
+        FROM words WHERE length(word) >= 2 GROUP BY word
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(word)),
+                                     i -> substr(word, i, 2))) AS pair, wf
+        FROM wf
+    ),
+    agg AS (
+        SELECT pair, CAST(SUM(wf) AS BIGINT) AS n_occurrences
+        FROM pairs GROUP BY pair
+    )
+    SELECT pair, n_occurrences, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair) AS rk
+        FROM agg
+    ) WHERE rk <= {_BPE_TOP}
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner loop as a query: the top-25 adjacent
+    character pairs by corpus occurrence count — each training iteration
+    of a byte-pair-encoding tokenizer merges exactly the #1 row of this
+    table, so this is the step a vocab-induction pipeline runs (over
+    merged symbols) until the vocab budget is spent.  Occurrences are
+    counted word-internally with multiplicity ('aaa' contributes 'aa'
+    twice) and weighted by word frequency, the standard BPE formulation
+    (word-boundary markers omitted; single-char words carry no pairs).
+
+    Exactness: pure integer counts; the top-25 cut breaks ties
+    (n_occurrences DESC, pair ASC) — fully deterministic on both engines.
+
+    Scale shape: token explode -> groupBy(word) is map-side combinable
+    into the VOCAB-bounded word-frequency relation (the corpus-sized
+    explode collapses before the exchange); pair generation fans each
+    DISTINCT word into len-1 pairs (still vocab-bounded); the pair rollup
+    is |alphabet|^2 metadata and the final top-25 is a
+    TakeOrderedAndProject.  No stage carries corpus-sized data past the
+    first combiner."""
+    ts = tokens()
+    wf = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(ts).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+    )
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.col("word").substr(i, F.lit(2)),
+    )
+    agg = (
+        wf.select(F.explode(pair_arr).alias("pair"), "wf")
+        .groupBy("pair")
+        .agg(F.sum("wf").cast("long").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), "pair")
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BPE_TOP)
+        .select("pair", "n_occurrences", "rk")
+    )
+
+
+# Sized to the synthetic corpus's ~40-word vocabulary so the curve is a
+# real curve (production corpora would use 2^13..2^17 here — the operator
+# shape is identical at any sizes).
+_VOCAB_SIZES = (5, 10, 25, 50)
+
+
+def _vocab_coverage_oracle() -> str:
+    branches = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({n} AS BIGINT) AS vocab_size,\n"
+        f"       (SELECT CAST(SUM(c) AS BIGINT) FROM ranked WHERE rk <= {n})"
+        f" AS covered_tokens"
+        for n in _VOCAB_SIZES
+    )
+    return f"""
+    WITH words AS (
+        SELECT unnest({sql_tokens()}) AS word FROM documents
+    ),
+    wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM words WHERE word <> '' GROUP BY word
+    ),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rk FROM wf
+    ),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM wf),
+    sizes AS (
+    {branches}
+    )
+    SELECT s.vocab_size, s.covered_tokens, t.total_tokens,
+           CAST(s.covered_tokens AS DOUBLE) / t.total_tokens AS coverage,
+           1.0 - CAST(s.covered_tokens AS DOUBLE) / t.total_tokens AS oov_rate
+    FROM sizes s CROSS JOIN total t
+    """
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=_vocab_coverage_oracle(),
+    tags=("text", "tokenizer", "vocab"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate curve: for each candidate vocab size
+    N (5 / 10 / 25 / 50 here), the fraction of all corpus token
+    occurrences covered by the N most frequent words — the curve a
+    tokenizer design reads to pick its vocab budget, and the OOV-rate
+    audit run before shipping a fixed vocabulary.
+
+    Exactness: covered/total are exact BIGINT sums; ties at the vocab
+    boundary break (count DESC, word ASC) identically on both engines;
+    coverage and oov_rate are single IEEE divisions of exact integers.
+
+    Scale shape: the corpus-sized token explode collapses map-side into
+    the vocab-bounded word-frequency relation, which is persisted once
+    and consumed by one 1-row total and four top-N passes — each top-N
+    is a TakeOrderedAndProject (per-partition heap of N, no global sort,
+    no single-partition window over the vocab — the q_curriculum_order
+    lesson applied); the result is 4 rows of metadata."""
+    from functools import reduce
+
+    from ._util import persist_tracked
+
+    ts = tokens()
+    wf = persist_tracked(
+        t(spark, sf_dir, "documents")
+        .select(F.explode(ts).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    total = wf.agg(F.sum("c").cast("long").alias("total_tokens"))
+    parts = [
+        wf.orderBy(F.col("c").desc(), "word")
+        .limit(n)
+        .agg(F.sum("c").cast("long").alias("covered_tokens"))
+        .select(F.lit(n).cast("long").alias("vocab_size"), "covered_tokens")
+        for n in _VOCAB_SIZES
+    ]
+    cov = reduce(lambda a, b: a.unionAll(b), parts)
+    return cov.crossJoin(F.broadcast(total)).select(
+        "vocab_size",
+        "covered_tokens",
+        "total_tokens",
+        (F.col("covered_tokens").cast("double") / F.col("total_tokens")).alias(
+            "coverage"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("covered_tokens").cast("double") / F.col("total_tokens")
+        ).alias("oov_rate"),
+    )
