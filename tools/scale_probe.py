@@ -54,6 +54,11 @@ PROBE_QUERIES = (
     "q_incremental_dedup",
     "q_event_path_mining",
     "mm_audio_window_rms",
+    "q_emb_pq_codes",
+    "sim_pq_adc_topk",
+    "sim_pq_adc_rerank_topk",
+    "q_bpe_merge_candidates",
+    "q_vocab_coverage",
 )
 
 # Scale-path operator vs its deliberately-quadratic exact twin, measured at a
@@ -254,6 +259,38 @@ def main() -> None:
     ]
     for sf, r_base, r_tuned in recall_rows:
         lines.append(f"| {sf} | {r_base:.3f} | {r_tuned:.3f} |")
+    # Same acted-on-measurement table for the PQ index: the raw ADC
+    # ranking (48-bit codes) vs the deployed two-stage search (512-deep
+    # ADC shortlist -> exact L2 re-rank), measured by the registered
+    # evaluation specs against the exact L2 truth set.
+    pq_rows = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_d = f"/root/testdata/{sf}"
+        means = []
+        for spec_name in ("q_pq_recall", "q_pq_recall_rerank"):
+            rows_ = specs[spec_name].builder(spark, sf_d).collect()
+            means.append(sum(r.recall_at_k for r in rows_) / len(rows_))
+            spark.catalog.clearCache()
+        pq_rows.append((sf, means[0], means[1]))
+    lines += [
+        "",
+        "## PQ recall@10: raw ADC scan vs shortlist + exact re-rank",
+        "",
+        "Mean recall@10 vs the exact L2 truth set (sim_bruteforce_l2_topk),",
+        "measured by the registered evaluation specs (q_pq_recall /",
+        "q_pq_recall_rerank).  The raw ADC ranking carries only 48 bits of",
+        "code per vector, so on this near-uniform corpus it recalls poorly —",
+        "the measurement that drove the deployed two-stage search",
+        "(sim_pq_adc_rerank_topk: 512-deep ADC shortlist, exact re-rank of a",
+        "CONSTANT-size candidate set) and both its knobs: K=64 codebooks",
+        "(16-entry books measured 0.66 at sf0.1) and the 512 shortlist (256",
+        "measured 0.825).",
+        "",
+        "| corpus | recall@10 (raw ADC) | recall@10 (512-shortlist re-rank) |",
+        "|---|---|---|",
+    ]
+    for sf, r_adc, r_rr in pq_rows:
+        lines.append(f"| {sf} | {r_adc:.3f} | {r_rr:.3f} |")
     lines += [
         "",
         "Reading the curve: the true all-pairs form "
