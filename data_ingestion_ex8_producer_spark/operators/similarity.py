@@ -647,7 +647,14 @@ def _ivf_valid_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as the oracle's emb_valid CTE: NULL/wrong-width vectors and
     zero/NaN norms are excluded EXPLICITLY — a NaN cosine would order
     differently under numpy argmax than under the oracle's window."""
-    emb = t(spark, sf_dir, "embeddings").select(
+    return _valid_emb_frame(t(spark, sf_dir, "embeddings"))
+
+
+def _valid_emb_frame(df: DataFrame) -> DataFrame:
+    """The validity contract applied to ANY embeddings-schema frame —
+    narrow stateless expressions only, so it composes with batch and
+    streaming sources alike."""
+    emb = df.select(
         "vec_id",
         "label",
         "embedding",
@@ -1223,16 +1230,27 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER, so code assignment can never hinge on a float comparison.
 
     Scale shape: one SHUFFLE-FREE mapInPandas pass over the corpus (the
-    vectorized-assignment pattern of _ivf_assignment; the 16x64 codebook
+    vectorized-assignment pattern of _ivf_assignment; the 64x64 codebook
     rides in the closure) emitting 8 metadata rows per vector — encoding
     100 TB of vectors is embarrassingly parallel, exactly like the IVF
-    assignment it composes with."""
+    assignment it composes with.  The encode transform itself
+    (:func:`pq_encode`) is STATELESS, so the same function encodes a
+    Structured Streaming frame of arriving vectors against an
+    offline-trained codebook — the train-offline / encode-online
+    lifecycle, pinned batch-vs-stream in tests/test_vector_index.py."""
+    emb = _ivf_valid_emb(spark, sf_dir)
+    return pq_encode(emb, _pq_codebook_rows(emb))
+
+
+def pq_encode(df: DataFrame, code_rows: list) -> DataFrame:
+    """Encode a frame of (vec_id, ed) vectors against a trained PQ
+    codebook.  Stateless mapInPandas — works identically on batch and
+    streaming frames; the codebook (constant-size) ships in the closure."""
     from collections.abc import Iterator as _Iter
 
-    emb = _ivf_valid_emb(spark, sf_dir)
-    code_rows = _pq_codebook_rows(emb)
     c_mat = np.array([r.c_ed for r in code_rows], dtype=np.float64)  # (K, 64)
     code_ids = np.array([r.code for r in code_rows], dtype=np.int64)
+    n_codes = len(code_rows)
     sub_dim = _DIM // _PQ_M
 
     def encode(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
@@ -1244,7 +1262,7 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec_ids = pdf["vec_id"].to_numpy()
             out_vec, out_m, out_code, out_d = [], [], [], []
             for m in range(_PQ_M):
-                acc = np.zeros((n, _PQ_K), dtype=np.float64)
+                acc = np.zeros((n, n_codes), dtype=np.float64)
                 for i in range(m * sub_dim, (m + 1) * sub_dim):
                     d = E[:, i : i + 1] - c_mat[:, i]
                     acc += d * d
@@ -1264,7 +1282,7 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return emb.select("vec_id", "ed").mapInPandas(
+    return df.select("vec_id", "ed").mapInPandas(
         encode, "vec_id long, subspace int, code long, dist_sq double"
     )
 

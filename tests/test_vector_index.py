@@ -125,6 +125,63 @@ def test_pq_rerank_distances_are_exact(spark):
         assert dists == sorted(dists)
 
 
+def test_pq_encode_streaming_matches_batch(spark, tmp_path):
+    """The train-offline / encode-online lifecycle: a codebook trained on
+    the static corpus encodes a STREAM of arriving vectors through the
+    same stateless pq_encode transform, producing row-for-row the batch
+    encoder's output even when the stream delivers the corpus in multiple
+    micro-batches."""
+    from data_ingestion_ex8_producer_spark.operators.similarity import (
+        _pq_codebook_rows,
+        _valid_emb_frame,
+        pq_encode,
+    )
+
+    emb = _ivf_valid_emb(spark, SF)
+    code_rows = _pq_codebook_rows(emb)
+    batch = {
+        (r.vec_id, r.subspace): (r.code, r.dist_sq)
+        for r in q_emb_pq_codes(spark, SF).collect()
+    }
+
+    # Ship the raw embeddings as two parquet files -> two micro-batches.
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    raw = spark.read.parquet(f"{SF}/embeddings.parquet")
+    raw.filter("vec_id % 2 = 0").coalesce(1).write.parquet(
+        str(tmp_path / "a")
+    )
+    raw.filter("vec_id % 2 = 1").coalesce(1).write.parquet(
+        str(tmp_path / "b")
+    )
+    import shutil
+
+    for src in ("a", "b"):
+        part = next((tmp_path / src).glob("part-*.parquet"))
+        shutil.move(str(part), str(in_dir / f"{src}.parquet"))
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        pq_encode(_valid_emb_frame(stream), code_rows)
+        .writeStream.format("memory")
+        .queryName("pq_stream_codes")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.vec_id, r.subspace): (r.code, r.dist_sq)
+        for r in spark.sql("SELECT * FROM pq_stream_codes").collect()
+    }
+    assert got == batch and len(got) == len(batch) > 0
+
+
 def test_ivf_centroids_are_deterministic(spark):
     """The salted-md5 quantizer selection is a pure function of the data:
     two independent selections return identical rows in identical order."""
