@@ -927,3 +927,79 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+@register(
+    "q_ohlc_bars",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+               ts, event_id, value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, hour_start
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, hour_start
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM base
+    )
+    SELECT event_type, hour_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS volume
+    FROM ranked
+    GROUP BY event_type, hour_start
+    """,
+    tags=("events", "timeseries", "ohlc"),
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the canonical downsampling of an
+    irregular value series (open/high/low/close + activity count + exact
+    volume), the compaction step feeding dashboards and coarse-grained
+    models so they never rescan raw events.  Complements
+    q_time_weighted_avg: TWAP weights by holding time, bars keep the
+    boundary values.
+
+    Exactness: open/close SELECT raw stored doubles (no arithmetic — the
+    deterministic (ts, event_id) struct key makes first/last unambiguous
+    even under same-timestamp events); high/low are pure comparisons;
+    volume sums exact decimal casts (the _util doctrine); n_events is an
+    integer.
+
+    Scale shape: ONE map-side-combinable groupBy — min_by/max_by over the
+    (ts, event_id) struct combine per-partition then merge, so the
+    exchange carries (event_types x hours) metadata rows, never raw
+    events; the oracle's window twin expresses the same semantics the
+    declarative way DuckDB prefers.  At 100 TB the plan is the same
+    partial-agg shape as every counter rollup here."""
+    ev = t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("hour_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )

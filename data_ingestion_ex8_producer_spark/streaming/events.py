@@ -111,3 +111,38 @@ __all__ = [
     "dedup_stream",
     "run_to_memory",
 ]
+
+
+def ohlc_bars_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch q_ohlc_bars rollup: watermarked tumbling
+    1 h OHLC bars per event type.  min_by/max_by over the (ts, event_id)
+    struct are ordinary declarative aggregates, so the SAME combinable
+    partial-agg plan runs incrementally with bounded state — one live
+    aggregation row per (type, open window); rows later than the watermark
+    past window end are dropped and their state reclaimed.  Pinned
+    row-for-row against the batch operator in tests/test_streaming.py."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("volume"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )

@@ -337,3 +337,39 @@ def test_rate_source_windowed_counts(spark, tmp_path: Path) -> None:
         q.stop()
     assert rows, "rate source produced no windows"
     assert sum(r["n"] for r in rows) > 0
+
+
+def test_streaming_ohlc_bars_equals_batch(spark, tmp_path: Path) -> None:
+    """The OHLC rollup streams with the identical combinable aggregate
+    plan: every (type, hour) bar — open/high/low/close selections
+    included — matches the batch operator exactly."""
+    from data_ingestion_ex8_producer_spark.operators.events import q_ohlc_bars
+    from data_ingestion_ex8_producer_spark.streaming.events import (
+        ohlc_bars_stream,
+        stream_events_fixture,
+    )
+
+    events = stream_events_fixture(spark, SF, str(tmp_path / "ohlc_stage"))
+    query = (
+        ohlc_bars_stream(events)
+        .writeStream.format("memory")
+        .queryName("stream_ohlc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    query.stop()
+
+    def as_map(rows):
+        return {
+            (r["event_type"], r["hour_start"]): (
+                r["open"], r["high"], r["low"], r["close"],
+                r["n_events"], r["volume"],
+            )
+            for r in rows
+        }
+
+    got = as_map(spark.sql("SELECT * FROM stream_ohlc").collect())
+    expected = as_map(q_ohlc_bars(spark, SF).collect())
+    assert got == expected and len(got) > 0
