@@ -623,3 +623,156 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(c, 2, "click"))
         .unionByName(stage(p, 3, "purchase"))
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary)
+# --------------------------------------------------------------------------
+
+_RFM_BUCKETS = 5
+
+
+def _rfm_rank_two_phase(
+    df: DataFrame, bucket: str, bucket_desc: bool, within: list, out: str
+) -> DataFrame:
+    """Global rank without a single-partition window (the
+    q_curriculum_order pattern): per-bucket counts -> broadcast cumulative
+    offsets over the BOUNDED bucket domain -> distributed within-bucket
+    row_number.  Equals ROW_NUMBER() OVER (ORDER BY bucket [DESC],
+    within...) because bucket boundaries totally order across buckets."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(bucket).agg(F.count(F.lit(1)).alias("_nb"))
+    order = F.col(bucket).desc() if bucket_desc else F.col(bucket).asc()
+    w_off = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        bucket, F.coalesce(F.sum("_nb").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy(bucket).orderBy(*within)
+    return (
+        df.join(F.broadcast(offsets), bucket)
+        .withColumn(out, (F.col("_off") + F.row_number().over(w_in)).cast("long"))
+        .drop("_off")
+    )
+
+
+@register(
+    "q_customer_rfm",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                 AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary_dec
+        FROM orders WHERE o_custkey IS NOT NULL
+        GROUP BY o_custkey
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM cust),
+    ranked AS (
+        SELECT *,
+            ROW_NUMBER() OVER (ORDER BY recency_days, custkey) AS r_rank,
+            ROW_NUMBER() OVER (ORDER BY frequency DESC, custkey) AS f_rank,
+            ROW_NUMBER() OVER (ORDER BY monetary_dec DESC, custkey) AS m_rank
+        FROM cust
+    )
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+           CAST(monetary_dec AS DOUBLE) AS monetary,
+           CAST(1 + ({_RFM_BUCKETS} * (r_rank - 1)) // n_total AS INTEGER)
+             AS r_score,
+           CAST(1 + ({_RFM_BUCKETS} * (f_rank - 1)) // n_total AS INTEGER)
+             AS f_score,
+           CAST(1 + ({_RFM_BUCKETS} * (m_rank - 1)) // n_total AS INTEGER)
+             AS m_score,
+           CAST(1 + ({_RFM_BUCKETS} * (r_rank - 1)) // n_total AS VARCHAR)
+             || CAST(1 + ({_RFM_BUCKETS} * (f_rank - 1)) // n_total AS VARCHAR)
+             || CAST(1 + ({_RFM_BUCKETS} * (m_rank - 1)) // n_total AS VARCHAR)
+             AS rfm_segment
+    FROM ranked CROSS JOIN n
+    """,
+    tags=("analytics", "segmentation", "rfm"),
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics report:
+    per customer, days since last order (recency), order count
+    (frequency), exact total spend (monetary), each scored 1..5 by
+    rank-quintile (score = 1 + (5*(rank-1)) div n — pure integer
+    arithmetic, so the oracle's ROW_NUMBER twin lands every customer in
+    the identical bucket), concatenated into the '111'-style segment
+    label campaign tooling keys on.  Score 1 = best (most recent / most
+    frequent / biggest spender).
+
+    Exactness: recency is an integer day difference against the corpus
+    max date; monetary sums exact DECIMAL(12,2) casts AND the ranking
+    orders by that exact decimal (never the double), with custkey
+    tie-breaks everywhere; NULL custkeys are excluded by contract on both
+    sides (the engines order NULLs differently).
+
+    Scale shape: ONE combinable groupBy collapses the order fact stream
+    to the customer-dimension relation; each of the three global ranks is
+    the two-phase q_curriculum_order pattern — per-bucket counts,
+    broadcast cumulative offsets over a BOUNDED bucket domain (distinct
+    day counts / order counts / whole-dollar spend buckets), distributed
+    within-bucket row_number — so NO single-partition window ever sees
+    the customer relation.  Monetary buckets totally order across
+    boundaries (floor(x) DESC then x DESC within), which makes the
+    composition exactly the global ORDER BY."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("_ref_d"))
+    cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("_last_d"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias(
+                "monetary_dec"
+            ),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days", F.datediff("_ref_d", "_last_d").cast("long")
+        )
+        .drop("_ref_d", "_last_d")
+    )
+    from ._util import persist_tracked
+
+    cust = persist_tracked(cust)
+    n_df = F.broadcast(
+        cust.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    )
+    ranked = _rfm_rank_two_phase(
+        cust, "recency_days", False, [F.col("custkey")], "r_rank"
+    )
+    ranked = _rfm_rank_two_phase(
+        ranked, "frequency", True, [F.col("custkey")], "f_rank"
+    )
+    ranked = ranked.withColumn(
+        "_m_bucket", F.floor("monetary_dec").cast("long")
+    )
+    ranked = _rfm_rank_two_phase(
+        ranked,
+        "_m_bucket",
+        True,
+        [F.col("monetary_dec").desc(), F.col("custkey")],
+        "m_rank",
+    ).drop("_m_bucket")
+    scored = ranked.crossJoin(n_df)
+    score = lambda rk: (  # noqa: E731
+        F.lit(1)
+        + F.expr(f"({_RFM_BUCKETS} * ({rk} - 1)) div n_total")
+    ).cast("int")
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        score("r_rank").alias("r_score"),
+        score("f_rank").alias("f_score"),
+        score("m_rank").alias("m_score"),
+        F.concat(
+            score("r_rank").cast("string"),
+            score("f_rank").cast("string"),
+            score("m_rank").cast("string"),
+        ).alias("rfm_segment"),
+    )
