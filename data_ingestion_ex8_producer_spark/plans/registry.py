@@ -92,7 +92,11 @@ def register(
 # driver-green rounds (q_asof_join, q_collect_array, q_recursive_calendar,
 # q_event_dedup, q_time_series_gapfill, q_string_funcs) and the r3
 # additions evidenced in CORRECTNESS_r04 (q_lang_confusion,
-# q_doc_ngram_novelty, q_corpus_token_budget, q_curation_funnel).  Every
+# q_doc_ngram_novelty, q_corpus_token_budget, q_curation_funnel).  Late in
+# round 5 the acted-on PQ index story (sim_pq_adc_rerank_topk +
+# q_pq_recall_rerank) and the OHLC rollup replaced three four-round-green
+# veterans (q_semi_join, q_anti_join, q_except_all); joins stay represented
+# by the four TPC-H multi-join queries and set ops by q_union_all.  Every
 # rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -101,8 +105,6 @@ _PRIORITY: tuple[str, ...] = (
     # relational: scan/filter/project, sort/limit, joins
     "q1_pricing_summary",
     "q_top_orders",
-    "q_semi_join",
-    "q_anti_join",
     # TPC-H style multi-join analytics
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -113,7 +115,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_rollup",
     # set operations
     "q_union_all",
-    "q_except_all",
     # window functions
     "q_window_rank",
     "q_topk_per_group",
@@ -133,6 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_event_path_mining",
     "q_event_transition_time",
     "q_user_activity_features",
+    "q_ohlc_bars",
     # deduplication
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -151,6 +153,8 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ivf_topk",
     "q_ann_recall",
     "q_ann_recall_tuned",
+    "sim_pq_adc_rerank_topk",
+    "q_pq_recall_rerank",
     # multimodal
     "mm_binary_stats",
     "mm_decode_meta",
