@@ -1,0 +1,58 @@
+"""Semantic pins for the report-style operators (RFM segmentation, OHLC
+bars) beyond the oracle matrix: invariants that must hold on ANY corpus."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from data_ingestion_ex8_producer_spark.operators.analytics_ext import (
+    q_customer_rfm,
+)
+from data_ingestion_ex8_producer_spark.operators.events import q_ohlc_bars
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rfm_scores_partition_customers_evenly(spark):
+    """Rank-quintile scores: every score in 1..5, each score bucket's size
+    within 1 of n/5 (the defining property of the 1 + (5*(rank-1)) div n
+    formula), and the segment label is exactly the three scores."""
+    rows = q_customer_rfm(spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    for col in ("r_score", "f_score", "m_score"):
+        counts = Counter(getattr(r, col) for r in rows)
+        assert set(counts) <= {1, 2, 3, 4, 5}
+        assert max(counts.values()) - min(counts.values()) <= 1
+    for r in rows:
+        assert r.rfm_segment == f"{r.r_score}{r.f_score}{r.m_score}"
+        assert r.recency_days >= 0 and r.frequency >= 1
+        assert r.monetary > 0
+
+
+def test_rfm_score_ordering_is_monotone(spark):
+    """Walking customers in rank order (recency_days, custkey — the exact
+    ordering the two-phase ranking implements) the r_score must be
+    non-decreasing: the distributed bucket/offset composition respects
+    the metric ordering across buckets."""
+    rows = sorted(
+        q_customer_rfm(spark, SF).collect(),
+        key=lambda r: (r.recency_days, r.custkey),
+    )
+    prev = 0
+    for r in rows:
+        assert r.r_score >= prev
+        prev = r.r_score
+
+
+def test_ohlc_bars_bound_their_window(spark):
+    """high is the bar maximum, low the minimum, open/close fall inside
+    [low, high], and volume/n_events are positive — per every bar."""
+    rows = q_ohlc_bars(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n_events >= 1 and r.volume > 0
+        if r.n_events == 1:
+            assert r.open == r.close == r.high == r.low
