@@ -20,6 +20,8 @@ Cross-engine determinism notes (this is the backbone of the correctness gate):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,7 +45,31 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # persisted_scope() (or calls release_persisted() at its own cadence) to
 # release exactly the relations created inside the scope.
 
-_LIVE_PERSISTED: list[DataFrame] = []
+class _ThreadLocalList(threading.local):
+    """Per-THREAD registry of live persisted relations.  Thread-locality is
+    part of the contract (ADVICE r5): a session driving builders from
+    multiple driver threads (e.g. concurrent query submission) gets one
+    independent registry per thread, so one thread's persisted_scope can
+    never unpersist a relation another thread's plan is still consuming.
+    Each thread releases exactly what its own builders registered."""
+
+    def __init__(self) -> None:  # runs once per thread on first access
+        self.items: list[DataFrame] = []
+
+    def append(self, df: DataFrame) -> None:
+        self.items.append(df)
+
+    def pop(self) -> DataFrame:
+        return self.items.pop()
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __iter__(self):
+        return iter(self.items)
+
+
+_LIVE_PERSISTED = _ThreadLocalList()
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
@@ -55,9 +81,10 @@ def persist_tracked(df: DataFrame) -> DataFrame:
 
 
 def release_persisted() -> int:
-    """Unpersist every tracked relation; returns how many were released."""
+    """Unpersist every relation tracked by THIS thread; returns how many
+    were released."""
     n = 0
-    while _LIVE_PERSISTED:
+    while _LIVE_PERSISTED.items:
         _LIVE_PERSISTED.pop().unpersist()
         n += 1
     return n
@@ -66,15 +93,23 @@ def release_persisted() -> int:
 class persisted_scope:
     """Context manager releasing every relation persist_tracked() registered
     inside the ``with`` block — consume the builder's DataFrame INSIDE the
-    block (the persisted relations back its plan)."""
+    block (the persisted relations back its plan).  Releases the EXACT
+    DataFrame objects registered inside the scope (identity, not list
+    position), so even interleaved same-thread scopes — e.g. builders
+    consumed lazily from generators — release only their own relations."""
 
     def __enter__(self) -> "persisted_scope":
-        self._mark = len(_LIVE_PERSISTED)
+        self._before = list(_LIVE_PERSISTED.items)  # identity snapshot
         return self
 
     def __exit__(self, *exc) -> None:
-        while len(_LIVE_PERSISTED) > self._mark:
-            _LIVE_PERSISTED.pop().unpersist()
+        before_ids = {id(x) for x in self._before}
+        mine = [x for x in _LIVE_PERSISTED.items if id(x) not in before_ids]
+        _LIVE_PERSISTED.items = [
+            x for x in _LIVE_PERSISTED.items if id(x) in before_ids
+        ]
+        for x in reversed(mine):
+            x.unpersist()
 
 
 def spread(df: DataFrame, spark: SparkSession, *keys: str) -> DataFrame:

@@ -310,6 +310,17 @@ _GF_STATE_SCHEMA = "first_hour bigint, counts array<long>, n_pruned bigint"
 
 _HOUR_US = 3_600_000_000
 
+# Upper bound on the dense spine ONE invocation will materialize (ADVICE r5):
+# without it, a single event arriving after a months-long silent period would
+# transiently densify and emit O(gap-hours) zero buckets in one micro-batch.
+# When the merged span exceeds this many hours, the frontier JUMPS: hours
+# below (hi - _GF_MAX_DENSE + 1) are never materialized and count into
+# n_pruned exactly as if they had been synthesized and pruned.  The cap is
+# far above any realistic watermark window (4096 h ≈ 5.7 months), so the
+# batch-equivalence pinned by tests holds whenever per-key gaps stay under
+# it — the documented precondition.
+_GF_MAX_DENSE = 4096
+
 
 def _update_bursts_gapfilled(
     key: tuple[Any, ...],
@@ -333,7 +344,10 @@ def _update_bursts_gapfilled(
     ``_BURST_RETAIN`` buckets, and once pruning has happened, events older
     than the ``_BURST_TRAIL``-th retained bucket are dropped (the explicit
     watermark analog), so every updatable bucket always has its full
-    trailing window in state."""
+    trailing window in state.  Emission per invocation is bounded too:
+    a span wider than ``_GF_MAX_DENSE`` hours jumps the frontier instead
+    of densifying the whole gap (the skipped hours count into n_pruned),
+    so one post-silence event can never trigger an O(gap-hours) batch."""
     if state.exists:
         first, counts, n_pruned = (
             int(state.get[0]), list(state.get[1]), int(state.get[2])
@@ -366,8 +380,19 @@ def _update_bursts_gapfilled(
         yield pd.DataFrame([], columns=cols)
         return
     # Densify: every missing hour inside [lo, hi] becomes a NEW zero bucket
-    # (changed -> emitted with its trail, exactly once).
+    # (changed -> emitted with its trail, exactly once).  If the merged span
+    # exceeds _GF_MAX_DENSE hours, JUMP the frontier first: drop buckets
+    # below the capped lo (counting dropped AND never-materialized hours
+    # into n_pruned) so state update and emission stay bounded even when
+    # one event arrives after a months-long silence.
     lo, hi = min(m), max(m)
+    span_hours = (hi - lo) // _HOUR_US + 1
+    if span_hours > _GF_MAX_DENSE:
+        capped_lo = hi - (_GF_MAX_DENSE - 1) * _HOUR_US
+        n_pruned += (capped_lo - lo) // _HOUR_US
+        m = {h: c for h, c in m.items() if h >= capped_lo}
+        changed = {h for h in changed if h >= capped_lo}
+        lo = capped_lo
     dense, h = [], lo
     while h <= hi:
         if h not in m:

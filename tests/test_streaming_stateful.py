@@ -726,3 +726,39 @@ def test_gapfilled_state_prunes_and_respects_horizon() -> None:
     )
     assert len(out) == 0
     assert (state.get[0], list(state.get[1]), state.get[2]) == before
+
+
+def test_gapfilled_state_caps_gap_materialization() -> None:
+    """ADVICE r5: one event after a months-long silence must NOT densify and
+    emit O(gap-hours) buckets — beyond _GF_MAX_DENSE hours the frontier
+    jumps, the skipped hours count into n_pruned, and both the emission and
+    the retained state stay bounded."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        _BURST_RETAIN,
+        _GF_MAX_DENSE,
+        _update_bursts_gapfilled,
+    )
+
+    state = _FakeState()
+    pd.concat(
+        _update_bursts_gapfilled(("e",), iter([_mk_events({100: 3, 101: 3})]), state)
+    )
+    # One event a year later: span 100..(100+8760) would densify 8761 hours
+    # uncapped.  With the cap the single invocation emits at most
+    # _GF_MAX_DENSE rows and the un-materialized hours are accounted for.
+    far = 100 + 8760
+    out = pd.concat(
+        _update_bursts_gapfilled(("e",), iter([_mk_events({far: 5})]), state)
+    )
+    assert len(out) <= _GF_MAX_DENSE
+    first, counts, n_pruned = state.get
+    assert len(counts) == _BURST_RETAIN
+    assert first == (far - _BURST_RETAIN + 1) * 3_600_000_000
+    # Every hour in the original span is either retained or pruned-counted.
+    total_span = far - 100 + 1
+    assert n_pruned == total_span - _BURST_RETAIN
+    # The resumption bucket itself is emitted, flagged against a zero trail.
+    row = out[out["hour_start"] == pd.Timestamp(far * 3_600_000_000, unit="us")]
+    assert row.iloc[0]["n_events"] == 5 and bool(row.iloc[0]["is_burst"])
