@@ -692,6 +692,9 @@ def _rfm_rank_two_phase(
     FROM ranked CROSS JOIN n
     """,
     tags=("analytics", "segmentation", "rfm"),
+    bench=True,  # the two-phase distributed-ranking family's bench
+    # representative (r5 VERDICT item 6): three global rank-quintiles
+    # computed without a single-partition window.
 )
 def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — the classic marketing-analytics report:

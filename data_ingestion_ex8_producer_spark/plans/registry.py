@@ -84,20 +84,24 @@ def register(
 # similarity, multimodal, Python UDF/UDAF/UDTF, curation) with 2-6
 # representatives each.  Each round rotates the previous round's additions
 # into the window so they get driver-level evidence, then rotates them back
-# out once they have it.  Round 5 swaps in the substantive r4 additions
-# (q_event_burst_detection, q_event_path_mining, q_event_transition_time,
+# out once they have it.  Round 6 rotates IN the 16 r5 additions that were
+# full-artifact-green but unscored (q_dedup_pair_recall, q_emb_kmeans_step,
+# q_event_burst_gapfilled, q_balanced_downsample, q_key_skew_profile,
+# q_doc_commonness, q_curriculum_order, q_emb_pq_codes, sim_pq_adc_topk,
+# q_pq_recall, sim_bruteforce_l2_topk, q_purchase_attribution,
+# q_time_weighted_avg, q_bpe_merge_candidates, q_vocab_coverage,
+# q_customer_rfm) plus the r6 composed IVF-PQ pair (sim_ivfpq_topk,
+# q_ivfpq_recall).  Rotated OUT: the 13 r5-evidenced additions (one
+# driver-green round each, the same precedent as the r3/r4 rotations:
+# q_event_burst_detection, q_event_path_mining, q_event_transition_time,
 # q_user_activity_features, q_incremental_dedup, q_dedup_survivorship,
-# q_ann_recall, mm_audio_window_rms) plus the r5 tuned-ANN pair
-# (sim_lsh_topk_tuned, q_ann_recall_tuned) and rotates out names with 3+
-# driver-green rounds (q_asof_join, q_collect_array, q_recursive_calendar,
-# q_event_dedup, q_time_series_gapfill, q_string_funcs) and the r3
-# additions evidenced in CORRECTNESS_r04 (q_lang_confusion,
-# q_doc_ngram_novelty, q_corpus_token_budget, q_curation_funnel).  Late in
-# round 5 the acted-on PQ index story (sim_pq_adc_rerank_topk +
-# q_pq_recall_rerank) and the OHLC rollup replaced three four-round-green
-# veterans (q_semi_join, q_anti_join, q_except_all); joins stay represented
-# by the four TPC-H multi-join queries and set ops by q_union_all.  Every
-# rotated-out name remains exact-oracle-verified
+# q_ann_recall, q_ann_recall_tuned, mm_audio_window_rms, sim_lsh_topk_tuned,
+# sim_pq_adc_rerank_topk, q_pq_recall_rerank, q_ohlc_bars) and five
+# long-green veterans (q5_region_revenue, q10_returned_items — TPC-H joins
+# keep q3+q18; q_rollup — aggregation keeps q_agg_distinct+q_pivot;
+# q_window_rank — windows keep q_topk_per_group plus the ranking-family
+# q_customer_rfm; q_scalar_subquery — subqueries keep q_correlated_exists).
+# Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
 # after the priority block.
@@ -107,59 +111,56 @@ _PRIORITY: tuple[str, ...] = (
     "q_top_orders",
     # TPC-H style multi-join analytics
     "q3_shipping_priority",
-    "q5_region_revenue",
-    "q10_returned_items",
     "q18_large_volume_customer",
     # aggregation
     "q_agg_distinct",
-    "q_rollup",
     # set operations
     "q_union_all",
     # window functions
-    "q_window_rank",
     "q_topk_per_group",
     # scalar functions
     "q_regex_extract",
     "q_higher_order_funcs",
     # subqueries
-    "q_scalar_subquery",
     "q_correlated_exists",
-    # extended analytics
+    # extended analytics + reports
     "q_pivot",
     "q_funnel",
+    "q_customer_rfm",
     # event-time + event-sequence analytics
     "q_tumbling_window",
     "q_session_window",
-    "q_event_burst_detection",
-    "q_event_path_mining",
-    "q_event_transition_time",
-    "q_user_activity_features",
-    "q_ohlc_bars",
+    "q_event_burst_gapfilled",
+    "q_purchase_attribution",
+    "q_time_weighted_avg",
     # deduplication
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "q_incremental_dedup",
-    "q_dedup_survivorship",
-    # text analysis
+    "q_dedup_pair_recall",
+    # text analysis + tokenizer signals
     "text_token_stats",
     "text_tfidf",
     "text_lang_id",
-    # similarity search + ANN evaluation
+    "q_doc_commonness",
+    "q_bpe_merge_candidates",
+    "q_vocab_coverage",
+    # similarity search + ANN evaluation (the full IVF-PQ story)
     "sim_bruteforce_topk",
+    "sim_bruteforce_l2_topk",
     "sim_lsh_topk",
-    "sim_lsh_topk_tuned",
     "sim_ivf_topk",
-    "q_ann_recall",
-    "q_ann_recall_tuned",
-    "sim_pq_adc_rerank_topk",
-    "q_pq_recall_rerank",
+    "q_emb_kmeans_step",
+    "q_emb_pq_codes",
+    "sim_pq_adc_topk",
+    "q_pq_recall",
+    "sim_ivfpq_topk",
+    "q_ivfpq_recall",
     # multimodal
     "mm_binary_stats",
     "mm_decode_meta",
     "mm_embed_features",
-    "mm_audio_window_rms",
     # Python UDF / UDAF / UDTF
     "udf_accent_fold",
     "udaf_minmax_normalize",
@@ -167,6 +168,9 @@ _PRIORITY: tuple[str, ...] = (
     # curation / pipeline
     "q_hash_sample",
     "emb_normalize",
+    "q_balanced_downsample",
+    "q_curriculum_order",
+    "q_key_skew_profile",
 )
 
 

@@ -189,3 +189,109 @@ def test_ivf_centroids_are_deterministic(spark):
     a = [(r.centroid_id, r.c_norm) for r in _ivf_centroid_rows(emb)]
     b = [(r.centroid_id, r.c_norm) for r in _ivf_centroid_rows(emb)]
     assert a == b and len(a) == _IVF_K
+
+
+def test_ivfpq_results_come_from_probed_cells(spark):
+    """The cell-restriction invariant of the composed IVF-PQ search: every
+    returned neighbor belongs to one of the nprobe cells its query probed
+    — the structural guarantee that makes the scan sublinear."""
+    from data_ingestion_ex8_producer_spark.operators.similarity import (
+        _IVFPQ_NPROBE,
+        _N_QUERIES,
+        _dot_d,
+        _ivf_assignment,
+        _ivf_centroid_frame,
+        sim_ivfpq_topk,
+    )
+    from pyspark.sql import Window
+
+    emb = _ivf_valid_emb(spark, SF)
+    centroid_rows = _ivf_centroid_rows(emb)
+    assign = {
+        r.vec_id: r.centroid_id
+        for r in _ivf_assignment(emb, centroid_rows).select(
+            "vec_id", "centroid_id"
+        ).collect()
+    }
+    centroids = _ivf_centroid_frame(spark, centroid_rows)
+    pair_cos = _dot_d(F.col("ed"), F.col("c_ed")) / (
+        F.col("norm") * F.col("c_norm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id")
+    )
+    probed = {}
+    for r in (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(centroids)
+        .withColumn("cos", pair_cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("vec_id", "centroid_id")
+        .collect()
+    ):
+        probed.setdefault(r.vec_id, set()).add(r.centroid_id)
+
+    out = sim_ivfpq_topk(spark, SF).collect()
+    assert out, "composed search returned nothing"
+    for r in out:
+        assert assign[r.neighbor_id] in probed[r.query_id], (
+            r.query_id, r.neighbor_id,
+        )
+
+
+def test_pq_encode_passthrough_preserves_codes(spark):
+    """pq_encode's passthrough columns change NOTHING about the codes: the
+    (vec_id, subspace, code, dist_sq) rows are identical with and without
+    a passthrough, and the passthrough value replicates the input row's."""
+    from data_ingestion_ex8_producer_spark.operators.similarity import (
+        _ivf_assignment,
+        _pq_codebook_rows,
+        pq_encode,
+    )
+
+    emb = _ivf_valid_emb(spark, SF)
+    code_rows = _pq_codebook_rows(emb)
+    base = {
+        (r.vec_id, r.subspace): (r.code, r.dist_sq)
+        for r in pq_encode(emb, code_rows).collect()
+    }
+    assign = _ivf_assignment(emb, _ivf_centroid_rows(emb))
+    with_pt = pq_encode(
+        assign.select("vec_id", "ed", "centroid_id"),
+        code_rows,
+        passthrough=("centroid_id",),
+    ).collect()
+    cmap = {
+        r.vec_id: r.centroid_id
+        for r in assign.select("vec_id", "centroid_id").collect()
+    }
+    assert len(with_pt) == len(base)
+    for r in with_pt:
+        assert base[(r.vec_id, r.subspace)] == (r.code, r.dist_sq)
+        assert r.centroid_id == cmap[r.vec_id]
+
+
+def test_trained_quantizer_beats_sampled_at_equal_cost(spark):
+    """Closing the Lloyd loop must pay: at identical nprobe the trained
+    quantizer's mean recall@10 is >= the sampled quantizer's (measured
+    margins: +0.013 / +0.099 / +0.125 at sf0.001/0.01/0.1), and training
+    is deterministic (two runs produce identical centroids)."""
+    from data_ingestion_ex8_producer_spark.operators.similarity import (
+        _trained_centroid_rows,
+        q_ivfpq_recall,
+        q_ivfpq_recall_trained,
+    )
+
+    sampled = [r.recall_at_k for r in q_ivfpq_recall(spark, SF).collect()]
+    trained = [
+        r.recall_at_k for r in q_ivfpq_recall_trained(spark, SF).collect()
+    ]
+    assert sum(trained) / len(trained) >= sum(sampled) / len(sampled)
+
+    emb = _ivf_valid_emb(spark, SF)
+    a = [(r.centroid_id, r.c_norm, tuple(r.c_ed[:4]))
+         for r in _trained_centroid_rows(emb)]
+    b = [(r.centroid_id, r.c_norm, tuple(r.c_ed[:4]))
+         for r in _trained_centroid_rows(emb)]
+    assert a == b and len(a) > 0
