@@ -779,3 +779,92 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             score("m_rank").cast("string"),
         ).alias("rfm_segment"),
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-purchase pairs (bounded self-join fan-out)
+# --------------------------------------------------------------------------
+
+_COPURCHASE_TOPK = 25
+
+
+@register(
+    "q_copurchase_pairs",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM op a JOIN op b
+          ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p.p1, pa.p_name AS p1_name, p.p2, pb.p_name AS p2_name,
+           p.n_orders
+    FROM pairs p
+    JOIN part pa ON pa.p_partkey = p.p1
+    JOIN part pb ON pb.p_partkey = p.p2
+    ORDER BY p.n_orders DESC, p.p1, p.p2
+    LIMIT {_COPURCHASE_TOPK}
+    """,
+    tags=("analytics", "market-basket", "self-join"),
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase pairs — the recommender-feed primitive:
+    the top-25 part pairs most often bought in the SAME order, with part
+    names.  The classic frequent-itemset k=2 pass.
+
+    Scale shape: the pair generation is a SELF-JOIN CO-PARTITIONED ON
+    l_orderkey (never a global cross join): after the distinct
+    (order, part) projection, both sides shuffle on the same orderkey, so
+    pairs materialize inside each order's partition with fan-out bounded
+    by the order's line count (TPC-H orders carry <= ~12 distinct parts
+    -> <= 66 pairs per order, a CONSTANT per-row cost at any corpus
+    size).  The pair counts are one map-side-combinable aggregate, names
+    annotate via broadcast part joins AFTER the aggregate, and the top-k
+    is a TakeOrderedAndProject heap — deterministic under the (count
+    DESC, p1, p2) tie-break.  A pathological mega-order (hot basket)
+    would quadratically fan out — the same skew class q_key_skew_profile
+    exists to surveil; the TPC-H generator caps order size by
+    construction."""
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p1")
+    )
+    b = op.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("p2") > F.col("p1"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    named = (
+        pairs.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("p1"),
+                                    F.col("p_name").alias("p1_name"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("p2"),
+                                    F.col("p_name").alias("p2_name"))),
+            "p2",
+        )
+    )
+    return (
+        named.orderBy(
+            F.col("n_orders").desc(), F.col("p1"), F.col("p2")
+        )
+        .limit(_COPURCHASE_TOPK)
+        .select("p1", "p1_name", "p2", "p2_name", "n_orders")
+    )

@@ -1003,3 +1003,197 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Value-based anomaly report (z-score outliers from exact moment sums)
+# --------------------------------------------------------------------------
+
+_VO_Q2 = 100  # event values are 2-decimal; the 1e-2 grid is exact
+
+
+@register(
+    "q_value_outliers",
+    oracle=f"""
+    WITH vq AS (
+        SELECT event_type, CAST(round(value * {_VO_Q2}) AS BIGINT) AS vq
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    moments AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(vq) AS BIGINT) AS s,
+               CAST(SUM(vq * vq) AS BIGINT) AS ss
+        FROM vq GROUP BY event_type
+    ),
+    stats AS (
+        SELECT event_type, n_events, s, ss,
+               CAST(s AS DOUBLE) / n_events AS mean_q,
+               greatest(CAST(ss AS DOUBLE) / n_events
+                        - (CAST(s AS DOUBLE) / n_events)
+                          * (CAST(s AS DOUBLE) / n_events), 0.0) AS var_q
+        FROM moments
+    )
+    SELECT v.event_type, st.n_events,
+           st.mean_q / {_VO_Q2} AS mean_value,
+           sqrt(st.var_q) / {_VO_Q2} AS std_value,
+           CAST(SUM(CASE WHEN (v.vq - st.mean_q) * (v.vq - st.mean_q)
+                              > 9.0 * st.var_q
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN (v.vq - st.mean_q) * (v.vq - st.mean_q)
+                              > 9.0 * st.var_q
+                         THEN 1 ELSE 0 END) AS DOUBLE) / st.n_events
+             AS outlier_share
+    FROM vq v JOIN stats st ON st.event_type = v.event_type
+    GROUP BY v.event_type, st.n_events, st.mean_q, st.var_q
+    """,
+    tags=("events", "anomaly", "zscore"),
+)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based anomaly report per event type — the z-score complement
+    of the count-based burst detectors: exact first/second moments of the
+    2-decimal event values, then a 3-sigma outlier count and share (the
+    monitoring row an on-call dashboard alerts on).
+
+    Exactness doctrine: values quantize exactly to a 1e-2 BIGINT grid, so
+    the moment sums are associative integers at any parallelism; mean and
+    variance derive from those integers through IDENTICAL double
+    expression trees on both engines (never an integer square of the
+    corpus-sized sum — s*s in int64 would overflow at ~10x sf0.1, so the
+    squaring happens in double); the outlier test compares
+    (x - mean)^2 > 9*var in doubles that are bit-identical by
+    construction, and a zero-variance type naturally reports zero
+    outliers (0 > 0 is false) with no division anywhere.
+
+    Scale shape: two map-side-combinable aggregates over the same narrow
+    (event_type, vq) projection — the moments pass (|types| keys of three
+    BIGINTs) and the flag pass re-scanning with the broadcast per-type
+    stats joined in.  No window, no shuffle of raw events beyond the
+    grouped sums; 100 TB of events is two metadata exchanges."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * _VO_Q2).cast("long").alias("vq"),
+        )
+    )
+    moments = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("vq").alias("s"),
+        F.sum(F.col("vq") * F.col("vq")).alias("ss"),
+    )
+    mean_q = F.col("s").cast("double") / F.col("n_events")
+    var_q = F.greatest(
+        F.col("ss").cast("double") / F.col("n_events") - mean_q * mean_q,
+        F.lit(0.0),
+    )
+    stats = F.broadcast(
+        moments.select(
+            "event_type",
+            "n_events",
+            mean_q.alias("mean_q"),
+            var_q.alias("var_q"),
+        )
+    )
+    d = F.col("vq") - F.col("mean_q")
+    is_out = (d * d > F.lit(9.0) * F.col("var_q")).cast("long")
+    return (
+        ev.join(stats, "event_type")
+        .groupBy("event_type", "n_events", "mean_q", "var_q")
+        .agg(F.sum(is_out).cast("long").alias("n_outliers"))
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("mean_q") / _VO_Q2).alias("mean_value"),
+            (F.sqrt("var_q") / _VO_Q2).alias("std_value"),
+            "n_outliers",
+            (
+                F.col("n_outliers").cast("double") / F.col("n_events")
+            ).alias("outlier_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU stickiness (trailing-window distinct engagement)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_dau_wau_stickiness",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day FROM ev),
+    dau AS (
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau FROM ev
+        GROUP BY day
+    ),
+    wau AS (
+        SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+        FROM days d JOIN ev e
+          ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day
+    )
+    SELECT d.day, d.dau, w.wau,
+           CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+    tags=("events", "engagement", "window-distinct"),
+)
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness — the canonical engagement ratio: per active
+    day, the distinct users that day over the distinct users of the
+    trailing 7 days (inclusive), stickiness = DAU/WAU in (0, 1].
+
+    The WAU side is the scale move: instead of a per-day 7-day-range
+    self-join (each probe re-scanning a week of raw events), every
+    (day, user) activity row EXPLODES into the <=7 report days it can
+    influence — a bounded constant fan-out, the same trick as the
+    trailing-window contribution pattern — then one distinct-aggregate
+    per report day.  Rows fanned beyond the corpus's last active day are
+    dropped by the semi-join back onto the observed-day set, exactly
+    matching the oracle's day-range join.  Both sides count the same
+    (day, user) sets, so the BIGINT counts and their double ratio are
+    bit-identical.
+
+    Scale shape: one narrow (day, user) projection; distinct-aggregates
+    shuffle metadata-sized (day, user) keys; the observed-day set is a
+    broadcast (bounded by the calendar).  No window function, no range
+    join against raw events."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+        )
+    )
+    days = ev.select("day").distinct()
+    dau = ev.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("dau")
+    )
+    fan = ev.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    wau = (
+        fan.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )

@@ -279,3 +279,44 @@ _registry._REGISTRY["q_correlated_exists"] = _registry.QuerySpec(
     name=_spec.name, builder=_spec.builder, oracle=_CORRELATED_ORACLE,
     tags=_spec.tags, bench=_spec.bench, doc=_spec.doc,
 )
+
+
+@register(
+    "q_lateral_topn",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 3
+    ) c
+    """,
+    tags=("subqueries", "lateral", "topn"),
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery join (Spark 3.2+/DuckDB `, LATERAL
+    (...)`) — per nation, the top-3 customers by account balance: the
+    per-row-subquery construct ORMs and hand-written SQL lean on, distinct
+    from q_topk_per_group's window formulation.  Catalyst rewrites the
+    lateral limit into the same DENSE per-group top-k it gives the window
+    form (no per-outer-row re-execution), so the declared plan and the
+    window plan converge — the point of expressing it declaratively.
+    Determinism: balances are 2-decimal doubles ordered with a c_custkey
+    tie-break; nations without customers drop out on both engines (inner
+    lateral semantics)."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM lat_nation n, LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM lat_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 3
+        ) c
+        """
+    )

@@ -163,6 +163,12 @@ _R4_GUARDED = (
     "q_event_transition_time",
     "q_emb_dim_quantiles",
     "q_source_diversity",
+    # round-6 additions outside the bench set
+    "sim_ivfpq_topk_trained",
+    "q_value_outliers",
+    "q_dau_wau_stickiness",
+    "q_copurchase_pairs",
+    "q_lateral_topn",
 )
 
 

@@ -295,3 +295,65 @@ def test_trained_quantizer_beats_sampled_at_equal_cost(spark):
     b = [(r.centroid_id, r.c_norm, tuple(r.c_ed[:4]))
          for r in _trained_centroid_rows(emb)]
     assert a == b and len(a) > 0
+
+
+def test_ivfpq_encode_streaming_matches_batch(spark, tmp_path):
+    """The composed index's ONE-PASS assign+encode (centroid assignment
+    pandas_udf -> pq_encode with the centroid_id passthrough) is stateless,
+    so the same transform over a STREAM of arriving vectors reproduces the
+    batch encoding row-for-row — the train-offline / encode-online
+    lifecycle for the full IVF-PQ index, not just the PQ half."""
+    import shutil
+
+    from data_ingestion_ex8_producer_spark.operators.similarity import (
+        _ivf_assignment,
+        _pq_codebook_rows,
+        _valid_emb_frame,
+        pq_encode,
+    )
+
+    emb = _ivf_valid_emb(spark, SF)
+    centroid_rows = _ivf_centroid_rows(emb)
+    code_rows = _pq_codebook_rows(emb)
+
+    def assign_encode(frame):
+        assigned = _ivf_assignment(frame, centroid_rows)
+        return pq_encode(
+            assigned.select("vec_id", "ed", "centroid_id"),
+            code_rows,
+            passthrough=("centroid_id",),
+        )
+
+    batch = {
+        (r.vec_id, r.subspace): (r.code, r.centroid_id)
+        for r in assign_encode(emb).collect()
+    }
+
+    in_dir = tmp_path / "ivfpq_stream_in"
+    in_dir.mkdir()
+    raw = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for i, pred in enumerate(("vec_id % 2 = 0", "vec_id % 2 = 1")):
+        raw.filter(pred).coalesce(1).write.parquet(str(tmp_path / f"s{i}"))
+        part = next((tmp_path / f"s{i}").glob("part-*.parquet"))
+        shutil.move(str(part), str(in_dir / f"s{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        assign_encode(_valid_emb_frame(stream))
+        .writeStream.format("memory")
+        .queryName("ivfpq_stream_codes")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ivfpq_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.vec_id, r.subspace): (r.code, r.centroid_id)
+        for r in spark.sql("SELECT * FROM ivfpq_stream_codes").collect()
+    }
+    assert got == batch and len(got) == len(batch) > 0
