@@ -101,7 +101,16 @@ def register(
 # keep q3+q18; q_rollup — aggregation keeps q_agg_distinct+q_pivot;
 # q_window_rank — windows keep q_topk_per_group plus the ranking-family
 # q_customer_rfm; q_scalar_subquery — subqueries keep q_correlated_exists).
-# Every rotated-out name remains exact-oracle-verified
+# Late in round 6 (the late-r5 precedent) the round's OWN additions joined
+# the window so every r6 spec carries driver evidence this round: the
+# Lloyd-trained IVF-PQ pair (sim_ivfpq_topk_trained, q_ivfpq_recall_trained)
+# and the four new analytics ops (q_value_outliers, q_dau_wau_stickiness,
+# q_copurchase_pairs, q_lateral_topn) replaced six 4-round-green veterans
+# (udf_accent_fold — UDFs keep udaf_minmax_normalize + udtf_bigrams;
+# mm_embed_features — multimodal keeps 2; text_token_stats — text keeps 5;
+# q_tumbling_window + q_funnel — events keep 6 incl. the new pair;
+# q_hash_sample — curation keeps 4).  Every rotated-out name remains
+# exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
 # after the priority block.
@@ -123,16 +132,18 @@ _PRIORITY: tuple[str, ...] = (
     "q_higher_order_funcs",
     # subqueries
     "q_correlated_exists",
+    "q_lateral_topn",
     # extended analytics + reports
     "q_pivot",
-    "q_funnel",
     "q_customer_rfm",
+    "q_copurchase_pairs",
     # event-time + event-sequence analytics
-    "q_tumbling_window",
     "q_session_window",
     "q_event_burst_gapfilled",
     "q_purchase_attribution",
     "q_time_weighted_avg",
+    "q_value_outliers",
+    "q_dau_wau_stickiness",
     # deduplication
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -140,7 +151,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "q_dedup_pair_recall",
     # text analysis + tokenizer signals
-    "text_token_stats",
     "text_tfidf",
     "text_lang_id",
     "q_doc_commonness",
@@ -157,16 +167,15 @@ _PRIORITY: tuple[str, ...] = (
     "q_pq_recall",
     "sim_ivfpq_topk",
     "q_ivfpq_recall",
+    "sim_ivfpq_topk_trained",
+    "q_ivfpq_recall_trained",
     # multimodal
     "mm_binary_stats",
     "mm_decode_meta",
-    "mm_embed_features",
     # Python UDF / UDAF / UDTF
-    "udf_accent_fold",
     "udaf_minmax_normalize",
     "udtf_bigrams",
     # curation / pipeline
-    "q_hash_sample",
     "emb_normalize",
     "q_balanced_downsample",
     "q_curriculum_order",
