@@ -1062,12 +1062,24 @@ def q_doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingles cost df combiner cells and df annotated rows, never the
     df^2 fan-out the capped dedup join must guard against), then a
     combinable per-doc rollup.  Linear in corpus size with no quadratic
-    skew term — same reason novelty scoring scales."""
+    skew term — same reason novelty scoring scales.  The (doc_id,
+    shingle) relation feeds BOTH the df aggregate and the annotate join,
+    so it is persisted through the persist_tracked seam — without it the
+    tokenize+shingle explode runs twice, which the r6 scale probe first
+    measured as the table's steepest curve (14.9 s at 10x-sf0.1); the
+    persist removes the recomputation (re-measured 10.1 s at the same
+    point, and the 1x base dropped 2.1 -> 1.5 s — the committed SCALING
+    row).  The residual ~6.9x-per-10x slope is the df annotate-join
+    shuffle growing with the corpus, the same sub-linear
+    shuffle-dominated shape as q_doc_ngram_novelty."""
     from ..functions.text import with_shingles
+    from ._util import persist_tracked
 
-    sh = with_shingles(
-        t(spark, sf_dir, "documents").select("doc_id", "text"), _NOVELTY_K
-    ).select("doc_id", F.explode("shingle_set").alias("shingle"))
+    sh = persist_tracked(
+        with_shingles(
+            t(spark, sf_dir, "documents").select("doc_id", "text"), _NOVELTY_K
+        ).select("doc_id", F.explode("shingle_set").alias("shingle"))
+    )
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
     return (
         sh.join(df, "shingle")

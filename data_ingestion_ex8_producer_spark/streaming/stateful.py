@@ -9,6 +9,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -439,4 +440,94 @@ def event_bursts_gapfilled_stream(events: DataFrame) -> DataFrame:
         stateStructType=_GF_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# Running-moments value-anomaly detector (streaming twin of
+# operators/events.py's q_value_outliers)
+# --------------------------------------------------------------------------
+
+VALUE_OUTLIER_SCHEMA = (
+    "event_type string, n_events bigint, mean_value double, std_value double, "
+    "n_outliers bigint, outlier_share double"
+)
+# Exact integer moments on the shared 1e-2 grid: n, sum(vq), sum(vq^2),
+# plus the running outlier count.
+_VO_STATE_SCHEMA = "n bigint, s bigint, ss bigint, n_out bigint"
+_VO_Q2 = 100
+_VO_FACTOR_SQ = 9.0  # 3-sigma, squared
+
+
+def _update_value_outliers(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running z-score anomaly flags per event type.
+
+    State is the exact integer moment triple (n, Σvq, Σvq²) plus the
+    outliers-so-far count — constant size at any stream length, and
+    because the moments are associative BIGINT sums on the 1e-2 grid,
+    the state after ANY micro-batch split equals the batch twin's
+    moments over the same prefix exactly (no float drift).
+
+    Documented semantics delta vs the batch spec: each arriving value is
+    tested against the moments INCLUDING its own batch (the batch is
+    merged into state first, then flagged) — so a single-batch run
+    reproduces q_value_outliers row-for-row, while a split stream flags
+    early events against prefix moments, the honest behavior of an
+    online detector that cannot see the future.  Tests pin both: exact
+    single-batch equality and exact state-moment equality under splits."""
+    n, s, ss, n_out = state.get if state.exists else (0, 0, 0, 0)
+    vqs = []
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        v = pdf["value"].to_numpy(dtype="float64")
+        vq = np.floor(v * _VO_Q2 + 0.5).astype("int64")
+        vqs.append(vq)
+        n += len(vq)
+        s += int(vq.sum())
+        ss += int((vq * vq).sum())
+    if n == 0:
+        yield pd.DataFrame(
+            [],
+            columns=[
+                "event_type", "n_events", "mean_value", "std_value",
+                "n_outliers", "outlier_share",
+            ],
+        )
+        return
+    mean_q = s / n
+    var_q = max(ss / n - mean_q * mean_q, 0.0)
+    for vq in vqs:
+        d = vq - mean_q
+        n_out += int(((d * d) > _VO_FACTOR_SQ * var_q).sum())
+    state.update((n, s, ss, n_out))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_events": [n],
+            "mean_value": [mean_q / _VO_Q2],
+            "std_value": [var_q ** 0.5 / _VO_Q2],
+            "n_outliers": [n_out],
+            "outlier_share": [n_out / n],
+        }
+    )
+
+
+def value_outliers_stream(events: DataFrame) -> DataFrame:
+    """Streaming running-moments anomaly detector keyed by event_type:
+    one updated (moments, outlier-count) row per type per micro-batch."""
+    return (
+        events.filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_value_outliers,
+            outputStructType=VALUE_OUTLIER_SCHEMA,
+            stateStructType=_VO_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -762,3 +762,79 @@ def test_gapfilled_state_caps_gap_materialization() -> None:
     # The resumption bucket itself is emitted, flagged against a zero trail.
     row = out[out["hour_start"] == pd.Timestamp(far * 3_600_000_000, unit="us")]
     assert row.iloc[0]["n_events"] == 5 and bool(row.iloc[0]["is_burst"])
+
+
+# --------------------------------------------------------------------------
+# Running-moments value-anomaly detector (streaming twin of q_value_outliers)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_streaming_value_outliers_match_batch(spark, tmp_path: Path) -> None:
+    """Single availableNow batch: the running-moments detector's emission
+    equals the registered q_value_outliers batch rows COLUMN-FOR-COLUMN
+    (global moments == single-batch moments; integer moment sums and
+    identical IEEE derivations make even the doubles bit-identical)."""
+    from data_ingestion_ex8_producer_spark.operators.events import (
+        q_value_outliers,
+    )
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        value_outliers_stream,
+    )
+
+    events = stream_events_fixture(spark, SF, str(tmp_path / "vo"))
+    _run(value_outliers_stream(events), "stream_value_outliers", "update")
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["mean_value"], r["std_value"],
+            r["n_outliers"], r["outlier_share"],
+        )
+        for r in spark.sql("SELECT * FROM stream_value_outliers").collect()
+    }
+    expected = {
+        r["event_type"]: (
+            r["n_events"], r["mean_value"], r["std_value"],
+            r["n_outliers"], r["outlier_share"],
+        )
+        for r in q_value_outliers(spark, SF).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_value_outliers_state_moments_split_invariant() -> None:
+    """The exact-integer moment state is split-invariant: any micro-batch
+    partition of the same rows leaves identical (n, s, ss) state — the
+    no-float-drift guarantee — while the outlier count is prefix-honest
+    (early events are judged against prefix moments, so a split may flag
+    MORE than the single-shot run, never fewer-than-zero; the single-shot
+    count equals the batch spec's)."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        _update_value_outliers,
+    )
+
+    # One extreme value among 30 near-constant points: a single point among
+    # n can reach at most z = (n-1)/sqrt(n) (~2.85 at n=10, ~5.3 at n=30),
+    # so n=30 makes the 3-sigma flag attainable.
+    vals = [10.0 + 0.01 * i for i in range(29)] + [99.9]
+
+    def frame(vs):
+        return pd.DataFrame({"value": pd.Series(vs, dtype="float64")})
+
+    single = _FakeState()
+    out_single = pd.concat(
+        _update_value_outliers(("e",), iter([frame(vals)]), single)
+    )
+    split = _FakeState()
+    pd.concat(_update_value_outliers(("e",), iter([frame(vals[:11])]), split))
+    out_split = pd.concat(
+        _update_value_outliers(("e",), iter([frame(vals[11:])]), split)
+    )
+    assert single.get[:3] == split.get[:3]  # (n, s, ss) identical
+    assert split.get[3] >= single.get[3] >= 0
+    # The emitted final moments mirror the state on both paths.
+    assert out_single.iloc[0]["n_events"] == out_split.iloc[0]["n_events"] == 30
+    assert out_single.iloc[0]["mean_value"] == out_split.iloc[0]["mean_value"]
+    # The obvious outlier (99.9 among ~10s) is flagged on the single shot.
+    assert single.get[3] >= 1
