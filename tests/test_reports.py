@@ -56,3 +56,60 @@ def test_ohlc_bars_bound_their_window(spark):
         assert r.n_events >= 1 and r.volume > 0
         if r.n_events == 1:
             assert r.open == r.close == r.high == r.low
+
+
+# --------------------------------------------------------------------------
+# PROPERTY: the two-phase distributed ranking (bucket counts -> broadcast
+# offsets -> within-bucket row_number) equals the global single-window
+# ROW_NUMBER it replaces — the identity the RFM/curriculum operators (and
+# their docstrings across the repo) stand on.
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _rank_frames(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    # Bucket values drawn from a SMALL domain so duplicates (the case the
+    # within-bucket tie-break exists for) are common; keys are unique.
+    buckets = draw(
+        st.lists(
+            st.integers(min_value=-3, max_value=3), min_size=n, max_size=n
+        )
+    )
+    desc = draw(st.booleans())
+    return list(zip(range(n), buckets)), desc
+
+
+@settings(max_examples=8, deadline=None)
+@given(_rank_frames())
+def test_two_phase_rank_equals_global_row_number(case):
+    """For ANY frame and either bucket direction, _rfm_rank_two_phase
+    assigns exactly ROW_NUMBER() OVER (ORDER BY bucket [DESC], key)."""
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    from data_ingestion_ex8_producer_spark.operators.analytics_ext import (
+        _rfm_rank_two_phase,
+    )
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    rows, desc = case
+    df = spark.createDataFrame(rows, "key long, bucket long")
+    got = {
+        r.key: r.rk
+        for r in _rfm_rank_two_phase(
+            df, "bucket", desc, [F.col("key")], "rk"
+        ).collect()
+    }
+    order = [F.col("bucket").desc() if desc else F.col("bucket").asc(),
+             F.col("key")]
+    expected = {
+        r.key: r.rk
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == expected

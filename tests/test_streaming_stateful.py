@@ -838,3 +838,68 @@ def test_value_outliers_state_moments_split_invariant() -> None:
     assert out_single.iloc[0]["mean_value"] == out_split.iloc[0]["mean_value"]
     # The obvious outlier (99.9 among ~10s) is flagged on the single shot.
     assert single.get[3] >= 1
+
+
+@st.composite
+def _value_splits(draw):
+    """Random 2-decimal value lists split into 1-4 arbitrary micro-batches."""
+    vals = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=50_000).map(lambda q: q / 100.0),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    n_batches = draw(st.integers(min_value=1, max_value=4))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(vals)),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in [*cuts, len(vals)]:
+        batches.append(vals[prev:c])
+        prev = c
+    return vals, batches
+
+
+@settings(max_examples=60, deadline=None)
+@given(_value_splits())
+def test_value_outlier_moments_split_invariance_property(case) -> None:
+    """PROPERTY: the running-moments state (n, Σvq, Σvq²) is identical
+    under ANY micro-batch split of the same values — integer sums cannot
+    drift — and the final emitted mean/std (pure functions of the state)
+    are bit-identical too."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        _update_value_outliers,
+    )
+
+    vals, batches = case
+
+    def run(batch_list):
+        state = _FakeState()
+        last = None
+        for vs in batch_list:
+            out = pd.concat(
+                _update_value_outliers(
+                    ("k",),
+                    iter([pd.DataFrame({"value": pd.Series(vs, dtype="float64")})]),
+                    state,
+                )
+            )
+            if len(out):
+                last = out.iloc[0]
+        return state.get, last
+
+    s_single, row_single = run([vals])
+    s_split, row_split = run(batches)
+    assert s_single[:3] == s_split[:3]
+    assert row_single["mean_value"] == row_split["mean_value"]
+    assert row_single["std_value"] == row_split["std_value"]
+    assert row_single["n_events"] == row_split["n_events"] == len(vals)
