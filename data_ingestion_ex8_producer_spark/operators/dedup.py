@@ -1248,3 +1248,72 @@ def q_dedup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionAll(parts[1])
+
+
+# --------------------------------------------------------------------------
+# LSH index health: band-bucket statistics (the dedup-side analog of the
+# ANN recall measurements — the engine surveils its own index)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_lsh_band_stats",
+    oracle=_minhash_cte()
+    + """,
+    buckets AS (
+        SELECT band, sig, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bands GROUP BY band, sig
+    )
+    SELECT band,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(c) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_buckets,
+           CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band
+    """,
+    tags=("dedup", "minhash", "lsh", "diagnostics"),
+)
+def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket health report for the deployed MinHash-LSH index — the
+    dedup-side analog of the ANN recall specs (every index the engine
+    deploys ships its own surveillance): per band, the bucket count, the
+    LARGEST bucket, how many buckets hold >=2 docs, and the exact number
+    of candidate pairs the band contributes (sum of C(c,2) over buckets).
+    candidate_pairs IS the band's share of the LSH join's shuffle output,
+    so this report is the early-warning dial for the quadratic hot-bucket
+    blowup the banded join must never develop: a healthy index shows
+    max_bucket near 1-2 and candidate_pairs << n_docs^2; a degenerate
+    hash family or boilerplate-flooded corpus shows one giant bucket, and
+    the remedy (more bands x fewer rows, or a stop-shingle cap like the
+    jaccard DF cap) is applied BEFORE the pair join melts down.  This is
+    the same surveillance q_key_skew_profile provides for groupBy keys,
+    specialized to the index's band space.
+
+    Exactness: bucket sizes are integers; C(c,2) uses integer `div` on
+    the always-even product, so every column is associative BIGINT
+    arithmetic.
+
+    Scale shape: reuses the registered signature builder
+    (minhash_band_signatures — one fused groupBy straight to band rows),
+    then a (band, sig) count and an 8-key rollup: two map-side-combinable
+    metadata aggregates over |docs| x 8 rows; the report never touches
+    the pair space it measures."""
+    docs = spread(t(spark, sf_dir, "documents"), spark)
+    buckets = (
+        minhash_band_signatures(docs)
+        .groupBy("band", "r0", "r1", "r2", "r3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return buckets.groupBy("band").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.sum((F.col("c") >= 2).cast("long")).cast("long").alias(
+            "n_multi_buckets"
+        ),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias(
+            "candidate_pairs"
+        ),
+    )

@@ -109,7 +109,9 @@ def register(
 # (udf_accent_fold — UDFs keep udaf_minmax_normalize + udtf_bigrams;
 # mm_embed_features — multimodal keeps 2; text_token_stats — text keeps 5;
 # q_tumbling_window + q_funnel — events keep 6 incl. the new pair;
-# q_hash_sample — curation keeps 4).  Every rotated-out name remains
+# q_hash_sample — curation keeps 4; dedup_exact — dedup keeps the three
+# banded/capped primaries + pair-recall + the new q_lsh_band_stats index
+# health report).  Every rotated-out name remains
 # exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -145,11 +147,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_value_outliers",
     "q_dau_wau_stickiness",
     # deduplication
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "q_dedup_pair_recall",
+    "q_lsh_band_stats",
     # text analysis + tokenizer signals
     "text_tfidf",
     "text_lang_id",

@@ -169,6 +169,7 @@ _R4_GUARDED = (
     "q_dau_wau_stickiness",
     "q_copurchase_pairs",
     "q_lateral_topn",
+    "q_lsh_band_stats",
 )
 
 
