@@ -903,3 +903,80 @@ def test_value_outlier_moments_split_invariance_property(case) -> None:
     assert row_single["mean_value"] == row_split["mean_value"]
     assert row_single["std_value"] == row_split["std_value"]
     assert row_single["n_events"] == row_split["n_events"] == len(vals)
+
+
+@pytest.mark.slow
+def test_streaming_value_outliers_checkpoint_restart(spark, tmp_path: Path) -> None:
+    """Two-run checkpoint restart for the running-moments detector: the
+    exact integer moment state survives the restart, so the final emission
+    per type carries EXACTLY the batch twin's (n, mean, std) — the
+    split-invariant core — while the outlier count stays prefix-honest
+    (bounded by n; equal to the batch count when all data shares one
+    batch, which the single-batch equality test pins separately)."""
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_ingestion_ex8_producer_spark.operators.events import (
+        q_value_outliers,
+    )
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        value_outliers_stream,
+    )
+
+    staging = tmp_path / "vo_staging"
+    staging.mkdir()
+    ckpt = str(tmp_path / "vo_ckpt")
+    out = str(tmp_path / "vo_emissions")
+
+    events = load_table(spark, SF, "events")
+    half1 = str(tmp_path / "vo_half1")
+    half2 = str(tmp_path / "vo_half2")
+    events.filter(F.col("ts") <= F.lit("2024-01-15")).coalesce(1).write.parquet(half1)
+    events.filter(F.col("ts") > F.lit("2024-01-15")).coalesce(1).write.parquet(half2)
+    schema = events.schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(str(staging))
+
+        def sink(batch_df, epoch_id: int) -> None:
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            value_outliers_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    for src, name in ((half1, "a.parquet"), (half2, "b.parquet")):
+        part = next(Path(src).glob("part-*.parquet"))
+        shutil.copy(part, staging / name)
+        run_once()
+
+    emissions = spark.read.parquet(out)
+    latest = Window.partitionBy("event_type").orderBy(F.col("epoch").desc())
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["mean_value"], r["std_value"], r["n_outliers"]
+        )
+        for r in emissions.withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    expected = {
+        r["event_type"]: (r["n_events"], r["mean_value"], r["std_value"])
+        for r in q_value_outliers(spark, SF).collect()
+    }
+    assert set(got) == set(expected)
+    for et, (n, mean, std, n_out) in got.items():
+        assert (n, mean, std) == expected[et]
+        assert 0 <= n_out <= n
