@@ -68,6 +68,11 @@ PROBE_QUERIES = (
     # r6: the composed IVF-PQ search (cell-restricted ADC + exact re-rank)
     "sim_ivfpq_topk",
     "sim_ivfpq_topk_trained",
+    # late r6: the new analytics/diagnostics family
+    "q_value_outliers",
+    "q_dau_wau_stickiness",
+    "q_copurchase_pairs",
+    "q_lsh_band_stats",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
