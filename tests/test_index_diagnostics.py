@@ -4,6 +4,7 @@ deployed index actually produces, on ANY corpus."""
 
 from __future__ import annotations
 
+from data_ingestion_ex8_producer_spark.operators._util import persisted_scope
 from data_ingestion_ex8_producer_spark.operators.dedup import (
     _LSH_BANDS,
     dedup_minhash_lsh,
@@ -18,8 +19,9 @@ def test_band_stats_bound_the_lsh_candidate_set(spark):
     the deployed LSH join (a pair agreeing in k bands is counted k times
     here, once there), every band covers the full corpus, and a bucket can
     never hold more docs than the corpus."""
-    stats = q_lsh_band_stats(spark, SF).collect()
-    pairs = dedup_minhash_lsh(spark, SF).count()
+    with persisted_scope():  # the LSH builder persists its band relation
+        stats = q_lsh_band_stats(spark, SF).collect()
+        pairs = dedup_minhash_lsh(spark, SF).count()
     spark.catalog.clearCache()
 
     assert len(stats) == _LSH_BANDS
