@@ -111,7 +111,9 @@ def register(
 # q_tumbling_window + q_funnel — events keep 6 incl. the new pair;
 # q_hash_sample — curation keeps 4; dedup_exact — dedup keeps the three
 # banded/capped primaries + pair-recall + the new q_lsh_band_stats index
-# health report).  Every rotated-out name remains
+# health report; finally text_tfidf — 4-round-green, stays in the bench
+# set — made room for the q_copurchase_triangles graph primitive).  Every
+# rotated-out name remains
 # exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -139,6 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_pivot",
     "q_customer_rfm",
     "q_copurchase_pairs",
+    "q_copurchase_triangles",
     # event-time + event-sequence analytics
     "q_session_window",
     "q_event_burst_gapfilled",
@@ -153,7 +156,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_pair_recall",
     "q_lsh_band_stats",
     # text analysis + tokenizer signals
-    "text_tfidf",
     "text_lang_id",
     "q_doc_commonness",
     "q_bpe_merge_candidates",

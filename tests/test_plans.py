@@ -170,6 +170,7 @@ _R4_GUARDED = (
     "q_copurchase_pairs",
     "q_lateral_topn",
     "q_lsh_band_stats",
+    "q_copurchase_triangles",
 )
 
 
