@@ -73,6 +73,7 @@ PROBE_QUERIES = (
     "q_dau_wau_stickiness",
     "q_copurchase_pairs",
     "q_lsh_band_stats",
+    "q_copurchase_triangles",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
