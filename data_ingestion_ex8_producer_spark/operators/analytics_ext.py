@@ -1035,3 +1035,178 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vertices long, n_edges long, n_wedges long, n_triangles long, "
         "closure_rate double",
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the part-affinity graph (fixed-iteration, integer-quantized)
+# --------------------------------------------------------------------------
+
+_PR_SCALE = 10**12  # rank mass carried as BIGINT micromillionths
+_PR_ITERS = 3       # fixed Lloyd-style unroll: deterministic, oracle-twinnable
+_PR_TOPK = 20
+# Same >=2-weight affinity-edge floor as q_copurchase_triangles (defined
+# above in this module) — shared so the two graph operators read one graph.
+_TRI_MIN_W_REF = _TRI_MIN_W
+
+
+def _pagerank_oracle() -> str:
+    blocks = []
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        blocks.append(f""",
+    s{k} AS (
+        SELECT e.v AS x, CAST(SUM(r.r // r.d) AS BIGINT) AS s
+        FROM dir e JOIN {prev} r ON r.x = e.u
+        GROUP BY e.v
+    ),
+    r{k} AS (
+        SELECT s{k}.x,
+               CAST((15 * ({_PR_SCALE} // c.n)) // 100
+                    + (85 * s{k}.s) // 100 AS BIGINT) AS r,
+               deg.d
+        FROM s{k} CROSS JOIN c JOIN deg ON deg.x = s{k}.x
+    )""")
+        prev = f"r{k}"
+    return f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey IS NOT NULL
+    ),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b
+          ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_W_REF}
+    ),
+    dir AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u AS x, CAST(COUNT(*) AS BIGINT) AS d FROM dir GROUP BY u),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    r0 AS (
+        SELECT deg.x, CAST({_PR_SCALE} // c.n AS BIGINT) AS r, deg.d
+        FROM deg CROSS JOIN c
+    ){''.join(blocks)}
+    SELECT p.p_partkey, p.p_name, deg.d AS degree,
+           {prev}.r AS rank_q,
+           CAST({prev}.r AS DOUBLE) / {float(_PR_SCALE)} AS pagerank
+    FROM {prev}
+    JOIN deg ON deg.x = {prev}.x
+    JOIN part p ON p.p_partkey = {prev}.x
+    ORDER BY {prev}.r DESC, p.p_partkey
+    LIMIT {_PR_TOPK}
+    """
+
+
+@register(
+    "q_part_pagerank",
+    oracle=None,  # generated (unrolled iteration CTEs) — attached below
+    tags=("analytics", "graph", "pagerank", "iterative"),
+)
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part-affinity graph — the iterative-graph-algorithm
+    family member beyond connected components (dedup_clusters) and triangle
+    counting (q_copurchase_triangles): ranks parts by affinity centrality in
+    the >= 2-weight co-purchase graph (damping 0.85, 3 fixed iterations),
+    returning the top-20 hub parts.  The recommender's "authority item"
+    signal, and the engine's demonstration that fixed-point iteration is a
+    registered, oracle-verified shape.
+
+    Integer quantization (the cross-engine exactness doctrine): rank mass is
+    a BIGINT in units of 1e-12 — r0 = SCALE div n, each contribution is
+    r div deg(src) (integer division), and the damped update is
+    (15*(SCALE div n)) div 100 + (85*sum) div 100.  Every operation is
+    associative-integer, so Spark's partial aggregation and DuckDB's
+    single-node sum agree bit-for-bit; the one double (`pagerank`) is a
+    single IEEE division of identical BIGINTs by a constant.  The ~1e-12
+    mass lost to division flooring per step is deterministic on both
+    engines — quantization error, identically realized.
+
+    Scale shape: the edge list is the same order-co-partitioned bounded
+    self-join as q_copurchase_pairs; the symmetric edge relation and the
+    degree relation are built once and persisted (persist_tracked — the
+    caller's persisted_scope releases them).  Each iteration is ONE shuffle:
+    contributions flow src->dst along the persisted edge relation
+    (map-side-combinable SUM keyed on dst); the degree reattach and the
+    vertex count are broadcast joins of vertex-dimension metadata (the part
+    domain).  Fixed iteration count keeps the lineage bounded; a production
+    loop at 100 TB would localCheckpoint each iteration to truncate lineage
+    and let AQE re-plan per step — noted here because the 3-deep unrolled
+    plan is the honest small-N twin of that loop, not a different algorithm.
+    Dangling mass: none by construction — the symmetric graph gives every
+    vertex degree >= 1."""
+    from ._util import persist_tracked
+
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("v") > F.col("u"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_W_REF)
+        .select("u", "v")
+    )
+    dirn = persist_tracked(
+        edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    deg = persist_tracked(
+        dirn.groupBy(F.col("u").alias("x")).agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        )
+    )
+    n1 = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))  # 1-row relation
+    rank = deg.crossJoin(F.broadcast(n1)).select(
+        "x", F.expr(f"CAST({_PR_SCALE} div n AS BIGINT)").alias("r"), "d"
+    )
+    deg_b = F.broadcast(deg)
+    for _ in range(_PR_ITERS):
+        contrib = rank.join(dirn, rank["x"] == dirn["u"]).select(
+            F.col("v").alias("x"), F.expr("r div d").alias("c")
+        )
+        summed = contrib.groupBy("x").agg(F.sum("c").cast("long").alias("s"))
+        rank = (
+            summed.crossJoin(F.broadcast(n1))
+            .select(
+                "x",
+                F.expr(
+                    f"CAST((15 * ({_PR_SCALE} div n)) div 100"
+                    " + (85 * s) div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+            .join(deg_b, "x")
+        )
+    part = F.broadcast(
+        t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    )
+    return (
+        rank.join(part, rank["x"] == part["p_partkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("d").alias("degree"),
+            F.col("r").alias("rank_q"),
+            (F.col("r").cast("double") / float(_PR_SCALE)).alias("pagerank"),
+        )
+        .orderBy(F.col("rank_q").desc(), F.col("p_partkey"))
+        .limit(_PR_TOPK)
+    )
+
+
+from ..plans import registry as _registry  # noqa: E402
+
+_spec = _registry._REGISTRY["q_part_pagerank"]
+_registry._REGISTRY["q_part_pagerank"] = _registry.QuerySpec(
+    name=_spec.name,
+    builder=_spec.builder,
+    oracle=_pagerank_oracle(),
+    tags=_spec.tags,
+    bench=_spec.bench,
+    doc=_spec.doc,
+)

@@ -1317,3 +1317,109 @@ def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_pairs"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance near-dup verification (LSH candidates -> exact Levenshtein)
+# --------------------------------------------------------------------------
+
+_EDIT_SIM_THRESHOLD = 0.8  # keep pairs with 1 - lev/max(len) >= 0.8
+
+
+def _edit_distance_oracle() -> str:
+    return (
+        _minhash_cte()
+        + f""",
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(length(da.text) AS BIGINT) AS len_a,
+               CAST(length(db.text) AS BIGINT) AS len_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev_dist,
+               CAST(1 AS DOUBLE)
+                 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                   / greatest(length(da.text), length(db.text)) AS edit_sim
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.doc_a
+        JOIN documents db ON db.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, len_a, len_b, lev_dist, edit_sim
+    FROM scored
+    WHERE edit_sim >= {_EDIT_SIM_THRESHOLD}
+    """
+    )
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=None,  # generated (shares the minhash CTE) — attached below
+    tags=("dedup", "levenshtein", "lsh", "two-stage"),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs — the character-level complement of the
+    shingle/embedding families: MinHash-LSH candidate generation, then an
+    EXACT Levenshtein verification, keeping pairs whose normalized edit
+    similarity 1 - lev/max(len) >= 0.8.  This is the fuzzy-dedup shape used
+    when near-dups differ by small in-place edits (boilerplate stamps, OCR
+    noise, template fills) that token-set Jaccard under-weights.
+
+    Two-stage scale design (same doctrine as dedup_embedding_neardup):
+    Levenshtein is O(len_a x len_b) PER PAIR, so it must never meet the
+    O(n^2) pair space — stage 1 reuses the registered LSH index
+    (minhash_band_signatures: shuffle volume |docs| x 8 band rows) to cut
+    candidates to the near-dup neighborhood, and stage 2 evaluates the
+    quadratic-cost distance only on that candidate set, with texts attached
+    by two doc_id-keyed joins AFTER candidate generation (ids-only band
+    join, the narrow-shuffle discipline).  On Spark >= 3.5 a production
+    variant would push ``levenshtein(a, b, threshold)`` — the banded early-
+    exit computes ceil(0.2*max_len) diagonals instead of the full matrix —
+    but DuckDB's 2-arg levenshtein has no threshold form, so the scored
+    twin keeps the portable call (identical unit-cost dynamic program in
+    both engines; the JVM evaluates it inside whole-stage codegen).
+
+    Exactness: lev_dist and the lengths are identical BIGINTs on both
+    engines; edit_sim is two IEEE ops (divide, subtract) on identical
+    integers, so the 0.8 filter decides identically cross-engine.
+    """
+    docs = spread(t(spark, sf_dir, "documents"), spark)
+    bands = persist_tracked(minhash_band_signatures(docs))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), band_match_condition())
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    texts = docs.select("doc_id", "text")
+    pairs = cand.join(
+        texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta")),
+        "doc_a",
+    ).join(
+        texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb")),
+        "doc_b",
+    )
+    lev = F.levenshtein("__ta", "__tb")
+    max_len = F.greatest(F.length("__ta"), F.length("__tb"))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.length("__ta").cast("long").alias("len_a"),
+        F.length("__tb").cast("long").alias("len_b"),
+        lev.cast("long").alias("lev_dist"),
+        (F.lit(1.0) - lev.cast("double") / max_len.cast("double")).alias("edit_sim"),
+    ).filter(F.col("edit_sim") >= _EDIT_SIM_THRESHOLD)
+
+
+for _name, _sql in (("dedup_edit_distance", _edit_distance_oracle()),):
+    _spec = _registry._REGISTRY[_name]
+    _registry._REGISTRY[_name] = _registry.QuerySpec(
+        name=_spec.name,
+        builder=_spec.builder,
+        oracle=_sql,
+        tags=_spec.tags,
+        bench=_spec.bench,
+        doc=_spec.doc,
+    )

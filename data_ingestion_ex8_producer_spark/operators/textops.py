@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import hash48, sql_hash48, sql_shingle_list, sql_tokens, tokens
 from ..plans.registry import register
-from ._util import t
+from ._util import spread, t
 
 # --------------------------------------------------------------------------
 # Token statistics
@@ -1260,4 +1260,265 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0)
             - F.col("covered_tokens").cast("double") / F.col("total_tokens")
         ).alias("oov_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Inverted-index construction (posting lists)
+# --------------------------------------------------------------------------
+
+_INV_TOPK = 25      # report the 25 highest-df terms
+_INV_POSTINGS = 10  # posting-list sample depth per term
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens()}) AS term FROM documents
+    ),
+    occ AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS total_tf
+        FROM toks GROUP BY term
+    ),
+    dp AS (SELECT DISTINCT term, doc_id FROM toks),
+    dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dp GROUP BY term
+    ),
+    post AS (
+        SELECT term,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                 AS postings_sample
+        FROM (
+            SELECT term, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+            FROM dp
+        )
+        WHERE rn <= {_INV_POSTINGS}
+        GROUP BY term
+    )
+    SELECT f.term, f.df, o.total_tf, p.postings_sample
+    FROM dfreq f
+    JOIN occ o ON o.term = f.term
+    JOIN post p ON p.term = f.term
+    ORDER BY f.df DESC, f.term
+    LIMIT {_INV_TOPK}
+    """,
+    tags=("text", "search", "inverted-index"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the search-side primitive a corpus
+    pipeline builds right after dedup: for the top-25 highest-df terms,
+    the document frequency, the total term frequency, and the FIRST 10
+    doc_ids of the term's posting list (comma-joined, ascending — the
+    bounded sample a UI or an index-health check reads).
+
+    Scale shape: two map-side-combinable aggregates over the exploded
+    token relation (total_tf keyed on term; df on the distinct (term,
+    doc_id) projection), and the posting sample is a row_number window
+    per term with the rank filter ADJACENT to the window so Catalyst
+    rewrites it to WindowGroupLimit — each map task keeps only its local
+    top-10 smallest doc_ids per term before the shuffle, so a stop-word
+    term with a billion-document posting list still moves <= 10 rows per
+    map partition, never the full list.  (A REAL index build would sink
+    the complete lists partitioned by term range — that is a sink-shaped
+    job; this operator is its bounded, verifiable report twin.)  The
+    final top-25 is a TakeOrderedAndProject heap under the deterministic
+    (df DESC, term) tie-break.
+
+    Exactness: counts are integers; the posting sample is an exact
+    string join of sorted BIGINTs — no floats anywhere."""
+    toks = (
+        spread(t(spark, sf_dir, "documents"), spark)
+        .select("doc_id", F.explode(tokens()).alias("term"))
+    )
+    occ = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("total_tf")
+    )
+    dp = toks.select("term", "doc_id").distinct()
+    dfreq = dp.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    rn = F.row_number().over(
+        Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+    )
+    post = (
+        dp.withColumn("rn", rn)
+        .filter(F.col("rn") <= _INV_POSTINGS)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_sample")
+        )
+    )
+    return (
+        dfreq.join(occ, "term")
+        .join(post, "term")
+        .select("term", "df", "total_tf", "postings_sample")
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(_INV_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 more-like-this retrieval (log-free rational-idf variant)
+# --------------------------------------------------------------------------
+
+_BM25_N_QUERIES = 8   # doc_id < 8 are the query documents (same ids as the
+                      # vector-search query set — q_hybrid_rrf fuses the two)
+_BM25_TOPK = 10
+_BM25_K1 = "1.2e0"      # literal strings: both engines parse the same double
+_BM25_K1P1 = "2.2e0"    # k1 + 1, written as one literal (never computed)
+_BM25_B_DL = "0.25e0"   # 1 - b with b = 0.75 (exact in binary)
+_BM25_B = "0.75e0"
+_BM25_SCALE = 1_000_000  # contribution quantum: floor(contrib * 1e6)
+
+
+def _bm25_contrib_sql(n: str, df: str, tf: str, dl: str, total: str) -> str:
+    """The per-(query-term, doc) BM25 contribution as ONE expression string,
+    rendered identically for DuckDB and for Spark's SQL parser — the
+    expression TREE being identical is what makes every intermediate double
+    bit-identical cross-engine (per-row IEEE ops on identical inputs)."""
+    idf = f"((CAST({n} - {df} AS DOUBLE) + 0.5e0) / (CAST({df} AS DOUBLE) + 0.5e0))"
+    avgdl = f"(CAST({total} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    tfc = (
+        f"((CAST({tf} AS DOUBLE) * {_BM25_K1P1}) / (CAST({tf} AS DOUBLE)"
+        f" + {_BM25_K1} * ({_BM25_B_DL} + {_BM25_B} * CAST({dl} AS DOUBLE)"
+        f" / {avgdl})))"
+    )
+    return f"CAST(floor({idf} * {tfc} * {float(_BM25_SCALE)}) AS BIGINT)"
+
+
+@register(
+    "q_bm25_mlt_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens()}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS BIGINT) AS total
+        FROM dl
+    ),
+    dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    qterms AS (
+        SELECT DISTINCT doc_id AS query_id, term FROM toks
+        WHERE doc_id < {_BM25_N_QUERIES}
+    ),
+    contrib AS (
+        SELECT q.query_id, tf.doc_id,
+               {_bm25_contrib_sql('s.n', 'd.df', 'tf.tf', 'dl.dl', 's.total')} AS cq
+        FROM qterms q
+        JOIN tf ON tf.term = q.term AND tf.doc_id <> q.query_id
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN dfreq d ON d.term = q.term
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+               CAST(SUM(cq) AS BIGINT) AS score_q
+        FROM contrib GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score_q DESC, doc_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, doc_id, n_shared_terms, score_q,
+           CAST(score_q AS DOUBLE) / {float(_BM25_SCALE)} AS score,
+           CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {_BM25_TOPK}
+    """,
+    tags=("text", "search", "bm25", "retrieval"),
+)
+def q_bm25_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 "more-like-this" retrieval: for each query document (doc_id < 8,
+    the SAME ids the vector searches use), rank every other document by the
+    BM25 score of the query's distinct terms — the lexical half of a hybrid
+    retrieval stack, sitting on exactly the corpus statistics q_inverted_index
+    builds (tf, df, dl, avgdl).
+
+    Log-free rational idf (the repo's cross-engine doctrine — the same reason
+    text_char_stats uses a Simpson index instead of entropy): classic BM25
+    idf is ln((N-df+0.5)/(df+0.5)); ln differs in last-ulp across engines, so
+    the scored twin keeps the RATIONAL idf (N-df+0.5)/(df+0.5) — the same
+    monotone ordering for any fixed N (ln is monotone), so rankings are
+    BM25-faithful.  Every per-row double op is rendered from ONE shared
+    expression string (:func:`_bm25_contrib_sql`) so Spark and DuckDB
+    evaluate identical expression trees on identical integers; the only
+    aggregation over doubles is avoided entirely by quantizing each
+    contribution to a BIGINT (floor(contrib * 1e6)) and summing exact
+    integers — associative, partial-aggregation-safe (the TWAP trick).
+
+    Scale shape: tf / dl / df are the map-side-combinable aggregates of the
+    exploded token relation (at 100 TB these are the persisted index
+    relations a real search tier reuses across query batches — built once
+    here because the operator is self-contained); the query-term relation is
+    |Q| x distinct-terms-per-doc (~hundreds of rows, broadcast with its df
+    annotation); candidate scoring is that broadcast join against tf
+    co-joined with dl on doc_id; the final ranking is a WindowGroupLimit
+    top-10 heap per query.  No shuffle carries more than (|Q| x matching
+    docs) rows after the index aggregates."""
+    toks = spread(t(spark, sf_dir, "documents"), spark).select(
+        "doc_id", F.explode(tokens()).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("total"),
+    )  # 1-row relation
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qterms = (
+        toks.filter(F.col("doc_id") < _BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+        .join(dfreq, "term")  # annotate df once, on the tiny side
+    )
+    contrib = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                _bm25_contrib_sql("n", "df", "tf", "dl", "total")
+            ).alias("cq"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+        F.sum("cq").cast("long").alias("score_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "n_shared_terms",
+            "score_q",
+            (F.col("score_q").cast("double") / float(_BM25_SCALE)).alias("score"),
+            F.col("rk").cast("integer").alias("rk"),
+        )
     )

@@ -133,15 +133,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_topk_per_group",
     # scalar functions
     "q_regex_extract",
-    "q_higher_order_funcs",
     # subqueries
-    "q_correlated_exists",
     "q_lateral_topn",
     # extended analytics + reports
     "q_pivot",
     "q_customer_rfm",
     "q_copurchase_pairs",
     "q_copurchase_triangles",
+    "q_part_pagerank",
     # event-time + event-sequence analytics
     "q_session_window",
     "q_event_burst_gapfilled",
@@ -153,17 +152,18 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_edit_distance",
     "q_dedup_pair_recall",
     "q_lsh_band_stats",
     # text analysis + tokenizer signals
     "text_lang_id",
+    "q_inverted_index",
     "q_doc_commonness",
     "q_bpe_merge_candidates",
     "q_vocab_coverage",
     # similarity search + ANN evaluation (the full IVF-PQ story)
     "sim_bruteforce_topk",
     "sim_bruteforce_l2_topk",
-    "sim_lsh_topk",
     "sim_ivf_topk",
     "q_emb_kmeans_step",
     "q_emb_pq_codes",

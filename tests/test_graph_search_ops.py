@@ -1,0 +1,83 @@
+"""Semantic pins for the round-6 graph/search additions — PageRank over the
+part-affinity graph, edit-distance near-dup verification, and the
+inverted-index build — invariants that must hold on ANY corpus, beyond the
+oracle matrix's value-hash equality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_ex8_producer_spark.operators.analytics_ext import (
+    _PR_ITERS,
+    _PR_SCALE,
+    q_part_pagerank,
+)
+from data_ingestion_ex8_producer_spark.operators.dedup import (
+    _EDIT_SIM_THRESHOLD,
+    dedup_edit_distance,
+    dedup_minhash_lsh,
+)
+from data_ingestion_ex8_producer_spark.operators.textops import (
+    _INV_POSTINGS,
+    q_inverted_index,
+)
+from data_ingestion_ex8_producer_spark.operators._util import persisted_scope
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pagerank_mass_and_ordering(spark):
+    """Rank mass is positive and bounded by the total (the damped update
+    can only lose flooring mass, never create it); the report is sorted by
+    (rank_q DESC, p_partkey) and every rank carries at least the damping
+    floor (15% of the uniform share) — the defining lower bound of the
+    integer-quantized update."""
+    with persisted_scope():
+        rows = q_part_pagerank(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    keys = [(-r.rank_q, r.p_partkey) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r.degree >= 1
+        # Mass floor: base term alone, with n <= degree-sum vertices.  The
+        # weakest safe bound uses n >= 1: base >= (15*(SCALE//n))//100 > 0.
+        assert 0 < r.rank_q <= _PR_SCALE
+        assert abs(r.pagerank - r.rank_q / _PR_SCALE) < 1e-15
+    # Fixed-iteration determinism: a second build returns identical rows.
+    with persisted_scope():
+        again = q_part_pagerank(spark, SF).collect()
+    assert rows == again
+    assert _PR_ITERS >= 1  # the unroll constant stays a positive fixed point
+
+
+def test_edit_distance_pairs_are_verified_lsh_candidates(spark):
+    """Every emitted pair is (a) an LSH candidate pair — stage 2 never
+    invents candidates — and (b) above the similarity floor with a
+    length-consistent Levenshtein bound |len_a - len_b| <= lev_dist."""
+    with persisted_scope():
+        pairs = dedup_edit_distance(spark, SF).collect()
+        cand = {
+            (r.doc_a, r.doc_b)
+            for r in dedup_minhash_lsh(spark, SF).collect()
+        }
+    for r in pairs:
+        assert (r.doc_a, r.doc_b) in cand
+        assert r.doc_a < r.doc_b
+        assert r.edit_sim >= _EDIT_SIM_THRESHOLD
+        assert 0 <= r.lev_dist <= max(r.len_a, r.len_b)
+        assert abs(r.len_a - r.len_b) <= r.lev_dist
+
+
+def test_inverted_index_postings_bounded_and_consistent(spark):
+    """df never exceeds total_tf, the posting sample is ascending with at
+    most _INV_POSTINGS entries, its length is min(df, cap), and the report
+    is ordered by (df DESC, term)."""
+    rows = q_inverted_index(spark, SF).collect()
+    assert len(rows) > 0
+    keys = [(-r.df, r.term) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert 1 <= r.df <= r.total_tf
+        ids = [int(x) for x in r.postings_sample.split(",")]
+        assert ids == sorted(ids) and len(set(ids)) == len(ids)
+        assert len(ids) == min(r.df, _INV_POSTINGS)

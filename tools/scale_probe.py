@@ -74,6 +74,10 @@ PROBE_QUERIES = (
     "q_copurchase_pairs",
     "q_lsh_band_stats",
     "q_copurchase_triangles",
+    # late r6: iterative PageRank, LSH->Levenshtein dedup, inverted index
+    "q_part_pagerank",
+    "dedup_edit_distance",
+    "q_inverted_index",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
