@@ -2124,3 +2124,116 @@ def q_ivfpq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_ivfpq_topk_trained(spark, sf_dir),
         exact=sim_bruteforce_l2_topk(spark, sf_dir),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid lexical/vector retrieval — reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+_RRF_K = 60       # the standard RRF damping constant (Cormack et al.)
+_RRF_TOPK = 10
+
+_RRF_EXPR = (
+    f"coalesce(1.0e0 / CAST({_RRF_K} + rk_lex AS DOUBLE), 0.0e0)"
+    f" + coalesce(1.0e0 / CAST({_RRF_K} + rk_vec AS DOUBLE), 0.0e0)"
+)
+
+
+def _hybrid_rrf_oracle() -> str:
+    from . import textops  # noqa: F401 — registers the BM25 spec when this
+    # module is imported directly (the registry loads textops first, but the
+    # oracle must not depend on that ordering)
+
+    lex = _registry._REGISTRY["q_bm25_mlt_topk"].oracle
+    vec = _registry._REGISTRY["sim_bruteforce_topk"].oracle
+    return f"""
+    WITH lex AS ({lex}),
+    vec AS ({vec}),
+    fused AS (
+        SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+               COALESCE(l.doc_id, v.neighbor_id) AS doc_id,
+               l.rk AS rk_lex, v.rk AS rk_vec
+        FROM lex l
+        FULL OUTER JOIN vec v
+          ON v.query_id = l.query_id AND v.neighbor_id = l.doc_id
+    ),
+    scored AS (SELECT *, {_RRF_EXPR} AS rrf FROM fused),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, doc_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, doc_id, rk_lex, rk_vec, rrf, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {_RRF_TOPK}
+    """
+
+
+@register(
+    "q_hybrid_rrf",
+    oracle=None,  # generated (composes the two registered retrievals) — below
+    tags=("similarity", "retrieval", "hybrid", "rrf"),
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: fuse the lexical BM25
+    top-10 (q_bm25_mlt_topk) with the vector cosine top-10
+    (sim_bruteforce_topk) for the SAME eight query ids — the doc_id/vec_id
+    spaces are aligned by construction — scoring each candidate
+    1/(60+rank_lex) + 1/(60+rank_vec) with an absent list contributing 0.
+    RRF is the standard hybrid-search combiner precisely because it consumes
+    only the two rank INTEGERS, never the incomparable raw scores — which is
+    also what makes it exact cross-engine: each term is one IEEE division of
+    identical integers, and the sum is a single fixed-order addition of two
+    identical doubles (no multi-row double aggregation anywhere).
+
+    Scale shape: both inputs are already |Q| x k bounded relations (each the
+    WindowGroupLimit output of its registered search), so the fusion is a
+    full-outer join and a rank over <= |Q| x 2k metadata rows — the
+    retrieval stack's cost stays entirely in the two searches, each of which
+    carries its own scale story (the BM25 index aggregates; the ANN family
+    up to IVF-PQ).  In production the vector leg swaps to sim_ivfpq_topk
+    unchanged — the fusion consumes only (query_id, id, rk)."""
+    from .textops import q_bm25_mlt_topk
+
+    lex = q_bm25_mlt_topk(spark, sf_dir).select(
+        F.col("query_id").alias("l_q"),
+        F.col("doc_id").alias("l_d"),
+        F.col("rk").alias("rk_lex"),
+    )
+    vec = sim_bruteforce_topk(spark, sf_dir).select(
+        F.col("query_id").alias("v_q"),
+        F.col("neighbor_id").alias("v_d"),
+        F.col("rk").alias("rk_vec"),
+    )
+    fused = lex.join(
+        vec,
+        (F.col("v_q") == F.col("l_q")) & (F.col("v_d") == F.col("l_d")),
+        "full_outer",
+    ).select(
+        F.coalesce("l_q", "v_q").alias("query_id"),
+        F.coalesce("l_d", "v_d").alias("doc_id"),
+        "rk_lex",
+        "rk_vec",
+    )
+    scored = fused.withColumn("rrf", F.expr(_RRF_EXPR))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RRF_TOPK)
+        .select(
+            "query_id", "doc_id", "rk_lex", "rk_vec", "rrf",
+            F.col("rk").cast("integer").alias("rk"),
+        )
+    )
+
+
+_spec = _registry._REGISTRY["q_hybrid_rrf"]
+_registry._REGISTRY["q_hybrid_rrf"] = _registry.QuerySpec(
+    name=_spec.name,
+    builder=_spec.builder,
+    oracle=_hybrid_rrf_oracle(),
+    tags=_spec.tags,
+    bench=_spec.bench,
+    doc=_spec.doc,
+)

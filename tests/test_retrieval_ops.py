@@ -1,0 +1,91 @@
+"""Semantic pins for the retrieval stack — BM25 more-like-this ranking and
+the hybrid reciprocal-rank fusion — invariants that must hold on ANY corpus,
+beyond the oracle matrix's value-hash equality."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from data_ingestion_ex8_producer_spark.operators.similarity import (
+    _RRF_K,
+    _RRF_TOPK,
+    q_hybrid_rrf,
+    sim_bruteforce_topk,
+)
+from data_ingestion_ex8_producer_spark.operators.textops import (
+    _BM25_N_QUERIES,
+    _BM25_SCALE,
+    _BM25_TOPK,
+    q_bm25_mlt_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _by_query(rows):
+    grouped = defaultdict(list)
+    for r in rows:
+        grouped[r.query_id].append(r)
+    return grouped
+
+
+def test_bm25_ranking_invariants(spark):
+    """Per query: no self-match, dense ranks 1..k ordered by
+    (score_q DESC, doc_id), every hit shares >= 1 term, and the double score
+    is exactly the quantized BIGINT divided by the scale."""
+    rows = q_bm25_mlt_topk(spark, SF).collect()
+    grouped = _by_query(rows)
+    assert set(grouped) <= set(range(_BM25_N_QUERIES))
+    for qid, hits in grouped.items():
+        hits.sort(key=lambda r: r.rk)
+        assert [r.rk for r in hits] == list(range(1, len(hits) + 1))
+        assert len(hits) <= _BM25_TOPK
+        keys = [(-r.score_q, r.doc_id) for r in hits]
+        assert keys == sorted(keys)
+        for r in hits:
+            assert r.doc_id != qid
+            assert r.n_shared_terms >= 1
+            assert r.score_q > 0
+            assert r.score == r.score_q / float(_BM25_SCALE)
+
+
+def test_rrf_fusion_is_consistent_with_its_legs(spark):
+    """Every fused row's leg ranks point back at the ACTUAL rows of the two
+    registered searches, and the rrf value is exactly the two-term reciprocal
+    sum those ranks imply (absent leg contributes 0)."""
+    fused = q_hybrid_rrf(spark, SF).collect()
+    lex = {
+        (r.query_id, r.doc_id): r.rk
+        for r in q_bm25_mlt_topk(spark, SF).collect()
+    }
+    vec = {
+        (r.query_id, r.neighbor_id): r.rk
+        for r in sim_bruteforce_topk(spark, SF).collect()
+    }
+    assert fused
+    for r in fused:
+        key = (r.query_id, r.doc_id)
+        assert r.rk_lex == lex.get(key)
+        assert r.rk_vec == vec.get(key)
+        expect = 0.0
+        if r.rk_lex is not None:
+            expect += 1.0 / (_RRF_K + r.rk_lex)
+        if r.rk_vec is not None:
+            expect += 1.0 / (_RRF_K + r.rk_vec)
+        assert r.rrf == expect
+        assert r.rk_lex is not None or r.rk_vec is not None
+    for qid, hits in _by_query(fused).items():
+        hits.sort(key=lambda r: r.rk)
+        assert [r.rk for r in hits] == list(range(1, len(hits) + 1))
+        assert len(hits) <= _RRF_TOPK
+        keys = [(-r.rrf, r.doc_id) for r in hits]
+        assert keys == sorted(keys)
+
+
+def test_rrf_rewards_presence_in_both_lists(spark):
+    """A candidate found by BOTH legs at rank r outscores one found by a
+    single leg at the same rank — the defining property of RRF fusion
+    (checked analytically on the formula the operator pins above)."""
+    both = 2.0 / (_RRF_K + 1)
+    single_best = 1.0 / (_RRF_K + 1)
+    assert both > single_best
