@@ -1423,3 +1423,130 @@ for _name, _sql in (("dedup_edit_distance", _edit_distance_oracle()),):
         bench=_spec.bench,
         doc=_spec.doc,
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup threshold sweep (the release-threshold tuning dial)
+# --------------------------------------------------------------------------
+
+_CURVE_THRESHOLDS = (16, 20, 24, 28, 32)  # of _MINHASH_PERMS agreement slots
+
+
+def _threshold_curve_oracle() -> str:
+    agree = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_PERMS)
+    )
+    thr_list = "[" + ", ".join(str(v) for v in _CURVE_THRESHOLDS) + "]"
+    return (
+        _minhash_cte()
+        + f""",
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b, CAST({agree} AS BIGINT) AS n_agree
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.doc_a
+        JOIN sig b ON b.doc_id = c.doc_b
+    ),
+    thr AS (SELECT unnest({thr_list}) AS min_agree),
+    docs_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    pair_curve AS (
+        SELECT t.min_agree, CAST(COUNT(e.doc_a) AS BIGINT) AS n_pairs
+        FROM thr t LEFT JOIN est e ON e.n_agree >= t.min_agree
+        GROUP BY t.min_agree
+    ),
+    doc_curve AS (
+        SELECT t.min_agree,
+               CAST(COUNT(DISTINCT e.doc_b) AS BIGINT) AS n_docs_flagged
+        FROM thr t LEFT JOIN est e ON e.n_agree >= t.min_agree
+        GROUP BY t.min_agree
+    )
+    SELECT p.min_agree,
+           CAST(p.min_agree AS DOUBLE) / {_MINHASH_PERMS} AS threshold,
+           p.n_pairs,
+           d.n_docs_flagged,
+           CAST(d.n_docs_flagged AS DOUBLE) / CAST(n.n_docs AS DOUBLE)
+             AS flagged_frac
+    FROM pair_curve p
+    JOIN doc_curve d ON d.min_agree = p.min_agree
+    CROSS JOIN docs_n n
+    ORDER BY p.min_agree
+    """
+    )
+
+
+@register(
+    "q_dedup_threshold_curve",
+    oracle=_threshold_curve_oracle(),
+    tags=("dedup", "minhash", "tuning", "report"),
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup release-threshold sweep: for each candidate similarity cutoff
+    (16/20/24/28/32 of the 32 minhash agreement slots, i.e. est-Jaccard
+    0.5 / 0.625 / 0.75 / 0.875 / 1.0 — all exact power-of-two fractions),
+    how many candidate pairs qualify and how many documents would be dropped
+    (distinct higher-id partner — the survivorship convention).  This is the
+    dial an operator reads before choosing the near-dup release threshold:
+    the pair/doc counts vs cutoff curve shows where the corpus stops
+    shrinking, the integer twin of q_ann_recall's measure-before-deploy
+    pattern on the dedup side.
+
+    Scale shape — the curve never touches the pair relation per threshold:
+    pairs are scored ONCE by signature agreement (the registered
+    q_minhash_jaccard_estimate machinery: ids-only banding, broadcast
+    candidate joins), then reduced to TWO bounded-domain histograms — pair
+    count by n_agree (<= 33 rows) and doc count by per-doc MAX n_agree
+    (one corpus-bounded groupBy, then <= 33 rows).  The five thresholds join
+    those metadata histograms (5 x 33 broadcast nested loop), so adding
+    thresholds costs nothing.  The oracle keeps the direct per-threshold
+    LEFT JOIN form (single-node DuckDB; clarity over plan shape).  Every
+    count is an integer; the two doubles are single IEEE divisions of
+    identical integers."""
+    est = q_minhash_jaccard_estimate(spark, sf_dir).select(
+        "doc_a", "doc_b", "n_agree"
+    )
+    est = persist_tracked(est)
+    pair_hist = est.groupBy("n_agree").agg(
+        F.count(F.lit(1)).cast("long").alias("pc")
+    )
+    doc_hist = (
+        est.groupBy("doc_b")
+        .agg(F.max("n_agree").alias("best"))
+        .groupBy("best")
+        .agg(F.count(F.lit(1)).cast("long").alias("dc"))
+    )
+    thr = spark.createDataFrame(
+        [(v,) for v in _CURVE_THRESHOLDS], "min_agree int"
+    )
+    n_docs = t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )  # 1-row relation
+    pair_curve = (
+        thr.join(F.broadcast(pair_hist), F.col("n_agree") >= F.col("min_agree"), "left")
+        .groupBy("min_agree")
+        .agg(F.coalesce(F.sum("pc"), F.lit(0)).cast("long").alias("n_pairs"))
+    )
+    doc_curve = (
+        thr.join(F.broadcast(doc_hist), F.col("best") >= F.col("min_agree"), "left")
+        .groupBy("min_agree")
+        .agg(F.coalesce(F.sum("dc"), F.lit(0)).cast("long").alias("n_docs_flagged"))
+    )
+    return (
+        pair_curve.join(doc_curve, "min_agree")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "min_agree",
+            (F.col("min_agree").cast("double") / _MINHASH_PERMS).alias("threshold"),
+            "n_pairs",
+            "n_docs_flagged",
+            (
+                F.col("n_docs_flagged").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("flagged_frac"),
+        )
+        .orderBy("min_agree")
+    )

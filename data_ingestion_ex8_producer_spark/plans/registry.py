@@ -112,7 +112,17 @@ def register(
 # q_hash_sample — curation keeps 4; dedup_exact — dedup keeps the three
 # banded/capped primaries + pair-recall + the new q_lsh_band_stats index
 # health report; finally text_tfidf — 4-round-green, stays in the bench
-# set — made room for the q_copurchase_triangles graph primitive).  Every
+# set — made room for the q_copurchase_triangles graph primitive).  The final
+# late-r6 batch added the graph/search/retrieval ops (q_part_pagerank,
+# dedup_edit_distance, q_inverted_index, q_bm25_mlt_topk, q_hybrid_rrf);
+# the last two displaced text_lang_id (driver-green r1-r5; text keeps 4
+# incl. the new BM25) and sim_bruteforce_topk (driver-green r1-r5, stays in
+# the bench set and remains q_hybrid_rrf's verified vector leg; similarity
+# keeps 11 incl. the fusion); q_dedup_threshold_curve (the minhash release-
+# threshold sweep) displaced dedup_minhash_lsh (driver-green r1-r5), whose
+# banding/signature chain the curve — plus dedup_edit_distance,
+# q_dedup_pair_recall, and q_lsh_band_stats — executes end-to-end anyway.
+# Every
 # rotated-out name remains
 # exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
@@ -149,20 +159,20 @@ _PRIORITY: tuple[str, ...] = (
     "q_value_outliers",
     "q_dau_wau_stickiness",
     # deduplication
-    "dedup_minhash_lsh",
+    "q_dedup_threshold_curve",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_edit_distance",
     "q_dedup_pair_recall",
     "q_lsh_band_stats",
-    # text analysis + tokenizer signals
-    "text_lang_id",
+    # text analysis + tokenizer signals + lexical retrieval
+    "q_bm25_mlt_topk",
     "q_inverted_index",
     "q_doc_commonness",
     "q_bpe_merge_candidates",
     "q_vocab_coverage",
-    # similarity search + ANN evaluation (the full IVF-PQ story)
-    "sim_bruteforce_topk",
+    # similarity search + ANN evaluation (the full IVF-PQ story) + hybrid
+    "q_hybrid_rrf",
     "sim_bruteforce_l2_topk",
     "sim_ivf_topk",
     "q_emb_kmeans_step",

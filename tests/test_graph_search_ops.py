@@ -81,3 +81,37 @@ def test_inverted_index_postings_bounded_and_consistent(spark):
         ids = [int(x) for x in r.postings_sample.split(",")]
         assert ids == sorted(ids) and len(set(ids)) == len(ids)
         assert len(ids) == min(r.df, _INV_POSTINGS)
+
+
+def test_threshold_curve_is_monotone_and_bounded(spark):
+    """Raising the cutoff can only shrink both counts; flagged docs never
+    exceed the corpus; thresholds are the exact power-of-two fractions; and
+    the top cutoff (32/32) counts exactly the pairs with full signature
+    agreement."""
+    from data_ingestion_ex8_producer_spark.operators.dedup import (
+        _CURVE_THRESHOLDS,
+        _MINHASH_PERMS,
+        q_dedup_threshold_curve,
+        q_minhash_jaccard_estimate,
+    )
+
+    with persisted_scope():
+        rows = sorted(
+            q_dedup_threshold_curve(spark, SF).collect(),
+            key=lambda r: r.min_agree,
+        )
+        est = q_minhash_jaccard_estimate(spark, SF).collect()
+    assert [r.min_agree for r in rows] == list(_CURVE_THRESHOLDS)
+    for r in rows:
+        assert r.threshold == r.min_agree / _MINHASH_PERMS
+        assert 0 <= r.n_docs_flagged
+        assert 0.0 <= r.flagged_frac <= 1.0
+    pairs = [r.n_pairs for r in rows]
+    flagged = [r.n_docs_flagged for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert flagged == sorted(flagged, reverse=True)
+    exact_full = sum(1 for e in est if e.n_agree >= _MINHASH_PERMS)
+    assert rows[-1].n_pairs == exact_full
+    assert rows[0].n_pairs == sum(
+        1 for e in est if e.n_agree >= _CURVE_THRESHOLDS[0]
+    )

@@ -78,6 +78,9 @@ PROBE_QUERIES = (
     "q_part_pagerank",
     "dedup_edit_distance",
     "q_inverted_index",
+    "q_bm25_mlt_topk",
+    "q_hybrid_rrf",
+    "q_dedup_threshold_curve",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
