@@ -1160,3 +1160,181 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("rk_in_bucket")).alias("train_order"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Top principal component via exact Gram matrix + power iteration
+# --------------------------------------------------------------------------
+
+_PC_Q = 1 << 20       # element quantum: q = round(x * 2^20), |q| <= ~2^20
+_PC_RESCALE = 4096    # per-iteration vector renormalization target (2^12)
+
+
+def _pc_sign_div(u: str, s: str) -> str:
+    """sign(u) * (abs(u) intdiv s) rendered identically for both engines —
+    integer division disagrees on NEGATIVE numerators (Spark ``div``
+    truncates toward zero, DuckDB ``//`` floors), so the division only ever
+    sees the non-negative magnitude.  ``{div}`` is substituted per engine."""
+    return f"CASE WHEN {u} < 0 THEN -(abs({u}) {{div}} {s}) ELSE abs({u}) {{div}} {s} END"
+
+
+def _top_component_oracle() -> str:
+    sd1 = _pc_sign_div("u", "s").format(div="//")
+    return f"""
+    WITH elems AS (
+        SELECT vec_id, dim, CAST(round(x * {_PC_Q}) AS BIGINT) AS q
+        FROM {_SQL_EMB_ELEMS}
+    ),
+    gram AS (
+        SELECT a.dim AS j, b.dim AS k, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+        FROM elems a JOIN elems b ON b.vec_id = a.vec_id
+        GROUP BY a.dim, b.dim
+    ),
+    u1 AS (SELECT j, CAST(SUM(g) AS BIGINT) AS u FROM gram GROUP BY j),
+    s1 AS (
+        SELECT CAST(GREATEST(MAX(abs(u)) // {_PC_RESCALE}, 1) AS BIGINT) AS s
+        FROM u1
+    ),
+    v1 AS (
+        SELECT j, CAST({sd1} AS BIGINT) AS v FROM u1 CROSS JOIN s1
+    ),
+    u2 AS (
+        SELECT g.j, SUM(CAST(g.g AS HUGEINT) * v1.v) AS u
+        FROM gram g JOIN v1 ON v1.j = g.k GROUP BY g.j
+    ),
+    s2 AS (
+        SELECT CAST(GREATEST(MAX(abs(u)) // {_PC_RESCALE}, 1) AS BIGINT) AS s
+        FROM u2
+    ),
+    v2 AS (
+        SELECT j, CAST({sd1} AS BIGINT) AS v FROM u2 CROSS JOIN s2
+    ),
+    gv AS (
+        SELECT g.j, SUM(CAST(g.g AS HUGEINT) * v2.v) AS gv
+        FROM gram g JOIN v2 ON v2.j = g.k GROUP BY g.j
+    ),
+    num AS (
+        SELECT SUM(CAST(v2.v AS HUGEINT) * gv.gv) AS n
+        FROM v2 JOIN gv ON gv.j = v2.j
+    ),
+    den AS (SELECT CAST(SUM(v * v) AS BIGINT) AS d FROM v2),
+    vmax AS (SELECT MAX(abs(v)) AS m FROM v2)
+    SELECT CAST(v2.j AS BIGINT) AS dim,
+           v2.v AS loading_q,
+           CAST(v2.v AS DOUBLE) / CAST(vmax.m AS DOUBLE) AS loading,
+           CAST(num.n // den.d AS BIGINT) AS rayleigh_q
+    FROM v2 CROSS JOIN vmax CROSS JOIN num CROSS JOIN den
+    ORDER BY dim
+    """
+
+
+@register(
+    "q_emb_top_component",
+    oracle=_top_component_oracle(),
+    tags=("pipeline", "vector", "pca", "iterative"),
+)
+def q_emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus — exact
+    distributed Gram matrix, then two power-iteration steps — the linear-
+    algebra member of the iterative family (connected components, k-means
+    step, PageRank) and the computation behind "all-but-the-top" embedding
+    postprocessing and anisotropy QA: a corpus whose top component carries
+    most of the mass has a dominant nuisance direction worth projecting out.
+
+    Exactness (the PageRank doctrine applied to linear algebra): elements
+    are quantized once (round(x * 2^20), same rounding as emb_dim_stats);
+    the Gram matrix G = sum_i q_i q_i^T is an INTEGER matrix accumulated by
+    a map-side-combinable groupBy; every matvec is integer products summed
+    as decimal(38,0)/HUGEINT (both exact); each iterate is renormalized to
+    ~2^12 via GREATEST(max|u| intdiv 4096, 1) with the sign split out so
+    truncation-vs-floor division semantics never meet a negative numerator
+    (:func:`_pc_sign_div` renders ONE expression for both engines).  The
+    Rayleigh quotient v.Gv/v.v — the eigenvalue estimate in quantized
+    units — is likewise an integer division of exact integers (PSD, so
+    non-negative); the single double is loading = v_j / max|v|.
+
+    Scale shape: the one corpus-sized pass is the Gram accumulation — the
+    per-row (dim x dim) expansion inflates in-task CPU by d^2/row but the
+    partial hash aggregate collapses every task to <= d^2 = 4096 groups, so
+    SHUFFLE volume is 4096 rows per task regardless of corpus size (at a
+    production 100 TB the same contract, with BLAS throughput, comes from a
+    mapInPandas partial-Gram per partition — integer accumulation commutes,
+    so the result is bit-identical; kept declarative here).  Everything
+    after the Gram is metadata: the 4096-row G is persisted and reused by
+    both iterations plus the Rayleigh pass, with 64-row broadcast joins.
+    Fixed iteration count (2) keeps the unrolled plan the honest twin of a
+    production loop that would localCheckpoint per step; convergence is not
+    asserted — the registered op IS the loop body, like q_emb_kmeans_step."""
+    from ._util import persist_tracked
+
+    elems = _emb_elems(spark, sf_dir).select(
+        "vec_id",
+        "dim",
+        F.expr(f"CAST(round(x * {_PC_Q}) AS BIGINT)").alias("q"),
+    )
+    a = elems.select("vec_id", F.col("dim").alias("j"), F.col("q").alias("qa"))
+    b = elems.select("vec_id", F.col("dim").alias("k"), F.col("q").alias("qb"))
+    gram = persist_tracked(
+        a.join(b, "vec_id")
+        .groupBy("j", "k")
+        .agg(
+            F.sum((F.col("qa") * F.col("qb")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("g")
+        )
+    )
+    sign_div = _pc_sign_div("u", "s").format(div="div")
+
+    def _matvec(v: DataFrame) -> DataFrame:
+        # v derives from gram, so rename its key before the (self-lineage)
+        # join — Catalyst otherwise flags the j reference as ambiguous.
+        vr = v.select(F.col("j").alias("kk"), "v")
+        return (
+            gram.join(F.broadcast(vr), F.col("k") == F.col("kk"))
+            .groupBy("j")
+            .agg(F.sum(F.col("g").cast("decimal(38,0)") * F.col("v")).alias("u"))
+        )
+
+    def _rescale(u: DataFrame) -> DataFrame:
+        s = u.agg(
+            F.expr(
+                f"CAST(GREATEST(MAX(abs(u)) div {_PC_RESCALE}, 1) AS BIGINT)"
+            ).alias("s")
+        )  # 1-row relation
+        return u.crossJoin(F.broadcast(s)).select(
+            "j", F.expr(f"CAST({sign_div} AS BIGINT)").alias("v")
+        )
+
+    u1 = gram.groupBy("j").agg(
+        F.sum(F.col("g").cast("decimal(38,0)")).cast("long").alias("u")
+    )
+    v1 = _rescale(u1)
+    v2 = _rescale(_matvec(v1))
+    v2r = v2.select(F.col("j").alias("kk"), F.col("v").alias("vv"))
+    gv = (
+        gram.join(F.broadcast(v2r), F.col("k") == F.col("kk"))
+        .groupBy("j")
+        .agg(F.sum(F.col("g").cast("decimal(38,0)") * F.col("vv")).alias("gv"))
+    )
+    num = (
+        v2.join(gv.select(F.col("j").alias("jj"), "gv"), F.col("j") == F.col("jj"))
+        .agg(F.sum(F.col("v").cast("decimal(38,0)") * F.col("gv")).alias("n"))
+    )  # 1-row
+    den = v2.agg(
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("d")
+    )  # 1-row
+    vmax = v2.agg(F.max(F.abs(F.col("v"))).alias("m"))  # 1-row
+    return (
+        v2.crossJoin(F.broadcast(vmax))
+        .crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("j").cast("long").alias("dim"),
+            F.col("v").alias("loading_q"),
+            (F.col("v").cast("double") / F.col("m").cast("double")).alias("loading"),
+            F.expr("CAST(n div d AS BIGINT)").alias("rayleigh_q"),
+        )
+        .orderBy("dim")
+    )

@@ -121,8 +121,9 @@ def register(
 # keeps 11 incl. the fusion); q_dedup_threshold_curve (the minhash release-
 # threshold sweep) displaced dedup_minhash_lsh (driver-green r1-r5), whose
 # banding/signature chain the curve — plus dedup_edit_distance,
-# q_dedup_pair_recall, and q_lsh_band_stats — executes end-to-end anyway.
-# Every
+# q_dedup_pair_recall, and q_lsh_band_stats — executes end-to-end anyway;
+# and q_emb_top_component (exact Gram + power iteration) displaced
+# emb_normalize (driver-green r1-r5; curation keeps 4 reps).  Every
 # rotated-out name remains
 # exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
@@ -190,7 +191,7 @@ _PRIORITY: tuple[str, ...] = (
     "udaf_minmax_normalize",
     "udtf_bigrams",
     # curation / pipeline
-    "emb_normalize",
+    "q_emb_top_component",
     "q_balanced_downsample",
     "q_curriculum_order",
     "q_key_skew_profile",

@@ -115,3 +115,32 @@ def test_threshold_curve_is_monotone_and_bounded(spark):
     assert rows[0].n_pairs == sum(
         1 for e in est if e.n_agree >= _CURVE_THRESHOLDS[0]
     )
+
+
+def test_top_component_is_unit_peaked_and_psd(spark):
+    """64 loading rows; |loading| <= 1 with the peak exactly +/-1 (the
+    max-abs normalization); the Rayleigh estimate of the PSD Gram matrix is
+    non-negative and identical on every row; and a rebuild is bit-identical
+    (fixed v0, fixed iteration count)."""
+    from data_ingestion_ex8_producer_spark.operators.pipeline import (
+        q_emb_top_component,
+    )
+
+    with persisted_scope():
+        rows = sorted(
+            q_emb_top_component(spark, SF).collect(), key=lambda r: r.dim
+        )
+    assert [r.dim for r in rows] == list(range(64))
+    m = max(abs(r.loading_q) for r in rows)
+    assert m > 0
+    for r in rows:
+        assert abs(r.loading) <= 1.0
+        assert r.loading == r.loading_q / m
+        assert r.rayleigh_q == rows[0].rayleigh_q
+        assert r.rayleigh_q >= 0
+    assert any(abs(r.loading) == 1.0 for r in rows)
+    with persisted_scope():
+        again = sorted(
+            q_emb_top_component(spark, SF).collect(), key=lambda r: r.dim
+        )
+    assert rows == again

@@ -81,6 +81,7 @@ PROBE_QUERIES = (
     "q_bm25_mlt_topk",
     "q_hybrid_rrf",
     "q_dedup_threshold_curve",
+    "q_emb_top_component",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
