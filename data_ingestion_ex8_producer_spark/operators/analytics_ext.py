@@ -1099,7 +1099,8 @@ def _pagerank_oracle() -> str:
 @register(
     "q_part_pagerank",
     oracle=None,  # generated (unrolled iteration CTEs) — attached below
-    tags=("analytics", "graph", "pagerank", "iterative"),
+    tags=("analytics", "graph", "pagerank", "iterative", "bench"),
+    bench=True,  # the iterative-graph family's bench representative
 )
 def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part-affinity graph — the iterative-graph-algorithm

@@ -90,7 +90,18 @@ def test_bench_specs_no_cartesian_product(spark, specs, name) -> None:
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
 
 
-@pytest.mark.parametrize("name", _bench_names())
+# Bench specs whose STATIC plan legitimately contains a shuffle join even at
+# tiny scale: q_part_pagerank's per-iteration contribution join (rank x edges
+# on the dst key) IS the algorithm's one-shuffle-per-step — both sides are
+# unmaterialized cached aggregates, so static stats are conservative, and at
+# runtime AQE converts the tiny sides to broadcast (verified in EXPLAINS.md's
+# AQE section).  Everything else must broadcast statically.
+_SHUFFLE_JOIN_BY_DESIGN = {"q_part_pagerank"}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in _bench_names() if n not in _SHUFFLE_JOIN_BY_DESIGN]
+)
 def test_bench_specs_broadcast_below_threshold(spark, specs, name) -> None:
     """At sf0.001 every join side is far below the broadcast threshold, so
     the static plan must contain zero sort-merge or shuffled-hash joins —
@@ -101,6 +112,22 @@ def test_bench_specs_broadcast_below_threshold(spark, specs, name) -> None:
     plan = _plan(spark, specs[name].builder(spark, SF))
     assert "SortMergeJoin" not in plan, f"{name} sort-merge-joins at tiny scale"
     assert "ShuffledHashJoin" not in plan, f"{name} shuffle-hash-joins at tiny scale"
+
+
+def test_pagerank_shuffle_is_keyed_on_dst(spark, specs) -> None:
+    """The by-design exemption above still has a contract: q_part_pagerank's
+    static plan may shuffle, but only as equi-joins on the iteration keys —
+    never a CartesianProduct (asserted with the bench set) — and the
+    iteration joins must be keyed so each step is ONE shuffle of the rank
+    relation along the edge list."""
+    plan = _plan(spark, specs["q_part_pagerank"].builder(spark, SF))
+    assert "CartesianProduct" not in plan
+    # At most one shuffle join per unrolled iteration (3 iterations): more
+    # would mean a broadcastable metadata join (degree/count reattach)
+    # regressed into a shuffle.
+    # count detail-section nodes ("(63) SortMergeJoin"), not the tree echo
+    n_smj = plan.count(") SortMergeJoin") + plan.count(") ShuffledHashJoin")
+    assert n_smj <= 3, f"{n_smj} shuffle joins for 3 iterations"
 
 
 # Bench specs with a selective base-table predicate: the filter must reach the
@@ -171,6 +198,13 @@ _R4_GUARDED = (
     "q_lateral_topn",
     "q_lsh_band_stats",
     "q_copurchase_triangles",
+    # late round-6 additions (q_part_pagerank is bench=True and auto-covered)
+    "dedup_edit_distance",
+    "q_inverted_index",
+    "q_bm25_mlt_topk",
+    "q_hybrid_rrf",
+    "q_dedup_threshold_curve",
+    "q_emb_top_component",
 )
 
 
