@@ -378,6 +378,20 @@ def main() -> None:
         lines.append(f"| {sf} | {r_s:.3f} | {r_t:.3f} | {r_full:.3f} |")
     lines += [
         "",
+        "dedup_edit_distance's ratio needs its denominator: the replica "
+        "construction appends ONE token per copy, which barely perturbs the "
+        "3-gram shingle set, so every base document becomes a K-member "
+        "near-dup cluster and the TRUE candidate-pair count grows ~K^2/2 per "
+        "cluster (at 10x, ~20-45x more LSH candidate pairs, by design of the "
+        "corpus, not the index).  The operator's cost tracks that pair count "
+        "LINEARLY — exactly the contract of the two-stage design (Levenshtein "
+        "only ever meets the candidate set), and the quantity q_lsh_band_stats "
+        "exists to surveil.  A corpus whose duplication rate grows "
+        "quadratically with size pays a quadratic dedup bill in any engine.  "
+        "The same denominator applies (damped) to q_dedup_threshold_curve: "
+        "its input IS the candidate-pair relation; the per-threshold work on "
+        "top is the two bounded histograms.",
+        "",
         "Reading the curve: the true all-pairs form "
         "(dedup_embedding_cosine_exact, a corpus x corpus crossJoin) shows "
         "its O(n^2) immediately — ~100x time at 10x data — while the "
