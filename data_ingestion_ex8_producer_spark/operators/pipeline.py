@@ -1253,13 +1253,19 @@ def q_emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     units — is likewise an integer division of exact integers (PSD, so
     non-negative); the single double is loading = v_j / max|v|.
 
-    Scale shape: the one corpus-sized pass is the Gram accumulation — the
-    per-row (dim x dim) expansion inflates in-task CPU by d^2/row but the
-    partial hash aggregate collapses every task to <= d^2 = 4096 groups, so
-    SHUFFLE volume is 4096 rows per task regardless of corpus size (at a
-    production 100 TB the same contract, with BLAS throughput, comes from a
-    mapInPandas partial-Gram per partition — integer accumulation commutes,
-    so the result is bit-identical; kept declarative here).  Everything
+    Scale shape: the one corpus-sized pass is the Gram accumulation,
+    implemented as the production form — a mapInPandas partial-Gram: each
+    Arrow batch contributes ONE d x d integer matrix (Q^T Q via numpy int64
+    matmul; per-batch magnitude <= rows_per_batch * 2^40 < 2^54 at the
+    10k-row Arrow default, far under int64), and the downstream hash
+    aggregate sums the per-batch partials exactly — integer addition
+    commutes, so ANY partition/batch layout gives bit-identical G, which is
+    what lets the declarative oracle (the d^2-fan-out explode self-join)
+    verify the vectorized path.  SHUFFLE volume is d^2 = 4096 rows per
+    batch regardless of corpus size.  The in-UDF quantization reproduces
+    round() half-away-from-zero exactly: scaling by 2^20 is a pure exponent
+    shift (exact in binary), so sign(v) * floor(|v| + 0.5) equals the
+    engines' decimal HALF_UP on every representable input.  Everything
     after the Gram is metadata: the 4096-row G is persisted and reused by
     both iterations plus the Rayleigh pass, with 64-row broadcast joins.
     Fixed iteration count (2) keeps the unrolled plan the honest twin of a
@@ -1267,20 +1273,41 @@ def q_emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted — the registered op IS the loop body, like q_emb_kmeans_step."""
     from ._util import persist_tracked
 
-    elems = _emb_elems(spark, sf_dir).select(
-        "vec_id",
-        "dim",
-        F.expr(f"CAST(round(x * {_PC_Q}) AS BIGINT)").alias("q"),
-    )
-    a = elems.select("vec_id", F.col("dim").alias("j"), F.col("q").alias("qa"))
-    b = elems.select("vec_id", F.col("dim").alias("k"), F.col("q").alias("qb"))
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == _EMB_DIM)
+        )
+        .select("embedding")
+    )  # the same validity population as _emb_elems / the oracle
+
+    def _gram_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        jj, kk = np.meshgrid(
+            np.arange(_EMB_DIM, dtype=np.int32),
+            np.arange(_EMB_DIM, dtype=np.int32),
+            indexing="ij",
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            v = mat * float(_PC_Q)  # exponent shift: EXACT for binary floats
+            q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+            g = q.T @ q  # exact int64 matmul (bound documented above)
+            yield pd.DataFrame(
+                {"j": jj.ravel(), "k": kk.ravel(), "g": g.ravel()}
+            )
+
     gram = persist_tracked(
-        a.join(b, "vec_id")
+        emb.mapInPandas(_gram_batches, "j int, k int, g long")
         .groupBy("j", "k")
         .agg(
-            F.sum((F.col("qa") * F.col("qb")).cast("decimal(38,0)"))
-            .cast("long")
-            .alias("g")
+            F.sum(F.col("g").cast("decimal(38,0)")).cast("long").alias("g")
         )
     )
     sign_div = _pc_sign_div("u", "s").format(div="div")
