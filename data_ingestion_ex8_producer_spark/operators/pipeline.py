@@ -1178,7 +1178,10 @@ def _pc_sign_div(u: str, s: str) -> str:
     return f"CASE WHEN {u} < 0 THEN -(abs({u}) {{div}} {s}) ELSE abs({u}) {{div}} {s} END"
 
 
-def _top_component_oracle() -> str:
+def _pc_cte_chain() -> str:
+    """WITH-prefix through the power-iterated direction v2 — shared by the
+    top-component report and the remove-top-component projection so the
+    direction has exactly one definition."""
     sd1 = _pc_sign_div("u", "s").format(div="//")
     return f"""
     WITH elems AS (
@@ -1208,7 +1211,11 @@ def _top_component_oracle() -> str:
     ),
     v2 AS (
         SELECT j, CAST({sd1} AS BIGINT) AS v FROM u2 CROSS JOIN s2
-    ),
+    )"""
+
+
+def _top_component_oracle() -> str:
+    return _pc_cte_chain() + f""",
     gv AS (
         SELECT g.j, SUM(CAST(g.g AS HUGEINT) * v2.v) AS gv
         FROM gram g JOIN v2 ON v2.j = g.k GROUP BY g.j
@@ -1228,49 +1235,12 @@ def _top_component_oracle() -> str:
     """
 
 
-@register(
-    "q_emb_top_component",
-    oracle=_top_component_oracle(),
-    tags=("pipeline", "vector", "pca", "iterative"),
-)
-def q_emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dominant principal direction of the embedding corpus — exact
-    distributed Gram matrix, then two power-iteration steps — the linear-
-    algebra member of the iterative family (connected components, k-means
-    step, PageRank) and the computation behind "all-but-the-top" embedding
-    postprocessing and anisotropy QA: a corpus whose top component carries
-    most of the mass has a dominant nuisance direction worth projecting out.
-
-    Exactness (the PageRank doctrine applied to linear algebra): elements
-    are quantized once (round(x * 2^20), same rounding as emb_dim_stats);
-    the Gram matrix G = sum_i q_i q_i^T is an INTEGER matrix accumulated by
-    a map-side-combinable groupBy; every matvec is integer products summed
-    as decimal(38,0)/HUGEINT (both exact); each iterate is renormalized to
-    ~2^12 via GREATEST(max|u| intdiv 4096, 1) with the sign split out so
-    truncation-vs-floor division semantics never meet a negative numerator
-    (:func:`_pc_sign_div` renders ONE expression for both engines).  The
-    Rayleigh quotient v.Gv/v.v — the eigenvalue estimate in quantized
-    units — is likewise an integer division of exact integers (PSD, so
-    non-negative); the single double is loading = v_j / max|v|.
-
-    Scale shape: the one corpus-sized pass is the Gram accumulation,
-    implemented as the production form — a mapInPandas partial-Gram: each
-    Arrow batch contributes ONE d x d integer matrix (Q^T Q via numpy int64
-    matmul; per-batch magnitude <= rows_per_batch * 2^40 < 2^54 at the
-    10k-row Arrow default, far under int64), and the downstream hash
-    aggregate sums the per-batch partials exactly — integer addition
-    commutes, so ANY partition/batch layout gives bit-identical G, which is
-    what lets the declarative oracle (the d^2-fan-out explode self-join)
-    verify the vectorized path.  SHUFFLE volume is d^2 = 4096 rows per
-    batch regardless of corpus size.  The in-UDF quantization reproduces
-    round() half-away-from-zero exactly: scaling by 2^20 is a pure exponent
-    shift (exact in binary), so sign(v) * floor(|v| + 0.5) equals the
-    engines' decimal HALF_UP on every representable input.  Everything
-    after the Gram is metadata: the 4096-row G is persisted and reused by
-    both iterations plus the Rayleigh pass, with 64-row broadcast joins.
-    Fixed iteration count (2) keeps the unrolled plan the honest twin of a
-    production loop that would localCheckpoint per step; convergence is not
-    asserted — the registered op IS the loop body, like q_emb_kmeans_step."""
+def _gram_and_v2(spark: SparkSession, sf_dir: str):
+    """(gram, v2): the persisted integer Gram matrix and the power-iterated
+    direction — ONE definition shared by the top-component report and the
+    remove-top-component projection (mirrors :func:`_pc_cte_chain` on the
+    oracle side).  gram is persist_tracked; the caller's persisted_scope
+    releases it."""
     from ._util import persist_tracked
 
     emb = (
@@ -1335,8 +1305,54 @@ def q_emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     u1 = gram.groupBy("j").agg(
         F.sum(F.col("g").cast("decimal(38,0)")).cast("long").alias("u")
     )
-    v1 = _rescale(u1)
-    v2 = _rescale(_matvec(v1))
+    v2 = _rescale(_matvec(_rescale(u1)))
+    return gram, v2
+
+
+@register(
+    "q_emb_top_component",
+    oracle=_top_component_oracle(),
+    tags=("pipeline", "vector", "pca", "iterative"),
+)
+def q_emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus — exact
+    distributed Gram matrix, then two power-iteration steps — the linear-
+    algebra member of the iterative family (connected components, k-means
+    step, PageRank) and the computation behind "all-but-the-top" embedding
+    postprocessing and anisotropy QA: a corpus whose top component carries
+    most of the mass has a dominant nuisance direction worth projecting out.
+
+    Exactness (the PageRank doctrine applied to linear algebra): elements
+    are quantized once (round(x * 2^20), same rounding as emb_dim_stats);
+    the Gram matrix G = sum_i q_i q_i^T is an INTEGER matrix accumulated by
+    a map-side-combinable groupBy; every matvec is integer products summed
+    as decimal(38,0)/HUGEINT (both exact); each iterate is renormalized to
+    ~2^12 via GREATEST(max|u| intdiv 4096, 1) with the sign split out so
+    truncation-vs-floor division semantics never meet a negative numerator
+    (:func:`_pc_sign_div` renders ONE expression for both engines).  The
+    Rayleigh quotient v.Gv/v.v — the eigenvalue estimate in quantized
+    units — is likewise an integer division of exact integers (PSD, so
+    non-negative); the single double is loading = v_j / max|v|.
+
+    Scale shape: the one corpus-sized pass is the Gram accumulation,
+    implemented as the production form — a mapInPandas partial-Gram: each
+    Arrow batch contributes ONE d x d integer matrix (Q^T Q via numpy int64
+    matmul; per-batch magnitude <= rows_per_batch * 2^40 < 2^54 at the
+    10k-row Arrow default, far under int64), and the downstream hash
+    aggregate sums the per-batch partials exactly — integer addition
+    commutes, so ANY partition/batch layout gives bit-identical G, which is
+    what lets the declarative oracle (the d^2-fan-out explode self-join)
+    verify the vectorized path.  SHUFFLE volume is d^2 = 4096 rows per
+    batch regardless of corpus size.  The in-UDF quantization reproduces
+    round() half-away-from-zero exactly: scaling by 2^20 is a pure exponent
+    shift (exact in binary), so sign(v) * floor(|v| + 0.5) equals the
+    engines' decimal HALF_UP on every representable input.  Everything
+    after the Gram is metadata: the 4096-row G is persisted and reused by
+    both iterations plus the Rayleigh pass, with 64-row broadcast joins.
+    Fixed iteration count (2) keeps the unrolled plan the honest twin of a
+    production loop that would localCheckpoint per step; convergence is not
+    asserted — the registered op IS the loop body, like q_emb_kmeans_step."""
+    gram, v2 = _gram_and_v2(spark, sf_dir)
     v2r = v2.select(F.col("j").alias("kk"), F.col("v").alias("vv"))
     gv = (
         gram.join(F.broadcast(v2r), F.col("k") == F.col("kk"))
@@ -1364,4 +1380,95 @@ def q_emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n div d AS BIGINT)").alias("rayleigh_q"),
         )
         .orderBy("dim")
+    )
+
+
+def _remove_top_oracle() -> str:
+    return _pc_cte_chain() + f""",
+    pden AS (SELECT CAST(SUM(v * v) AS BIGINT) AS d FROM v2),
+    ci AS (
+        SELECT e.vec_id, CAST(SUM(e.q * v2.v) AS BIGINT) AS c
+        FROM (SELECT vec_id, dim, q FROM elems) e
+        JOIN v2 ON v2.j = e.dim
+        GROUP BY e.vec_id
+    )
+    SELECT e.vec_id,
+           CAST(e.dim AS BIGINT) AS dim,
+           CAST(e.q * p.d - ci.c * v2.v AS BIGINT) AS residual_q,
+           CAST(e.q * p.d - ci.c * v2.v AS DOUBLE)
+             / CAST(p.d * {_PC_Q} AS DOUBLE) AS residual
+    FROM elems e
+    JOIN v2 ON v2.j = e.dim
+    JOIN ci ON ci.vec_id = e.vec_id
+    CROSS JOIN pden p
+    """
+
+
+@register(
+    "q_emb_remove_top_component",
+    oracle=_remove_top_oracle(),
+    tags=("pipeline", "vector", "pca", "projection"),
+)
+def q_emb_remove_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top, applied: project every embedding onto the orthogonal
+    complement of the corpus's dominant direction (q_emb_top_component's v)
+    — the standard anisotropy fix for embedding spaces whose first component
+    is a nuisance direction.  Output is the transformed corpus itself, one
+    row per (vec_id, dim): the projection a downstream similarity index
+    would actually consume.
+
+    Exactness: the residual is computed in CLEARED-DENOMINATOR integer form
+    — residual_q = q_ij * (v.v) - (q_i.v) * v_j, every factor an exact
+    BIGINT (|q| <= 2^20, |v| <= ~2^13, so |residual_q| < 2^53) — which is
+    the exact orthogonal projection scaled by the positive constant v.v:
+    v.residual_q = (v.v)(q_i.v) - (q_i.v)(v.v) = 0 identically, in exact
+    arithmetic, per vector.  The single double (`residual`, the projected
+    value back in embedding units) is one IEEE division by the constant
+    (v.v) * 2^20 — an exactly-representable integer (< 2^52) — of identical
+    integers.
+
+    Scale shape: v and v.v are metadata (64 rows / 1 row, broadcast); the
+    corpus pass is ONE map-side-combinable groupBy for the per-vector
+    coefficients q_i.v, then one broadcast-annotated projection pass over
+    the element relation — no shuffle ever carries more than the element
+    relation keyed by vec_id, and the two corpus-sized relations join on
+    their shared vec_id key.  Composes _gram_and_v2, so the direction being
+    removed is EXACTLY the registered q_emb_top_component direction."""
+    _, v2 = _gram_and_v2(spark, sf_dir)
+    from ._util import persist_tracked
+
+    v2p = persist_tracked(v2)  # 64 rows; cut the iteration lineage once
+    pden = v2p.agg(
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("d")
+    )  # 1-row
+    elems = _emb_elems(spark, sf_dir).select(
+        "vec_id",
+        "dim",
+        F.expr(f"CAST(round(x * {_PC_Q}) AS BIGINT)").alias("q"),
+    )
+    vdim = F.broadcast(v2p.select(F.col("j").alias("dim"), "v"))
+    ci = (
+        elems.join(vdim, "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("q") * F.col("v")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("c")
+        )
+    )
+    return (
+        elems.join(vdim, "dim")
+        .join(ci, "vec_id")
+        .crossJoin(F.broadcast(pden))
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            (F.col("q") * F.col("d") - F.col("c") * F.col("v")).alias("residual_q"),
+            (
+                (F.col("q") * F.col("d") - F.col("c") * F.col("v")).cast("double")
+                / (F.col("d") * F.lit(_PC_Q)).cast("double")
+            ).alias("residual"),
+        )
     )

@@ -2237,3 +2237,93 @@ _registry._REGISTRY["q_hybrid_rrf"] = _registry.QuerySpec(
     bench=_spec.bench,
     doc=_spec.doc,
 )
+
+
+def _hybrid_rrf_ivfpq_oracle() -> str:
+    from . import textops  # noqa: F401 — ordering-independent (see above)
+
+    lex = _registry._REGISTRY["q_bm25_mlt_topk"].oracle
+    return f"""
+    WITH lex AS ({lex}),
+    vec AS ({_ivfpq_oracle()}),
+    fused AS (
+        SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+               COALESCE(l.doc_id, v.neighbor_id) AS doc_id,
+               l.rk AS rk_lex, v.rk AS rk_vec
+        FROM lex l
+        FULL OUTER JOIN vec v
+          ON v.query_id = l.query_id AND v.neighbor_id = l.doc_id
+    ),
+    scored AS (SELECT *, {_RRF_EXPR} AS rrf FROM fused),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, doc_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, doc_id, rk_lex, rk_vec, rrf, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {_RRF_TOPK}
+    """
+
+
+@register(
+    "q_hybrid_rrf_ivfpq",
+    oracle=None,  # generated (composes BM25 + the composed IVF-PQ) — below
+    tags=("similarity", "retrieval", "hybrid", "rrf", "ivf", "pq"),
+)
+def q_hybrid_rrf_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION hybrid search: q_hybrid_rrf with its vector leg
+    swapped from the brute-force scan to the composed IVF-PQ index
+    (sim_ivfpq_topk) — the drop-in the fusion operator's contract promises
+    (it consumes only (query_id, id, rk)).  This is the pairing a 100 TB
+    deployment runs: the lexical leg reads the BM25 index aggregates, the
+    vector leg probes nprobe/K of the PQ code table, and the fusion stays a
+    metadata-sized join of two |Q| x k rank lists.  Registered separately
+    from q_hybrid_rrf so BOTH fusions are oracle-checked — the exact-leg
+    fusion is the quality ceiling, this is the deployed approximation;
+    comparing the two end-to-end result lists is the retrieval-stack twin
+    of q_ivfpq_recall's index-level measurement."""
+    from .textops import q_bm25_mlt_topk
+
+    lex = q_bm25_mlt_topk(spark, sf_dir).select(
+        F.col("query_id").alias("l_q"),
+        F.col("doc_id").alias("l_d"),
+        F.col("rk").alias("rk_lex"),
+    )
+    vec = sim_ivfpq_topk(spark, sf_dir).select(
+        F.col("query_id").alias("v_q"),
+        F.col("neighbor_id").alias("v_d"),
+        F.col("rk").alias("rk_vec"),
+    )
+    fused = lex.join(
+        vec,
+        (F.col("v_q") == F.col("l_q")) & (F.col("v_d") == F.col("l_d")),
+        "full_outer",
+    ).select(
+        F.coalesce("l_q", "v_q").alias("query_id"),
+        F.coalesce("l_d", "v_d").alias("doc_id"),
+        "rk_lex",
+        "rk_vec",
+    )
+    scored = fused.withColumn("rrf", F.expr(_RRF_EXPR))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RRF_TOPK)
+        .select(
+            "query_id", "doc_id", "rk_lex", "rk_vec", "rrf",
+            F.col("rk").cast("integer").alias("rk"),
+        )
+    )
+
+
+_spec = _registry._REGISTRY["q_hybrid_rrf_ivfpq"]
+_registry._REGISTRY["q_hybrid_rrf_ivfpq"] = _registry.QuerySpec(
+    name=_spec.name,
+    builder=_spec.builder,
+    oracle=_hybrid_rrf_ivfpq_oracle(),
+    tags=_spec.tags,
+    bench=_spec.bench,
+    doc=_spec.doc,
+)

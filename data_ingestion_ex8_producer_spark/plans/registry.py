@@ -123,7 +123,12 @@ def register(
 # banding/signature chain the curve — plus dedup_edit_distance,
 # q_dedup_pair_recall, and q_lsh_band_stats — executes end-to-end anyway;
 # and q_emb_top_component (exact Gram + power iteration) displaced
-# emb_normalize (driver-green r1-r5; curation keeps 4 reps).  Every
+# emb_normalize (driver-green r1-r5; curation keeps 4 reps).  The last two
+# late-r6 compositions — q_emb_remove_top_component (all-but-the-top applied)
+# and q_hybrid_rrf_ivfpq (the production hybrid: BM25 leg + IVF-PQ leg) —
+# displaced q_session_window (driver-green r1-r5; events keep 5 reps) and
+# sim_ivf_topk (driver-green r5; its assignment machinery runs inside the
+# staying sim_ivfpq_topk pair).  Every
 # rotated-out name remains
 # exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
@@ -153,7 +158,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_copurchase_triangles",
     "q_part_pagerank",
     # event-time + event-sequence analytics
-    "q_session_window",
     "q_event_burst_gapfilled",
     "q_purchase_attribution",
     "q_time_weighted_avg",
@@ -174,8 +178,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_vocab_coverage",
     # similarity search + ANN evaluation (the full IVF-PQ story) + hybrid
     "q_hybrid_rrf",
+    "q_hybrid_rrf_ivfpq",
     "sim_bruteforce_l2_topk",
-    "sim_ivf_topk",
     "q_emb_kmeans_step",
     "q_emb_pq_codes",
     "sim_pq_adc_topk",
@@ -192,6 +196,7 @@ _PRIORITY: tuple[str, ...] = (
     "udtf_bigrams",
     # curation / pipeline
     "q_emb_top_component",
+    "q_emb_remove_top_component",
     "q_balanced_downsample",
     "q_curriculum_order",
     "q_key_skew_profile",

@@ -205,6 +205,8 @@ _R4_GUARDED = (
     "q_hybrid_rrf",
     "q_dedup_threshold_curve",
     "q_emb_top_component",
+    "q_emb_remove_top_component",
+    "q_hybrid_rrf_ivfpq",
 )
 
 

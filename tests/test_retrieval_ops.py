@@ -89,3 +89,70 @@ def test_rrf_rewards_presence_in_both_lists(spark):
     both = 2.0 / (_RRF_K + 1)
     single_best = 1.0 / (_RRF_K + 1)
     assert both > single_best
+
+
+def test_remove_top_component_is_exactly_orthogonal(spark):
+    """The projected corpus is orthogonal to the removed direction IN EXACT
+    INTEGER ARITHMETIC: sum_j v_j * residual_q_ij == 0 for EVERY vector —
+    the defining identity of the cleared-denominator projection (no epsilon
+    anywhere).  Residual magnitudes never exceed the original component's
+    (|residual_q| <= |q|*den + |c|*|v|), and the double column is exactly
+    residual_q / (den * 2^20)."""
+    from data_ingestion_ex8_producer_spark.operators._util import (
+        persisted_scope,
+    )
+    from data_ingestion_ex8_producer_spark.operators.pipeline import (
+        _PC_Q,
+        _gram_and_v2,
+        q_emb_remove_top_component,
+    )
+
+    with persisted_scope():
+        res = q_emb_remove_top_component(spark, SF).collect()
+        _, v2df = _gram_and_v2(spark, SF)
+        v = {r.j: r.v for r in v2df.collect()}
+    den = sum(x * x for x in v.values())
+    assert den > 0 and len(res) > 0
+    by_vec = {}
+    for r in res:
+        by_vec.setdefault(r.vec_id, {})[r.dim] = r.residual_q
+        assert r.residual == r.residual_q / (den * _PC_Q)
+    for vec_id, dims in by_vec.items():
+        assert len(dims) == 64
+        dot = sum(v[j] * rq for j, rq in dims.items())
+        assert dot == 0, f"vec {vec_id}: v . residual = {dot} != 0"
+
+
+def test_hybrid_rrf_ivfpq_legs_are_the_registered_searches(spark):
+    """The production fusion's leg ranks point back at the ACTUAL rows of
+    q_bm25_mlt_topk and sim_ivfpq_topk, with the same rrf identity as the
+    exact-leg fusion."""
+    from data_ingestion_ex8_producer_spark.operators._util import (
+        persisted_scope,
+    )
+    from data_ingestion_ex8_producer_spark.operators.similarity import (
+        q_hybrid_rrf_ivfpq,
+        sim_ivfpq_topk,
+    )
+
+    with persisted_scope():
+        fused = q_hybrid_rrf_ivfpq(spark, SF).collect()
+        lex = {
+            (r.query_id, r.doc_id): r.rk
+            for r in q_bm25_mlt_topk(spark, SF).collect()
+        }
+        vec = {
+            (r.query_id, r.neighbor_id): r.rk
+            for r in sim_ivfpq_topk(spark, SF).collect()
+        }
+    assert fused
+    for r in fused:
+        key = (r.query_id, r.doc_id)
+        assert r.rk_lex == lex.get(key)
+        assert r.rk_vec == vec.get(key)
+        expect = 0.0
+        if r.rk_lex is not None:
+            expect += 1.0 / (_RRF_K + r.rk_lex)
+        if r.rk_vec is not None:
+            expect += 1.0 / (_RRF_K + r.rk_vec)
+        assert r.rrf == expect

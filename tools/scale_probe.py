@@ -82,6 +82,8 @@ PROBE_QUERIES = (
     "q_hybrid_rrf",
     "q_dedup_threshold_curve",
     "q_emb_top_component",
+    "q_emb_remove_top_component",
+    "q_hybrid_rrf_ivfpq",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
