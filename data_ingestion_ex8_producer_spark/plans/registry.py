@@ -128,7 +128,10 @@ def register(
 # and q_hybrid_rrf_ivfpq (the production hybrid: BM25 leg + IVF-PQ leg) —
 # displaced q_session_window (driver-green r1-r5; events keep 5 reps) and
 # sim_ivf_topk (driver-green r5; its assignment machinery runs inside the
-# staying sim_ivfpq_topk pair).  Every
+# staying sim_ivfpq_topk pair); and q_hybrid_agreement (the end-to-end
+# stack-vs-ceiling overlap metric, composing both fusions) displaced
+# q_pivot (driver-green r1-r5; aggregation keeps q_agg_distinct plus the
+# co-purchase graph rollups).  Every
 # rotated-out name remains
 # exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
@@ -152,7 +155,6 @@ _PRIORITY: tuple[str, ...] = (
     # subqueries
     "q_lateral_topn",
     # extended analytics + reports
-    "q_pivot",
     "q_customer_rfm",
     "q_copurchase_pairs",
     "q_copurchase_triangles",
@@ -179,6 +181,7 @@ _PRIORITY: tuple[str, ...] = (
     # similarity search + ANN evaluation (the full IVF-PQ story) + hybrid
     "q_hybrid_rrf",
     "q_hybrid_rrf_ivfpq",
+    "q_hybrid_agreement",
     "sim_bruteforce_l2_topk",
     "q_emb_kmeans_step",
     "q_emb_pq_codes",

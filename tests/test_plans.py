@@ -207,6 +207,7 @@ _R4_GUARDED = (
     "q_emb_top_component",
     "q_emb_remove_top_component",
     "q_hybrid_rrf_ivfpq",
+    "q_hybrid_agreement",
 )
 
 

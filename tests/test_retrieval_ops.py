@@ -156,3 +156,32 @@ def test_hybrid_rrf_ivfpq_legs_are_the_registered_searches(spark):
         if r.rk_vec is not None:
             expect += 1.0 / (_RRF_K + r.rk_vec)
         assert r.rrf == expect
+
+
+def test_hybrid_agreement_matches_recomputed_overlap(spark):
+    """The agreement metric equals the overlap recomputed in Python from
+    the two registered fusions, n_ceiling is the exact fusion's list size,
+    and overlap_frac is the exact integer ratio."""
+    from data_ingestion_ex8_producer_spark.operators._util import (
+        persisted_scope,
+    )
+    from data_ingestion_ex8_producer_spark.operators.similarity import (
+        q_hybrid_agreement,
+        q_hybrid_rrf,
+        q_hybrid_rrf_ivfpq,
+    )
+
+    with persisted_scope():
+        rows = {r.query_id: r for r in q_hybrid_agreement(spark, SF).collect()}
+        exact_f = q_hybrid_rrf(spark, SF).collect()
+        deployed = q_hybrid_rrf_ivfpq(spark, SF).collect()
+    ceil_lists, dep_lists = {}, {}
+    for r in exact_f:
+        ceil_lists.setdefault(r.query_id, set()).add(r.doc_id)
+    for r in deployed:
+        dep_lists.setdefault(r.query_id, set()).add(r.doc_id)
+    assert set(rows) == set(ceil_lists)
+    for qid, r in rows.items():
+        assert r.n_ceiling == len(ceil_lists[qid])
+        assert r.n_overlap == len(ceil_lists[qid] & dep_lists.get(qid, set()))
+        assert r.overlap_frac == r.n_overlap / r.n_ceiling

@@ -84,6 +84,7 @@ PROBE_QUERIES = (
     "q_emb_top_component",
     "q_emb_remove_top_component",
     "q_hybrid_rrf_ivfpq",
+    "q_hybrid_agreement",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
