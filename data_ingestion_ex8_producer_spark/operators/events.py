@@ -1197,3 +1197,124 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal (hour-of-day) rate-anomaly report
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_seasonal_hourly_anomaly",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               date_trunc('day', ts) AS day,
+               CAST(hour(ts) AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    mom AS (
+        SELECT event_type, hod,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS ss
+        FROM cells GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, hod, n_cells,
+               CAST(s AS DOUBLE) / n_cells AS mean_q,
+               greatest(CAST(ss AS DOUBLE) / n_cells
+                        - (CAST(s AS DOUBLE) / n_cells)
+                          * (CAST(s AS DOUBLE) / n_cells), 0.0) AS var_q
+        FROM mom
+    )
+    SELECT c.event_type, c.hod, st.n_cells,
+           st.mean_q AS mean_cnt,
+           sqrt(st.var_q) AS std_cnt,
+           CAST(SUM(CASE WHEN (CAST(c.x AS DOUBLE) - st.mean_q)
+                              * (CAST(c.x AS DOUBLE) - st.mean_q)
+                              > 9.0 * st.var_q
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           CAST(SUM(CASE WHEN (CAST(c.x AS DOUBLE) - st.mean_q)
+                              * (CAST(c.x AS DOUBLE) - st.mean_q)
+                              > 9.0 * st.var_q
+                         THEN 1 ELSE 0 END) AS DOUBLE) / st.n_cells
+             AS anomaly_share
+    FROM cells c
+    JOIN stats st ON st.event_type = c.event_type AND st.hod = c.hod
+    GROUP BY c.event_type, c.hod, st.n_cells, st.mean_q, st.var_q
+    """,
+    tags=("events", "anomaly", "seasonal", "zscore"),
+)
+def q_seasonal_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal rate-anomaly report: for every (event_type, hour-of-day)
+    slot, the baseline mean/std of the per-DAY event count in that slot,
+    and how many days broke 3 sigma — the count-seasonality complement of
+    q_value_outliers (value z-scores) and the burst detectors (absolute
+    hourly thresholds).  This is the dashboard that distinguishes "9am is
+    always busy" from "THIS 9am is anomalous": a flat global baseline
+    alerts every diurnal peak; the hour-of-day baseline alerts deviations
+    FROM the diurnal shape.
+
+    Exactness doctrine (q_value_outliers' contract): the cell counts are
+    exact integers, so the per-slot moment sums are associative BIGINTs at
+    any parallelism; mean and variance derive through IDENTICAL double
+    expression trees on both engines (the corpus-sized sum is never
+    squared in int64 — the squaring happens in double); the anomaly test
+    compares (x - mean)^2 > 9*var in bit-identical doubles, and a
+    zero-variance slot reports zero anomalies (0 > 0 is false) with no
+    division anywhere.  sqrt is IEEE-correctly-rounded on both engines.
+
+    Scale shape: three map-side-combinable aggregates, each strictly
+    smaller than the last — raw events -> (type, day, hod) cells (the only
+    pass that touches the corpus; uniform composite key), cells ->
+    (type, hod) moments (|types| x 24 rows of three BIGINTs), then the
+    flag pass re-joins the TINY broadcast stats row back onto cells.
+    Baseline is over OBSERVED (type, day) cells; composing the dense
+    day-spine (q_event_burst_gapfilled's trick) would also score silent
+    days — kept separate so each report stays one-pass."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cells = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    mom = cells.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    mean_q = F.col("s").cast("double") / F.col("n_cells")
+    var_q = F.greatest(
+        F.col("ss").cast("double") / F.col("n_cells") - mean_q * mean_q,
+        F.lit(0.0),
+    )
+    stats = mom.select(
+        "event_type", "hod", "n_cells",
+        mean_q.alias("mean_q"), var_q.alias("var_q"),
+    )
+    dev2 = (F.col("x").cast("double") - F.col("mean_q")) * (
+        F.col("x").cast("double") - F.col("mean_q")
+    )
+    is_anom = F.when(dev2 > F.lit(9.0) * F.col("var_q"), 1).otherwise(0)
+    return (
+        cells.join(F.broadcast(stats), ["event_type", "hod"])
+        .groupBy("event_type", "hod", "n_cells", "mean_q", "var_q")
+        .agg(
+            F.sum(is_anom).cast("long").alias("n_anomalies"),
+            (F.sum(is_anom).cast("double") / F.col("n_cells").cast("double")).alias(
+                "anomaly_share"
+            ),
+        )
+        .select(
+            "event_type", "hod", "n_cells",
+            F.col("mean_q").alias("mean_cnt"),
+            F.sqrt("var_q").alias("std_cnt"),
+            "n_anomalies", "anomaly_share",
+        )
+    )

@@ -2415,3 +2415,126 @@ _registry._REGISTRY["q_hybrid_agreement"] = _registry.QuerySpec(
     bench=_spec.bench,
     doc=_spec.doc,
 )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (cluster-restricted cosine pruning)
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_COSINE = 0.35  # demonstration threshold: the cell restriction
+                         # thins the pair population (only same-cell pairs
+                         # qualify), so this sits below the near-dup ops'
+                         # 0.45 to keep a measurable prune set (~10% of the
+                         # corpus at test scale; swept 0.30-0.45 at two SFs).
+                         # Production semantic dedup on real embedding
+                         # spaces prunes at ~0.95+.
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH {_SQL_IVF_CTES},
+    members AS (
+        SELECT a.vec_id, a.centroid_id, a.embedding,
+               {_sql_cosine('a.embedding', 'c.c_emb')} AS c_cos
+        FROM assignment a JOIN centroids c ON c.centroid_id = a.centroid_id
+    ),
+    pairs AS (
+        SELECT b.vec_id AS vec_id, a.vec_id AS kept_by, a.centroid_id,
+               {_sql_cosine('a.embedding', 'b.embedding')} AS cosine,
+               a.c_cos AS cc_a
+        FROM members a JOIN members b
+          ON a.centroid_id = b.centroid_id
+         AND (a.c_cos < b.c_cos
+              OR (a.c_cos = b.c_cos AND a.vec_id < b.vec_id))
+    )
+    SELECT vec_id, kept_by, centroid_id, cosine FROM (
+        SELECT vec_id, kept_by, centroid_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cc_a, kept_by) AS rn
+        FROM pairs WHERE cosine >= {_SEMDEDUP_COSINE}
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "embedding", "semantic", "ivf"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, cluster-restricted form (the SemDeDup recipe, Abbas
+    et al. 2023 — public): assign every vector to its nearest coarse
+    centroid (the SAME deterministic IVF quantizer the ANN indexes use),
+    then prune near-duplicate pairs WITHIN each cell only, keeping the
+    member FARTHEST from the centroid (lowest centroid-cosine) so pruning
+    preserves cluster diversity rather than collapsing to the prototype.
+    Output: one row per REMOVED vector with the surviving representative
+    that removed it (the first qualifying keeper in (c_cos, vec_id)
+    keep-order — deterministic on both engines) and their cosine.
+
+    vs dedup_embedding_neardup (LSH candidates -> exact verify): same
+    two-stage scale discipline, different candidate geometry — LSH buckets
+    are recall-tuned hash collisions; SemDeDup cells are the k-means
+    Voronoi partition, so the SAME trained quantizer serves search
+    (sim_ivf*_topk) and dedup, and "near-dup" pairs that straddle a cell
+    boundary are deliberately out of scope (the documented recall trade of
+    the published method).
+
+    Scale shape: assignment is the shuffle-free numpy pandas_udf pass
+    (quantizer in the UDF closure); the pairwise stage is a SELF-JOIN ON
+    centroid_id, so shuffle volume is O(n) rows keyed by cell and the
+    quadratic kernel runs per cell at (n/K)^2 — production raises K with
+    the corpus (~sqrt(n), exactly as the IVF index does) to keep cell
+    populations, and therefore per-cell pair counts, bounded.  The member
+    relation feeds both sides of the self-join, so it is persisted through
+    the persist_tracked seam.  No all-pairs stage anywhere."""
+    from pyspark.sql import Window
+
+    from ._util import persist_tracked
+
+    emb = _ivf_valid_emb(spark, sf_dir)
+    cents = _ivf_centroid_rows(emb)
+    mem = (
+        _ivf_assignment(emb, cents)
+        .join(_ivf_centroid_frame(spark, cents), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "ed",
+            "norm",
+            (
+                _dot_d(F.col("ed"), F.col("c_ed"))
+                / (F.col("norm") * F.col("c_norm"))
+            ).alias("c_cos"),
+        )
+    )
+    mem = persist_tracked(mem)
+    a = mem.select(
+        "centroid_id",
+        F.col("vec_id").alias("kept_by"),
+        F.col("ed").alias("e_a"),
+        F.col("norm").alias("n_a"),
+        F.col("c_cos").alias("cc_a"),
+    )
+    b = mem.select(
+        "centroid_id",
+        "vec_id",
+        F.col("ed").alias("e_b"),
+        F.col("norm").alias("n_b"),
+        F.col("c_cos").alias("cc_b"),
+    )
+    pairs = a.join(b, "centroid_id").filter(
+        (F.col("cc_a") < F.col("cc_b"))
+        | ((F.col("cc_a") == F.col("cc_b")) & (F.col("kept_by") < F.col("vec_id")))
+    )
+    qual = pairs.select(
+        "vec_id",
+        "kept_by",
+        "centroid_id",
+        (_dot_d(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))).alias(
+            "cosine"
+        ),
+        "cc_a",
+    ).filter(F.col("cosine") >= _SEMDEDUP_COSINE)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cc_a").asc(), F.col("kept_by").asc())
+    return (
+        qual.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "kept_by", "centroid_id", "cosine")
+    )

@@ -1522,3 +1522,115 @@ def q_bm25_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("integer").alias("rk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring (span-hash) cross-document dedup profile
+# --------------------------------------------------------------------------
+
+_SPAN_LEN = 4   # tokens per non-overlapping span.  Production substring
+                # dedup uses ~50-token windows (the published exact-substring
+                # dedup threshold); 4 fits this corpus's ~35-token documents
+                # and its ~30-word vocabulary so shared spans actually occur
+                # at test scale.  The plan shape is span-length-independent.
+_SPAN_DUP_NUM = 3   # flag_dup threshold as an exact rational: shared/total
+_SPAN_DUP_DEN = 10  # >= 3/10, compared in integers (no float boundary).
+
+
+@register(
+    "q_span_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens()} AS ts FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ts, unnest(range(0, len(ts) // {_SPAN_LEN})) AS sid
+        FROM toks WHERE len(ts) >= {_SPAN_LEN}
+    ),
+    spans AS (
+        SELECT doc_id,
+               {sql_hash48(
+                   f"array_to_string(list_slice(ts, sid*{_SPAN_LEN}+1,"
+                   f" sid*{_SPAN_LEN}+{_SPAN_LEN}), ' ')")} AS span_hash
+        FROM idx
+    ),
+    sdf AS (
+        SELECT span_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM spans GROUP BY span_hash
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_spans,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS shared_frac,
+           CAST(CASE WHEN SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END)
+                          * {_SPAN_DUP_DEN} >= COUNT(*) * {_SPAN_DUP_NUM}
+                     THEN 1 ELSE 0 END AS BIGINT) AS flag_dup
+    FROM spans s JOIN sdf d USING (span_hash)
+    GROUP BY s.doc_id
+    """,
+    tags=("text", "dedup", "substring"),
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup profile: hash every non-overlapping 4-token
+    span, count how many DISTINCT documents each span appears in, and
+    report per document how much of its text is span-shared with the rest
+    of the corpus (plus a >=30% removal flag).  This is the scalable
+    chunk-hash approximation of suffix-array exact-substring dedup — the
+    pipeline stage that removes boilerplate/licence blocks repeated across
+    crawl snapshots, complementary to whole-doc (dedup_exact) and near-doc
+    (minhash/simhash) dedup.
+
+    Exactness: span keys are the portable 48-bit md5 over the joined span
+    string; counts are integers; shared_frac is one IEEE division of exact
+    integers; the flag compares shared*10 >= total*3 IN INTEGERS so the
+    30% boundary has no float-rounding edge on either engine.
+
+    Scale shape: the span relation is corpus_tokens/4 narrow (doc_id,
+    hash) rows built inside the scan stage (sequence/slice/explode — no
+    shuffle); the distinct-doc count is a map-side-combinable
+    groupBy(span_hash); the annotate join back is one-row-per-span (a hot
+    boilerplate span costs its df combiner cell, never a pairwise
+    fan-out — same shape as q_doc_commonness); the per-doc rollup is
+    combinable.  Linear in corpus size, uniform 48-bit shuffle keys.  The
+    span relation feeds both the df aggregate and the annotate join, so
+    it is persisted through the persist_tracked seam."""
+    from ._util import persist_tracked
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", tokens().alias("ts"))
+        .filter(F.size("ts") >= _SPAN_LEN)
+    )
+    n_spans = F.expr(f"size(ts) div {_SPAN_LEN}").cast("int")
+    span_hashes = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda s: hash48(
+            F.array_join(F.slice(F.col("ts"), s * _SPAN_LEN + 1, _SPAN_LEN), " ")
+        ),
+    )
+    spans = persist_tracked(
+        spread(docs, spark).select(
+            "doc_id", F.explode(span_hashes).alias("span_hash")
+        )
+    )
+    sdf = spans.groupBy("span_hash").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        spans.join(sdf, "span_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            shared.cast("long").alias("n_shared_spans"),
+            (shared.cast("double") / F.count(F.lit(1))).alias("shared_frac"),
+            F.when(
+                shared * _SPAN_DUP_DEN >= F.count(F.lit(1)) * _SPAN_DUP_NUM, 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("flag_dup"),
+        )
+    )
