@@ -131,9 +131,14 @@ def register(
 # staying sim_ivfpq_topk pair); and q_hybrid_agreement (the end-to-end
 # stack-vs-ceiling overlap metric, composing both fusions) displaced
 # q_pivot (driver-green r1-r5; aggregation keeps q_agg_distinct plus the
-# co-purchase graph rollups).  Every
-# rotated-out name remains
-# exact-oracle-verified
+# co-purchase graph rollups).  The final r6 batch — q_span_dedup (span-hash
+# substring dedup), q_semantic_dedup (cluster-restricted cosine pruning),
+# and q_seasonal_hourly_anomaly (hour-of-day rate baseline) — displaced
+# three r5-driver-evidenced PQ-story specs (sim_pq_adc_topk, which stays in
+# the bench set, q_emb_pq_codes, and q_pq_recall): the PQ family keeps its
+# four composed IVF-PQ representatives (sim_ivfpq_topk/_trained + both
+# recall measurements), which execute the encoder and ADC machinery
+# end-to-end anyway.  Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
 # after the priority block.
@@ -165,6 +170,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_time_weighted_avg",
     "q_value_outliers",
     "q_dau_wau_stickiness",
+    "q_seasonal_hourly_anomaly",
     # deduplication
     "q_dedup_threshold_curve",
     "dedup_simhash",
@@ -172,6 +178,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_edit_distance",
     "q_dedup_pair_recall",
     "q_lsh_band_stats",
+    "q_span_dedup",
+    "q_semantic_dedup",
     # text analysis + tokenizer signals + lexical retrieval
     "q_bm25_mlt_topk",
     "q_inverted_index",
@@ -184,9 +192,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_hybrid_agreement",
     "sim_bruteforce_l2_topk",
     "q_emb_kmeans_step",
-    "q_emb_pq_codes",
-    "sim_pq_adc_topk",
-    "q_pq_recall",
     "sim_ivfpq_topk",
     "q_ivfpq_recall",
     "sim_ivfpq_topk_trained",
