@@ -2464,9 +2464,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then prune near-duplicate pairs WITHIN each cell only, keeping the
     member FARTHEST from the centroid (lowest centroid-cosine) so pruning
     preserves cluster diversity rather than collapsing to the prototype.
-    Output: one row per REMOVED vector with the surviving representative
-    that removed it (the first qualifying keeper in (c_cos, vec_id)
-    keep-order — deterministic on both engines) and their cosine.
+    Output: one row per REMOVED vector with the keeper that removed it
+    (the first qualifying predecessor in (c_cos, vec_id) keep-order —
+    deterministic on both engines) and their cosine.  A keeper may itself
+    be pruned by an earlier predecessor — the greedy chain semantics of
+    the published recipe; survivors are exactly the vectors that emit no
+    row here.
 
     vs dedup_embedding_neardup (LSH candidates -> exact verify): same
     two-stage scale discipline, different candidate geometry — LSH buckets

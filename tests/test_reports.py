@@ -113,3 +113,58 @@ def test_two_phase_rank_equals_global_row_number(case):
         ).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# Final-r6 curation reports: span dedup, semantic dedup, seasonal baseline
+# --------------------------------------------------------------------------
+
+
+def test_span_dedup_profile_is_internally_consistent(spark):
+    """Per-doc span profile: shared <= total, shared_frac is exactly the
+    integer ratio, and the flag fires exactly on the 30% integer
+    boundary (shared*10 >= total*3)."""
+    from data_ingestion_ex8_producer_spark.operators.textops import q_span_dedup
+
+    rows = q_span_dedup(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_shared_spans <= r.n_spans
+        assert r.shared_frac == r.n_shared_spans / r.n_spans
+        assert r.flag_dup == (1 if r.n_shared_spans * 10 >= r.n_spans * 3 else 0)
+
+
+def test_semantic_dedup_prunes_distinct_vectors_above_threshold(spark):
+    """Every removed vector appears exactly once, never removes itself,
+    and its cosine to the keeper clears the registered threshold."""
+    from data_ingestion_ex8_producer_spark.operators.similarity import (
+        _SEMDEDUP_COSINE,
+        q_semantic_dedup,
+    )
+
+    rows = q_semantic_dedup(spark, SF).collect()
+    assert len(rows) > 0
+    removed = [r.vec_id for r in rows]
+    assert len(removed) == len(set(removed))
+    for r in rows:
+        assert r.kept_by != r.vec_id
+        assert r.cosine >= _SEMDEDUP_COSINE
+
+
+def test_seasonal_anomaly_shares_are_bounded(spark):
+    """Every (type, hour-of-day) slot: hod in 0..23, anomalies bounded by
+    the observed cell count, share the exact integer ratio, std
+    non-negative, and a zero-variance slot reports zero anomalies."""
+    from data_ingestion_ex8_producer_spark.operators.events import (
+        q_seasonal_hourly_anomaly,
+    )
+
+    rows = q_seasonal_hourly_anomaly(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.hod <= 23
+        assert 0 <= r.n_anomalies <= r.n_cells
+        assert r.anomaly_share == r.n_anomalies / r.n_cells
+        assert r.std_cnt >= 0.0 and r.mean_cnt >= 1.0
+        if r.std_cnt == 0.0:
+            assert r.n_anomalies == 0

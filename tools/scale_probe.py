@@ -85,6 +85,10 @@ PROBE_QUERIES = (
     "q_emb_remove_top_component",
     "q_hybrid_rrf_ivfpq",
     "q_hybrid_agreement",
+    # final r6: substring/semantic dedup + seasonal rate baseline
+    "q_span_dedup",
+    "q_semantic_dedup",
+    "q_seasonal_hourly_anomaly",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
