@@ -2430,10 +2430,13 @@ _SEMDEDUP_COSINE = 0.35  # demonstration threshold: the cell restriction
                          # spaces prunes at ~0.95+.
 
 
-@register(
-    "q_semantic_dedup",
-    oracle=f"""
-    WITH {_SQL_IVF_CTES},
+# The cluster-restricted pair relation shared by q_semantic_dedup and the
+# threshold-sweep curve — ONE definition so the two cannot drift: nearest-
+# centroid membership with each member's centroid-cosine (the keep-order
+# metric), then all (predecessor, successor) pairs WITHIN a cell under the
+# (c_cos, vec_id) keep-order.  No similarity threshold here — each consumer
+# applies its own.
+_SEMDEDUP_CTES = f"""{_SQL_IVF_CTES},
     members AS (
         SELECT a.vec_id, a.centroid_id, a.embedding,
                {_sql_cosine('a.embedding', 'c.c_emb')} AS c_cos
@@ -2447,7 +2450,74 @@ _SEMDEDUP_COSINE = 0.35  # demonstration threshold: the cell restriction
           ON a.centroid_id = b.centroid_id
          AND (a.c_cos < b.c_cos
               OR (a.c_cos = b.c_cos AND a.vec_id < b.vec_id))
+    )"""
+
+
+def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The Spark twin of _SEMDEDUP_CTES: returns (members, pairs).  The
+    member relation feeds both sides of the within-cell self-join, so it is
+    persisted through the persist_tracked seam (the caller's scope releases
+    it)."""
+    from ._util import persist_tracked
+
+    emb = _ivf_valid_emb(spark, sf_dir)
+    cents = _ivf_centroid_rows(emb)
+    mem = (
+        _ivf_assignment(emb, cents)
+        .join(_ivf_centroid_frame(spark, cents), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "ed",
+            "norm",
+            (
+                _dot_d(F.col("ed"), F.col("c_ed"))
+                / (F.col("norm") * F.col("c_norm"))
+            ).alias("c_cos"),
+        )
     )
+    mem = persist_tracked(mem)
+    a = mem.select(
+        "centroid_id",
+        F.col("vec_id").alias("kept_by"),
+        F.col("ed").alias("e_a"),
+        F.col("norm").alias("n_a"),
+        F.col("c_cos").alias("cc_a"),
+    )
+    b = mem.select(
+        "centroid_id",
+        "vec_id",
+        F.col("ed").alias("e_b"),
+        F.col("norm").alias("n_b"),
+        F.col("c_cos").alias("cc_b"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(
+            (F.col("cc_a") < F.col("cc_b"))
+            | (
+                (F.col("cc_a") == F.col("cc_b"))
+                & (F.col("kept_by") < F.col("vec_id"))
+            )
+        )
+        .select(
+            "vec_id",
+            "kept_by",
+            "centroid_id",
+            (
+                _dot_d(F.col("e_a"), F.col("e_b"))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("cosine"),
+            "cc_a",
+        )
+    )
+    return mem, pairs
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH {_SEMDEDUP_CTES}
     SELECT vec_id, kept_by, centroid_id, cosine FROM (
         SELECT vec_id, kept_by, centroid_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -2489,55 +2559,96 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persist_tracked seam.  No all-pairs stage anywhere."""
     from pyspark.sql import Window
 
-    from ._util import persist_tracked
-
-    emb = _ivf_valid_emb(spark, sf_dir)
-    cents = _ivf_centroid_rows(emb)
-    mem = (
-        _ivf_assignment(emb, cents)
-        .join(_ivf_centroid_frame(spark, cents), "centroid_id")
-        .select(
-            "vec_id",
-            "centroid_id",
-            "ed",
-            "norm",
-            (
-                _dot_d(F.col("ed"), F.col("c_ed"))
-                / (F.col("norm") * F.col("c_norm"))
-            ).alias("c_cos"),
-        )
-    )
-    mem = persist_tracked(mem)
-    a = mem.select(
-        "centroid_id",
-        F.col("vec_id").alias("kept_by"),
-        F.col("ed").alias("e_a"),
-        F.col("norm").alias("n_a"),
-        F.col("c_cos").alias("cc_a"),
-    )
-    b = mem.select(
-        "centroid_id",
-        "vec_id",
-        F.col("ed").alias("e_b"),
-        F.col("norm").alias("n_b"),
-        F.col("c_cos").alias("cc_b"),
-    )
-    pairs = a.join(b, "centroid_id").filter(
-        (F.col("cc_a") < F.col("cc_b"))
-        | ((F.col("cc_a") == F.col("cc_b")) & (F.col("kept_by") < F.col("vec_id")))
-    )
-    qual = pairs.select(
-        "vec_id",
-        "kept_by",
-        "centroid_id",
-        (_dot_d(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))).alias(
-            "cosine"
-        ),
-        "cc_a",
-    ).filter(F.col("cosine") >= _SEMDEDUP_COSINE)
+    _mem, pairs = _semdedup_pairs(spark, sf_dir)
+    qual = pairs.filter(F.col("cosine") >= _SEMDEDUP_COSINE)
     w = Window.partitionBy("vec_id").orderBy(F.col("cc_a").asc(), F.col("kept_by").asc())
     return (
         qual.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "kept_by", "centroid_id", "cosine")
+    )
+
+
+_SEMDEDUP_THRESHOLDS = (30, 35, 40, 45, 50)  # centi-cosine cutoffs
+
+
+@register(
+    "q_semantic_dedup_curve",
+    oracle=f"""
+    WITH {_SEMDEDUP_CTES},
+    mcs AS (
+        SELECT vec_id, MAX(cosine) AS mc FROM pairs GROUP BY vec_id
+    ),
+    bins AS (
+        SELECT CAST(floor(mc * 100) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM mcs GROUP BY 1
+    ),
+    pop AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_valid FROM emb_valid
+    ),
+    thr AS (
+        SELECT CAST(v.thr_c AS INTEGER) AS thr_c
+        FROM (VALUES {', '.join(f'({v})' for v in _SEMDEDUP_THRESHOLDS)})
+             v(thr_c)
+    )
+    SELECT thr_c,
+           thr_c / 100.0 AS threshold,
+           COALESCE(SUM(b.c), 0) AS n_removed,
+           n_valid - COALESCE(SUM(b.c), 0) AS n_survivors,
+           CAST(COALESCE(SUM(b.c), 0) AS DOUBLE) / n_valid AS removed_share
+    FROM thr LEFT JOIN bins b ON b.bin >= thr.thr_c CROSS JOIN pop
+    GROUP BY thr_c, n_valid
+    """,
+    tags=("dedup", "embedding", "semantic", "tuning", "report"),
+)
+def q_semantic_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup release-threshold sweep: for each candidate cosine
+    cutoff (0.30-0.50 in centi-cosine steps), how many vectors the
+    cluster-restricted pruning would remove and how many survive — the
+    dial an operator reads before choosing the prune threshold, the
+    embedding-side twin of q_dedup_threshold_curve (and the published
+    recipe's headline knob: dedup rate vs threshold).
+
+    Removal semantics match q_semantic_dedup exactly: a vector is removed
+    at cutoff t iff its BEST preceding same-cell cosine clears t —
+    monotone in t, so the curve is non-increasing by construction.
+    Qualification is binned: floor(best_cosine * 100) >= thr_c, the same
+    expression on both engines (no float boundary ambiguity at the cutoff
+    literals).
+
+    Scale shape (q_dedup_threshold_curve's contract): the pair relation is
+    scored ONCE (the shared _semdedup_pairs kernel — per-cell quadratic,
+    cell-bounded), reduced to a per-vector MAX (corpus-bounded combinable
+    groupBy), then to a <=200-row centi-cosine histogram; the five
+    thresholds join that metadata histogram, so adding thresholds costs
+    nothing.  Population is the 1-row valid-vector count.  Every count is
+    an integer; threshold and removed_share are single IEEE divisions."""
+    mem, pairs = _semdedup_pairs(spark, sf_dir)
+    bins = (
+        pairs.groupBy("vec_id")
+        .agg(F.max("cosine").alias("mc"))
+        .groupBy(F.floor(F.col("mc") * 100).cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pop = mem.agg(F.count(F.lit(1)).cast("long").alias("n_valid"))
+    thr = spark.createDataFrame(
+        [(v,) for v in _SEMDEDUP_THRESHOLDS], "thr_c int"
+    )
+    removed = F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+    return (
+        thr.join(F.broadcast(bins), F.col("bin") >= F.col("thr_c"), "left")
+        .crossJoin(F.broadcast(pop))
+        .groupBy("thr_c", "n_valid")
+        .agg(removed.alias("n_removed"))
+        .select(
+            "thr_c",
+            (F.col("thr_c").cast("double") / 100.0).alias("threshold"),
+            "n_removed",
+            (F.col("n_valid") - F.col("n_removed")).cast("long").alias("n_survivors"),
+            (F.col("n_removed").cast("double") / F.col("n_valid")).alias(
+                "removed_share"
+            ),
+        )
+        .orderBy("thr_c")
     )
