@@ -1318,3 +1318,94 @@ def q_seasonal_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_anomalies", "anomaly_share",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exponential smoothing (EWMA) over the hourly rate series
+# --------------------------------------------------------------------------
+
+_EWMA_WINDOW = 16  # trailing hours; weight 2^-d at lag d (1-hour half-life).
+_EWMA_WEIGHTS = tuple((d, 1 << (_EWMA_WINDOW - 1 - d)) for d in range(_EWMA_WINDOW))
+
+
+@register(
+    "q_ewma_hourly",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    w(d, wt) AS (
+        VALUES {', '.join(f'({d}, {wt})' for d, wt in _EWMA_WEIGHTS)}
+    ),
+    contrib AS (
+        SELECT c.event_type,
+               c.hour_start + to_hours(w.d) AS hour_start,
+               c.x * w.wt AS xw,
+               CAST(w.wt AS BIGINT) AS wt
+        FROM cells c CROSS JOIN w
+    )
+    SELECT o.event_type, o.hour_start, o.x,
+           CAST(COUNT(*) AS BIGINT) AS n_window,
+           CAST(SUM(k.xw) AS DOUBLE) / CAST(SUM(k.wt) AS DOUBLE) AS ewma
+    FROM cells o
+    JOIN contrib k
+      ON k.event_type = o.event_type AND k.hour_start = o.hour_start
+    GROUP BY o.event_type, o.hour_start, o.x
+    """,
+    tags=("events", "timeseries", "smoothing"),
+)
+def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the hourly event rate per
+    type: each observed hour's count smoothed over the trailing 16 hours
+    with weight 2^-lag (a 1-hour half-life), normalized by the weights of
+    the OBSERVED contributors — the denoised rate line a monitoring
+    dashboard plots under the raw counts (and the smoother the burst
+    detectors' trailing-mean test approximates with a flat window).
+
+    Exactness: the classic recursive EWMA (s_t = a*x_t + (1-a)*s_{{t-1}})
+    is a sequential fold no parallel engine reproduces deterministically;
+    this is the truncated-window form with POWER-OF-TWO integer weights —
+    every contribution x*2^(15-lag) is an exact BIGINT, both sums are
+    associative integer aggregates, and the final ewma is ONE IEEE
+    division of exact integers.  Bit-identical at any parallelism, <0.002%
+    of window mass truncated.
+
+    Scale shape: the hourly rollup is the only pass over raw events; the
+    16x fan-out rides a broadcast 16-row weight table (the q_dau_wau
+    bounded-explode idiom — never a range self-join against the series),
+    lands on the (type, target-hour) composite key, and the final join
+    keeps only observed hours.  The cell relation feeds the fan-out and
+    the observed-hour join, so it is persisted through the
+    persist_tracked seam."""
+    from ._util import persist_tracked
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cells = persist_tracked(
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+        ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w = spark.createDataFrame(list(_EWMA_WEIGHTS), "d int, wt long")
+    fan = cells.crossJoin(F.broadcast(w)).select(
+        "event_type",
+        F.expr("hour_start + make_interval(0, 0, 0, 0, d)").alias("hour_start"),
+        (F.col("x") * F.col("wt")).alias("xw"),
+        "wt",
+    )
+    return (
+        cells.join(fan, ["event_type", "hour_start"])
+        .groupBy("event_type", "hour_start", "x")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_window"),
+            (
+                F.sum("xw").cast("double") / F.sum("wt").cast("double")
+            ).alias("ewma"),
+        )
+    )

@@ -2652,3 +2652,138 @@ def q_semantic_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thr_c")
     )
+
+
+# --------------------------------------------------------------------------
+# Dimension-truncation recall (Matryoshka-style embedding evaluation)
+# --------------------------------------------------------------------------
+
+_TRUNC_DIMS = (16, 32, 48)
+
+
+def _sql_dot_trunc(a: str, b: str, d: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {d + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _trunc_topk_sql(d: int) -> str:
+    cos = (
+        f"{_sql_dot_trunc('q.embedding', 'c.embedding', d)}"
+        f" / (sqrt({_sql_dot_trunc('q.embedding', 'q.embedding', d)})"
+        f" * sqrt({_sql_dot_trunc('c.embedding', 'c.embedding', d)}))"
+    )
+    return f"""
+        SELECT {d} AS d, query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {cos} DESC, c.vec_id) AS rk
+            FROM embeddings q
+            JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        ) WHERE rk <= {_TOP_K}"""
+
+
+def _trunc_topk_frame(spark: SparkSession, sf_dir: str, d: int) -> DataFrame:
+    """Cosine top-k over the FIRST d dimensions only (renormalized), the
+    same broadcast-scan/WindowGroupLimit shape as sim_bruteforce_topk.
+    Truncation happens BEFORE the broadcast, so the shipped query set and
+    the per-pair fold both shrink with d."""
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.slice(F.col("embedding"), 1, d).alias("q_emb"),
+        )
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.slice(F.col("embedding"), 1, d).alias("c_emb"),
+    )
+    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        queries.join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _trunc_recall_oracle() -> str:
+    bf = _registry._REGISTRY["sim_bruteforce_topk"].oracle
+    approx = "\n        UNION ALL\n".join(_trunc_topk_sql(d) for d in _TRUNC_DIMS)
+    dd = ", ".join(f"({d})" for d in _TRUNC_DIMS)
+    return f"""
+    WITH exact_topk AS ({bf}),
+    approx AS (
+        {approx}
+    ),
+    hits AS (
+        SELECT dd.d, e.query_id,
+               SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS n_hits,
+               COUNT(*) AS k
+        FROM (VALUES {dd}) dd(d)
+        CROSS JOIN exact_topk e
+        LEFT JOIN approx a
+          ON a.d = dd.d AND a.query_id = e.query_id
+         AND a.neighbor_id = e.neighbor_id
+        GROUP BY dd.d, e.query_id
+    )
+    SELECT CAST(d AS INTEGER) AS d, query_id,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(k AS BIGINT) AS k,
+           CAST(n_hits AS DOUBLE) / k AS recall_at_k
+    FROM hits
+    """
+
+
+@register(
+    "q_dim_truncation_recall",
+    oracle=None,  # generated below (composes the brute-force oracle string)
+    tags=("similarity", "embedding", "evaluation", "dimensionality"),
+)
+def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of dimension-TRUNCATED cosine search vs the full 64-dim
+    exact top-10, per query, at d = 16 / 32 / 48 leading dimensions
+    (renormalized) — the measurement behind Matryoshka-style nested
+    embeddings (public: Kusupati et al. 2022): how much retrieval quality
+    a pipeline keeps if it stores/ships only a prefix of each vector.
+    Storage at 100 TB scales linearly with d, so this curve is the
+    cost/quality dial for the embedding column itself — the
+    dimensionality-axis twin of the index-axis recall ops (q_ann_recall,
+    q_ivfpq_recall), composing the same registered truth set.
+
+    Scale shape: each truncated search is the brute-force broadcast-scan
+    shape with the slice applied BEFORE the broadcast (the shipped |Q|
+    query set and every per-pair fold shrink with d); the evaluation joins
+    are |Q| x k metadata.  The truth set is computed once and persisted
+    through the persist_tracked seam; |dims| adds scans, never shuffles."""
+    from functools import reduce
+
+    from ._util import persist_tracked
+
+    exact = persist_tracked(
+        sim_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    )
+    frames = [
+        _ann_recall_frame(
+            spark, sf_dir, _trunc_topk_frame(spark, sf_dir, d), exact=exact
+        ).select(F.lit(d).cast("int").alias("d"), "*")
+        for d in _TRUNC_DIMS
+    ]
+    return reduce(DataFrame.unionAll, frames)
+
+
+_patch_oracle("q_dim_truncation_recall", _trunc_recall_oracle())
