@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import hash48, sql_hash48
+from ..functions.text import hash48, sql_hash48, sql_tokens
 from ..plans.registry import register
 from ._util import t
 from .similarity import _DIM as _EMB_DIM  # one source of truth for vector width
@@ -1470,5 +1470,122 @@ def q_emb_remove_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("q") * F.col("d") - F.col("c") * F.col("v")).cast("double")
                 / (F.col("d") * F.lit(_PC_Q)).cast("double")
             ).alias("residual"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dataset card (one-row corpus summary)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_dataset_card",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, source,
+               len({sql_tokens()}) AS nt,
+               md5(text) AS h
+        FROM documents
+    ),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM d
+    ),
+    dup AS (
+        SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_exact_dup_docs
+        FROM (SELECT COUNT(*) AS c FROM d GROUP BY h HAVING COUNT(*) > 1)
+    ),
+    top AS (
+        SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT) AS top_cnt
+        FROM d GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1
+    )
+    SELECT n_docs, total_tokens,
+           CAST(total_tokens AS DOUBLE) / n_docs AS mean_doc_tokens,
+           n_langs, n_sources, n_exact_dup_docs,
+           CAST(n_exact_dup_docs AS DOUBLE) / n_docs AS exact_dup_frac,
+           top_lang,
+           CAST(top_cnt AS DOUBLE) / n_docs AS top_lang_share
+    FROM base CROSS JOIN dup CROSS JOIN top
+    """,
+    tags=("curation", "report", "dataset-card"),
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: document and token totals, language/source
+    cardinalities, the exact-duplicate share, and the dominant language
+    with its share — the summary block a corpus release publishes next to
+    the data (and the first thing an operator reads before any deeper
+    profile).  Composes the corpus-level view the per-doc profiles
+    (text_token_stats, q_source_dup_profile, q_mixture_weights) drill
+    into.
+
+    Exactness: counts and token sums are exact integers; the three shares
+    are single IEEE divisions; the dominant language is chosen by
+    (count DESC, lang ASC) — a total order, deterministic on both engines.
+
+    Scale shape: ONE narrow pass over documents feeds three strictly
+    shrinking aggregates — the global rollup (1 row), the md5 dup-group
+    rollup (combinable groupBy on a uniform hash key, reduced to 1 row),
+    and the per-lang counts (|langs| rows; the ORDER BY ... LIMIT 1 is a
+    TakeOrderedAndProject heap, never a global sort).  The projected doc
+    relation is persisted through the persist_tracked seam so tokenize +
+    md5 run once.  Output is one row at any corpus size."""
+    from ..functions.text import tokens
+    from ._util import persist_tracked
+
+    d = persist_tracked(
+        t(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(tokens()).alias("nt"),
+            F.md5("text").alias("h"),
+        )
+    )
+    base = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    dup = (
+        d.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("long")
+            .alias("n_exact_dup_docs")
+        )
+    )
+    top = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("top_cnt"))
+        .orderBy(F.col("top_cnt").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "top_cnt")
+    )
+    return (
+        base.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_docs",
+            "total_tokens",
+            (F.col("total_tokens").cast("double") / F.col("n_docs")).alias(
+                "mean_doc_tokens"
+            ),
+            "n_langs",
+            "n_sources",
+            "n_exact_dup_docs",
+            (
+                F.col("n_exact_dup_docs").cast("double") / F.col("n_docs")
+            ).alias("exact_dup_frac"),
+            "top_lang",
+            (F.col("top_cnt").cast("double") / F.col("n_docs")).alias(
+                "top_lang_share"
+            ),
         )
     )

@@ -138,7 +138,16 @@ def register(
 # the bench set, q_emb_pq_codes, and q_pq_recall): the PQ family keeps its
 # four composed IVF-PQ representatives (sim_ivfpq_topk/_trained + both
 # recall measurements), which execute the encoder and ADC machinery
-# end-to-end anyway.  Every rotated-out name remains exact-oracle-verified
+# end-to-end anyway.  The last batch — q_semantic_dedup_curve,
+# q_ewma_hourly, and q_dim_truncation_recall — displaced dedup_simhash
+# (driver-green r1-r5, stays in the bench set), sim_bruteforce_l2_topk
+# (driver-green r5; remains the L2 truth set the staying PQ recall specs
+# execute), and q_emb_kmeans_step (driver-green r5; its Lloyd-iteration
+# machinery runs inside the staying sim_ivfpq_topk_trained chain); and
+# q_dataset_card (the one-row corpus summary) displaced q_agg_distinct
+# (driver-green r1-r5) as the aggregation representative — the card
+# executes count/sum/count-distinct/group-having/top-1 in one spec.
+# Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
 # after the priority block.
@@ -149,8 +158,8 @@ _PRIORITY: tuple[str, ...] = (
     # TPC-H style multi-join analytics
     "q3_shipping_priority",
     "q18_large_volume_customer",
-    # aggregation
-    "q_agg_distinct",
+    # aggregation (the card composes count/sum/distinct/having/top-1)
+    "q_dataset_card",
     # set operations
     "q_union_all",
     # window functions
@@ -171,9 +180,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_value_outliers",
     "q_dau_wau_stickiness",
     "q_seasonal_hourly_anomaly",
+    "q_ewma_hourly",
     # deduplication
     "q_dedup_threshold_curve",
-    "dedup_simhash",
+    "q_semantic_dedup_curve",
     "dedup_ngram_jaccard",
     "dedup_edit_distance",
     "q_dedup_pair_recall",
@@ -190,8 +200,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_hybrid_rrf",
     "q_hybrid_rrf_ivfpq",
     "q_hybrid_agreement",
-    "sim_bruteforce_l2_topk",
-    "q_emb_kmeans_step",
+    "q_dim_truncation_recall",
     "sim_ivfpq_topk",
     "q_ivfpq_recall",
     "sim_ivfpq_topk_trained",
