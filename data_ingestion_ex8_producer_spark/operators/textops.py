@@ -1571,6 +1571,7 @@ _SPAN_DUP_DEN = 10  # >= 3/10, compared in integers (no float boundary).
     GROUP BY s.doc_id
     """,
     tags=("text", "dedup", "substring"),
+    bench=True,
 )
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup profile: hash every non-overlapping 4-token

@@ -89,6 +89,10 @@ PROBE_QUERIES = (
     "q_span_dedup",
     "q_semantic_dedup",
     "q_seasonal_hourly_anomaly",
+    "q_semantic_dedup_curve",
+    "q_ewma_hourly",
+    "q_dim_truncation_recall",
+    "q_dataset_card",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
