@@ -531,3 +531,124 @@ def value_outliers_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming EWMA rate smoother (stateful twin of
+# operators/events.py's q_ewma_hourly)
+# --------------------------------------------------------------------------
+
+EWMA_SCHEMA = (
+    "event_type string, hour_start timestamp, x bigint, n_window bigint, "
+    "ewma double"
+)
+# Observed (hour, count) buckets + pruned count — same constant-size shape
+# as the burst detector's state.
+_EWMA_STATE_SCHEMA = "hours array<long>, counts array<long>, n_pruned bigint"
+# Single source of truth for window length and weights: the batch twin.
+from ..operators.events import _EWMA_WEIGHTS, _EWMA_WINDOW  # noqa: E402
+
+_EWMA_RETAIN = 2 * _EWMA_WINDOW  # late-update headroom beyond one window
+_EWMA_WT = dict(_EWMA_WEIGHTS)   # lag (hours) -> integer weight 2^(15-lag)
+_HOUR_US_EWMA = 3_600_000_000
+
+
+def _update_ewma(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type EWMA of the hourly rate across micro-batches.
+
+    State is the last ``_EWMA_RETAIN`` observed (hour, count) buckets plus
+    a pruned-bucket counter — constant-size.  Each batch merges its hourly
+    counts into the state and recomputes the smoothed value for the
+    buckets the batch AFFECTED: the changed buckets and every observed
+    bucket whose trailing 16-hour TIME window (lag 0..15 hours — the
+    batch twin's weight fan-out, NOT the burst detector's observed-
+    position trail) contains a changed bucket.  The smoothed value is the
+    batch twin's expression exactly — integer contributions x * 2^(15-lag)
+    over OBSERVED contributors, one IEEE division of two exact BIGINT
+    sums — so a single availableNow batch reproduces q_ewma_hourly
+    row-for-row, and split streams re-emit corrected rows as late buckets
+    land (update mode: latest emission wins downstream).
+
+    Late-data contract (the burst detector's, adapted to time windows):
+    once pruning has happened, events for buckets earlier than
+    first_retained + 15 hours are dropped (the explicit analog of a
+    watermark) — so every ACCEPTED change, and therefore every affected
+    bucket, has its full 15-hour lookback present in the merged map, and
+    previously-emitted rows for older hours remain the correct prefix
+    values."""
+    if state.exists:
+        hours, counts, n_pruned = (
+            list(state.get[0]), list(state.get[1]), int(state.get[2])
+        )
+        m = dict(zip(hours, counts))
+    else:
+        hours, m, n_pruned = [], {}, 0
+    horizon = (
+        hours[0] + (_EWMA_WINDOW - 1) * _HOUR_US_EWMA
+        if n_pruned > 0 and hours
+        else None
+    )
+    changed: set[int] = set()
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        us = pdf["ts"].astype("int64") // 1_000  # ns -> us
+        bucket = (us // _HOUR_US_EWMA) * _HOUR_US_EWMA
+        for h, c in bucket.value_counts().items():
+            h = int(h)
+            if horizon is not None and h < horizon:
+                continue  # behind the late-data horizon: dropped
+            m[h] = m.get(h, 0) + int(c)
+            changed.add(h)
+    ordered = sorted(m)
+    affected = {
+        h
+        for h in ordered
+        for c in changed
+        if 0 <= h - c <= (_EWMA_WINDOW - 1) * _HOUR_US_EWMA
+    }
+    retained = ordered[-_EWMA_RETAIN:]
+    n_pruned += len(ordered) - len(retained)
+    state.update((retained, [m[h] for h in retained], n_pruned))
+    # Emission reads the PRE-PRUNE map: the horizon drop above guarantees
+    # every affected bucket's full lookback is present in it (changes are
+    # only accepted at >= prior_first + 15h), so no affected row is ever
+    # computed from truncated history — the burst twin's discipline.
+    rows = []
+    for h in sorted(affected):
+        num = den = n_win = 0
+        for lag in range(_EWMA_WINDOW):
+            src = h - lag * _HOUR_US_EWMA
+            if src in m:
+                wt = _EWMA_WT[lag]
+                num += m[src] * wt
+                den += wt
+                n_win += 1
+        rows.append(
+            (key[0], pd.Timestamp(h, unit="us"), m[h], n_win, num / den)
+        )
+    yield pd.DataFrame(
+        rows,
+        columns=["event_type", "hour_start", "x", "n_window", "ewma"],
+    )
+
+
+def ewma_hourly_stream(events: DataFrame) -> DataFrame:
+    """Streaming EWMA rate smoother: applyInPandasWithState keyed by
+    event_type.  tests/test_streaming_stateful.py pins a single
+    availableNow batch row-for-row against the batch q_ewma_hourly."""
+    return (
+        events.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_ewma,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

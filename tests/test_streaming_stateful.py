@@ -980,3 +980,56 @@ def test_streaming_value_outliers_checkpoint_restart(spark, tmp_path: Path) -> N
     for et, (n, mean, std, n_out) in got.items():
         assert (n, mean, std) == expected[et]
         assert 0 <= n_out <= n
+
+
+@pytest.mark.slow
+def test_streaming_ewma_matches_batch(spark, tmp_path: Path) -> None:
+    """Single availableNow batch: the stateful streaming EWMA smoother must
+    emit exactly the batch q_ewma_hourly rows — integer contributions and
+    the one IEEE division reproduce bit-identically."""
+    from data_ingestion_ex8_producer_spark.operators.events import q_ewma_hourly
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        ewma_hourly_stream,
+    )
+
+    events = stream_events_fixture(spark, SF, str(tmp_path / "ewma"))
+    _run(ewma_hourly_stream(events), "stream_ewma", "update")
+    got = {
+        (r["event_type"], r["hour_start"]): (r["x"], r["n_window"], r["ewma"])
+        for r in spark.sql("SELECT * FROM stream_ewma").collect()
+    }
+    expected = {
+        (r["event_type"], r["hour_start"]): (r["x"], r["n_window"], r["ewma"])
+        for r in q_ewma_hourly(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_ewma_state_late_bucket_reemits_affected_window() -> None:
+    """Split-stream semantics: a late count landing in an old bucket must
+    re-emit every observed bucket within the 15-hour forward window with
+    values equal to a fresh single-shot run over the merged input."""
+    from data_ingestion_ex8_producer_spark.streaming.stateful import _update_ewma
+
+    # Two batches: hours 0,1,20 first; then +3 late events into hour 0.
+    st = _FakeState()
+    list(_update_ewma(("click",), iter([_mk_events({0: 4, 1: 2, 20: 5})]), st))
+    out2 = list(
+        _update_ewma(("click",), iter([_mk_events({0: 3})]), st)
+    )[0]
+    # Affected = hours 0 and 1 (within 15h forward of hour 0); hour 20 not.
+    got = {
+        int(r.hour_start.value // 1000): (r.x, r.n_window, r.ewma)
+        for r in out2.itertuples()
+    }
+    fresh = _FakeState()
+    single = list(
+        _update_ewma(("click",), iter([_mk_events({0: 7, 1: 2, 20: 5})]), fresh)
+    )[0]
+    want = {
+        int(r.hour_start.value // 1000): (r.x, r.n_window, r.ewma)
+        for r in single.itertuples()
+        if int(r.hour_start.value // 1000) != 20 * 3_600_000_000
+    }
+    assert got == want
+    assert set(got) == {0, 3_600_000_000}  # hours 0 and 1 only
