@@ -108,6 +108,10 @@ CAPPED_VS_EXACT = (
     ("dedup_ngram_jaccard", "dedup_ngram_jaccard_exact"),
     ("sim_lsh_topk", "sim_bruteforce_topk"),
     ("dedup_embedding_neardup", "dedup_embedding_cosine_exact"),
+    # lossless prefix-filter vs the naive exact form it reproduces — same
+    # answers, different candidate geometry (this corpus's flat vocabulary
+    # is the filter's documented worst case).
+    ("dedup_prefix_filter", "dedup_ngram_jaccard_exact"),
 )
 
 # Deeper point for the DF-cap story: at 10x of the sf0.01 base the hottest
