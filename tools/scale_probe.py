@@ -429,7 +429,13 @@ def main() -> None:
         "q_ewma_hourly (~1.1-1.2x) collapse to the hourly-cell rollup whose "
         "key domain is FIXED by the calendar, so 10x data only deepens the "
         "map-side combine; q_dataset_card (~2.3x) is the md5 dup-group "
-        "groupBy riding one persisted pass.",
+        "groupBy riding one persisted pass.  dedup_prefix_filter probes "
+        "sub-linear too (~2x at 10x of the sf0.01 base) despite this "
+        "corpus being its documented worst case (flat vocabulary -> "
+        "near-uniform dfs -> weak prefixes): the replicated corpus adds "
+        "documents, not vocabulary skew, so candidate growth stays "
+        "~linear; its exact verify equals dedup_ngram_jaccard_exact's "
+        "answers by construction, checked by the shared oracle.",
     ]
     with open("/root/repo/SCALING.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
