@@ -168,3 +168,56 @@ def test_seasonal_anomaly_shares_are_bounded(spark):
         assert r.std_cnt >= 0.0 and r.mean_cnt >= 1.0
         if r.std_cnt == 0.0:
             assert r.n_anomalies == 0
+
+
+# --------------------------------------------------------------------------
+# PROPERTY: prefix filtering is LOSSLESS — on ANY corpus the prefix+length
+# filtered join returns exactly the pairs the naive all-shingles exact
+# Jaccard returns (the PPJoin guarantee the oracle checks on fixed corpora).
+# --------------------------------------------------------------------------
+
+_PF_WORDS = ("alpha", "beta", "gamma", "delta", "eps", "zeta")
+
+
+@st.composite
+def _pf_corpora(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    docs = []
+    for i in range(n):
+        k = draw(st.integers(min_value=4, max_value=10))
+        words = [
+            _PF_WORDS[draw(st.integers(0, len(_PF_WORDS) - 1))] for _ in range(k)
+        ]
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@settings(max_examples=5, deadline=None)
+@given(_pf_corpora())
+def test_prefix_filter_is_lossless(case):
+    """For ANY corpus, dedup_prefix_filter == dedup_ngram_jaccard_exact
+    row-for-row (same pairs, same jaccard values)."""
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    from data_ingestion_ex8_producer_spark.operators.dedup import (
+        dedup_ngram_jaccard_exact,
+        dedup_prefix_filter,
+    )
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    tmp = tempfile.mkdtemp(prefix="pf_prop_")
+    spark.createDataFrame(
+        [(i, txt, "en", "synth", len(txt)) for i, txt in case],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_prefix_filter(spark, tmp).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_ngram_jaccard_exact(spark, tmp).collect()
+    }
+    assert got == want
