@@ -1409,3 +1409,83 @@ def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Activity islands (gaps-and-islands over the hourly spine)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_activity_islands",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+               epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    isl AS (
+        SELECT event_type, hour_start, hidx, x,
+               hidx - ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY hidx) AS grp
+        FROM cells
+    )
+    SELECT event_type,
+           MIN(hour_start) AS start_hour,
+           MAX(hour_start) AS end_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(x) AS BIGINT) AS n_events
+    FROM isl GROUP BY event_type, grp
+    """,
+    tags=("events", "islands", "timeseries"),
+)
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity islands per event type: maximal runs of CONSECUTIVE hours
+    with at least one event, each emitted as (start, end, n_hours,
+    n_events) — the gaps-and-islands pattern (the hidx - row_number
+    grouping-key trick), the complement of the gap-filling operators:
+    q_time_series_gapfill materializes the silence, this one summarizes
+    the activity between silences (uptime stretches, burst episodes,
+    sensor-online windows).
+
+    Exactness: the island key hidx - ROW_NUMBER() is pure integer
+    arithmetic on exact epoch-hour indexes (unix_micros div 3.6e9 ==
+    DuckDB epoch_us // 3.6e9 — both exact BIGINT); all outputs are
+    integer aggregates and min/max timestamps.
+
+    Scale shape: one combinable hourly rollup over raw events (the only
+    full-data pass), then a PER-TYPE window over the hourly cells — the
+    partition is the event-type key and the series length is bounded by
+    the calendar (8,760 cells/type/year), so no single partition ever
+    scales with event volume — and a final combinable groupBy on (type,
+    grp)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cells = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000").alias(
+            "hidx"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("hidx")
+    isl = cells.withColumn(
+        "grp", F.col("hidx") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("event_type", "grp")
+        .agg(
+            F.min("hour_start").alias("start_hour"),
+            F.max("hour_start").alias("end_hour"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("x").cast("long").alias("n_events"),
+        )
+        .drop("grp")
+    )

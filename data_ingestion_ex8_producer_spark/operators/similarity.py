@@ -2787,3 +2787,102 @@ def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _patch_oracle("q_dim_truncation_recall", _trunc_recall_oracle())
+
+
+# --------------------------------------------------------------------------
+# Incremental semantic dedup (incoming batch vs known archive)
+# --------------------------------------------------------------------------
+
+_INC_SEM_MOD = 5  # vec_id % 5 == 0 stands in for today's embedding batch
+
+
+@register(
+    "q_incremental_semantic_dedup",
+    oracle=f"""
+    WITH {_SQL_IVF_CTES},
+    inc AS (
+        SELECT vec_id, centroid_id, embedding FROM assignment
+        WHERE vec_id % {_INC_SEM_MOD} = 0
+    ),
+    arch AS (
+        SELECT vec_id, centroid_id, embedding FROM assignment
+        WHERE vec_id % {_INC_SEM_MOD} <> 0
+    ),
+    best AS (
+        SELECT vec_id, match_id, cosine FROM (
+            SELECT i.vec_id, a.vec_id AS match_id,
+                   {_sql_cosine('i.embedding', 'a.embedding')} AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY i.vec_id
+                       ORDER BY {_sql_cosine('i.embedding', 'a.embedding')} DESC,
+                                a.vec_id) AS rn
+            FROM inc i JOIN arch a ON a.centroid_id = i.centroid_id
+            WHERE {_sql_cosine('i.embedding', 'a.embedding')}
+                  >= {_SEMDEDUP_COSINE}
+        ) WHERE rn = 1
+    )
+    SELECT inc.vec_id,
+           CASE WHEN best.match_id IS NOT NULL
+                THEN 'near_dup' ELSE 'new' END AS verdict,
+           best.match_id, best.cosine
+    FROM inc LEFT JOIN best ON best.vec_id = inc.vec_id
+    """,
+    tags=("dedup", "embedding", "semantic", "incremental"),
+)
+def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup: label each vector of an INCOMING batch
+    (the vec_id % 5 == 0 slice stands in for today's embeddings, the
+    q_incremental_dedup convention) near_dup or new against the KNOWN
+    archive, with the best archive match (highest cosine, vec_id
+    tie-break) — the daily-crawl shape of the SemDeDup recipe: the archive
+    is NEVER self-joined, so daily cost scales with the batch.
+
+    Scale shape: one shuffle-free quantizer-assignment pass over the
+    population (the shared _ivf_assignment numpy pandas_udf), then ONE
+    one-sided join of the small incoming relation against the archive ON
+    centroid_id — per-cell fan-out is batch_cell x archive_cell, bounded
+    by raising K with the corpus exactly as q_semantic_dedup documents.  A
+    production deployment materializes the archive's (vec_id, cell,
+    vector) relation once and reuses it across batches (here both sides
+    derive from one table, split by the modulo stand-in)."""
+    from pyspark.sql import Window
+
+    from ._util import persist_tracked
+
+    emb = _ivf_valid_emb(spark, sf_dir)
+    cents = _ivf_centroid_rows(emb)
+    mem = persist_tracked(
+        _ivf_assignment(emb, cents).select("vec_id", "centroid_id", "ed", "norm")
+    )
+    inc = mem.filter((F.col("vec_id") % _INC_SEM_MOD) == 0).select(
+        "centroid_id",
+        "vec_id",
+        F.col("ed").alias("e_i"),
+        F.col("norm").alias("n_i"),
+    )
+    arch = mem.filter((F.col("vec_id") % _INC_SEM_MOD) != 0).select(
+        "centroid_id",
+        F.col("vec_id").alias("match_id"),
+        F.col("ed").alias("e_a"),
+        F.col("norm").alias("n_a"),
+    )
+    cos = _dot_d(F.col("e_i"), F.col("e_a")) / (F.col("n_i") * F.col("n_a"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    best = (
+        inc.join(arch, "centroid_id")
+        .select("vec_id", "match_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _SEMDEDUP_COSINE)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "match_id", "cosine")
+    )
+    return inc.select("vec_id").join(best, "vec_id", "left").select(
+        "vec_id",
+        F.when(F.col("match_id").isNotNull(), "near_dup")
+        .otherwise("new")
+        .alias("verdict"),
+        "match_id",
+        "cosine",
+    )

@@ -93,6 +93,8 @@ PROBE_QUERIES = (
     "q_ewma_hourly",
     "q_dim_truncation_recall",
     "q_dataset_card",
+    "q_activity_islands",
+    "q_incremental_semantic_dedup",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
