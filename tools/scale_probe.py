@@ -437,7 +437,7 @@ def main() -> None:
         "near-uniform dfs -> weak prefixes): the replicated corpus adds "
         "documents, not vocabulary skew, so candidate growth stays "
         "~linear; its exact verify equals dedup_ngram_jaccard_exact's "
-        "answers by construction, checked by the shared oracle.",
+        "answers by construction, checked by the shared oracle.  The last pair: q_activity_islands is flat (1.0x — its windows ride calendar-bounded hourly cells, the same fixed key domain as the EWMA/seasonal rollups); q_incremental_semantic_dedup probes 7.4x, the steepest new curve, because the replica construction grows BOTH sides of its one-sided join (batch 10x AND archive 10x, with exact-copy vectors, so per-cell pair counts grow ~100x/K) — the operator's own contract is the fixed-batch regime, where cost grows with archive/K only, and the remedy is the same K-raising rule every cell-restricted operator documents.",
     ]
     with open("/root/repo/SCALING.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
