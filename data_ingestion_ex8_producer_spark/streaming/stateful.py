@@ -652,3 +652,138 @@ def ewma_hourly_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming seasonal (hour-of-day) rate-anomaly detector (stateful twin of
+# operators/events.py's q_seasonal_hourly_anomaly)
+# --------------------------------------------------------------------------
+
+SEASONAL_SCHEMA = (
+    "event_type string, hod bigint, n_cells bigint, mean_cnt double, "
+    "std_cnt double, n_anomalies bigint, anomaly_share double"
+)
+# Open (day, hod) cell counts (packed key day_us + hod, always distinct
+# because hod < 24 and day_us is hour-0-aligned) + per-hod CLOSED moments
+# (n, s, ss) and closed anomaly counts folded in when cells are pruned.
+_SEAS_STATE_SCHEMA = (
+    "cell_keys array<long>, cell_counts array<long>, "
+    "closed_n array<long>, closed_s array<long>, closed_ss array<long>, "
+    "closed_anom array<long>, n_pruned bigint"
+)
+_SEAS_RETAIN = 768  # open day-cells kept per type (~32 days x 24 slots)
+_DAY_US = 86_400_000_000
+
+
+def _update_seasonal(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type hour-of-day rate baseline across micro-batches.
+
+    State is the last ``_SEAS_RETAIN`` OPEN (day, hod) cell counts — still
+    updatable by late events — plus per-hod CLOSED moment triples
+    (n, Σx, Σx²) and closed anomaly counts, folded in when cells age out:
+    constant-size at any stream length.  Each batch merges its (day, hod)
+    counts, then re-emits the (type, hod) summary rows the batch touched,
+    with moments = closed + open (associative BIGINT sums, so a single
+    availableNow batch reproduces q_seasonal_hourly_anomaly row-for-row).
+
+    Documented semantics delta vs the batch spec (the value-outliers
+    twin's contract): a CLOSED cell's anomaly verdict is frozen with the
+    moments known at prune time — an online detector cannot re-judge
+    history as the baseline drifts — while OPEN cells are re-judged
+    against the full current moments on every touched emission.  Late
+    events for already-pruned cells are dropped (the explicit analog of a
+    watermark)."""
+    if state.exists:
+        (keys, counts, c_n, c_s, c_ss, c_an, n_pruned) = (
+            list(state.get[0]), list(state.get[1]), list(state.get[2]),
+            list(state.get[3]), list(state.get[4]), list(state.get[5]),
+            int(state.get[6]),
+        )
+        cells = dict(zip(keys, counts))
+    else:
+        cells, n_pruned = {}, 0
+        c_n, c_s, c_ss, c_an = [0] * 24, [0] * 24, [0] * 24, [0] * 24
+    oldest = min(cells) - (min(cells) % _DAY_US) if (n_pruned and cells) else None
+    touched_hods: set[int] = set()
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        us = pdf["ts"].astype("int64") // 1_000  # ns -> us
+        day = (us // _DAY_US) * _DAY_US
+        hod = (us // _HOUR_US_EWMA) % 24
+        packed = day + hod
+        for k, c in packed.value_counts().items():
+            k = int(k)
+            if oldest is not None and k < oldest:
+                continue  # behind the late-data horizon: dropped
+            cells[k] = cells.get(k, 0) + int(c)
+            touched_hods.add(int(k % _DAY_US))  # k = day_us + hod, hod < 24
+    ordered = sorted(cells)
+    for k in ordered[:-_SEAS_RETAIN] if len(ordered) > _SEAS_RETAIN else []:
+        hod = int(k % _DAY_US)
+        x = cells.pop(k)
+        # freeze the verdict with the full moments known NOW (closed+open)
+        n_all = c_n[hod] + sum(1 for kk in cells if kk % _DAY_US == hod) + 1
+        s_all = c_s[hod] + sum(
+            cells[kk] for kk in cells if kk % _DAY_US == hod
+        ) + x
+        ss_all = c_ss[hod] + sum(
+            cells[kk] * cells[kk] for kk in cells if kk % _DAY_US == hod
+        ) + x * x
+        mean_q = s_all / n_all
+        var_q = max(ss_all / n_all - mean_q * mean_q, 0.0)
+        d = float(x) - mean_q
+        c_an[hod] += int(d * d > 9.0 * var_q)
+        c_n[hod] += 1
+        c_s[hod] += x
+        c_ss[hod] += x * x
+        n_pruned += 1
+    state.update((
+        sorted(cells), [cells[k] for k in sorted(cells)],
+        c_n, c_s, c_ss, c_an, n_pruned,
+    ))
+    rows = []
+    for hod in sorted(touched_hods):
+        open_x = [cells[k] for k in cells if k % _DAY_US == hod]
+        n_all = c_n[hod] + len(open_x)
+        if n_all == 0:
+            continue
+        s_all = c_s[hod] + sum(open_x)
+        ss_all = c_ss[hod] + sum(x * x for x in open_x)
+        mean_q = s_all / n_all
+        var_q = max(ss_all / n_all - mean_q * mean_q, 0.0)
+        n_anom = c_an[hod] + sum(
+            1 for x in open_x if (float(x) - mean_q) ** 2 > 9.0 * var_q
+        )
+        rows.append(
+            (key[0], hod, n_all, mean_q, var_q ** 0.5, n_anom, n_anom / n_all)
+        )
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "event_type", "hod", "n_cells", "mean_cnt", "std_cnt",
+            "n_anomalies", "anomaly_share",
+        ],
+    )
+
+
+def seasonal_anomaly_stream(events: DataFrame) -> DataFrame:
+    """Streaming hour-of-day rate-anomaly detector keyed by event_type:
+    one updated (type, hod) summary row per touched slot per micro-batch.
+    tests/test_streaming_stateful.py pins a single availableNow batch
+    row-for-row against the batch q_seasonal_hourly_anomaly."""
+    return (
+        events.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_seasonal,
+            outputStructType=SEASONAL_SCHEMA,
+            stateStructType=_SEAS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

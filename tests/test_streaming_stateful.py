@@ -1033,3 +1033,58 @@ def test_ewma_state_late_bucket_reemits_affected_window() -> None:
     }
     assert got == want
     assert set(got) == {0, 3_600_000_000}  # hours 0 and 1 only
+
+
+@pytest.mark.slow
+def test_streaming_seasonal_anomaly_matches_batch(spark, tmp_path: Path) -> None:
+    """Single availableNow batch: the stateful streaming seasonal detector
+    must emit exactly the batch q_seasonal_hourly_anomaly rows (no cells
+    pruned, so moments and anomaly counts are the full-corpus values)."""
+    from data_ingestion_ex8_producer_spark.operators.events import (
+        q_seasonal_hourly_anomaly,
+    )
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        seasonal_anomaly_stream,
+    )
+
+    events = stream_events_fixture(spark, SF, str(tmp_path / "seas"))
+    _run(seasonal_anomaly_stream(events), "stream_seasonal", "update")
+    got = {
+        (r["event_type"], r["hod"]): (
+            r["n_cells"], r["mean_cnt"], r["std_cnt"],
+            r["n_anomalies"], r["anomaly_share"],
+        )
+        for r in spark.sql("SELECT * FROM stream_seasonal").collect()
+    }
+    expected = {
+        (r["event_type"], r["hod"]): (
+            r["n_cells"], r["mean_cnt"], r["std_cnt"],
+            r["n_anomalies"], r["anomaly_share"],
+        )
+        for r in q_seasonal_hourly_anomaly(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_seasonal_state_split_batches_accumulate_cells() -> None:
+    """Split-stream semantics: merging a second batch into existing state
+    must yield the same emitted summary as one combined batch (no pruning
+    at this size, so the moments are associative)."""
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        _update_seasonal,
+    )
+
+    st = _FakeState()
+    list(_update_seasonal(("click",), iter([_mk_events({0: 4, 24: 2})]), st))
+    out2 = list(
+        _update_seasonal(("click",), iter([_mk_events({0: 3, 48: 1})]), st)
+    )[0]
+    fresh = _FakeState()
+    single = list(
+        _update_seasonal(
+            ("click",), iter([_mk_events({0: 7, 24: 2, 48: 1})]), fresh
+        )
+    )[0]
+    got = {r.hod: (r.n_cells, r.mean_cnt, r.n_anomalies) for r in out2.itertuples()}
+    want = {r.hod: (r.n_cells, r.mean_cnt, r.n_anomalies) for r in single.itertuples()}
+    assert got == want
