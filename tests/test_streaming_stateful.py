@@ -1088,3 +1088,83 @@ def test_seasonal_state_split_batches_accumulate_cells() -> None:
     got = {r.hod: (r.n_cells, r.mean_cnt, r.n_anomalies) for r in out2.itertuples()}
     want = {r.hod: (r.n_cells, r.mean_cnt, r.n_anomalies) for r in single.itertuples()}
     assert got == want
+
+
+@pytest.mark.slow
+def test_streaming_ewma_checkpoint_restart(spark, tmp_path: Path) -> None:
+    """Two-run checkpoint restart: the EWMA smoother's state (retained
+    buckets + pruned counter) must survive a stream restart, so the latest
+    emission per (type, hour) across BOTH runs equals the batch twin over
+    the full data.  This holds EXACTLY because retention (32 observed
+    buckets) covers the 16-hour time lookback: any contributor within 15
+    clock hours of a run-2 bucket is among the most recent <=16 observed
+    run-1 buckets, hence restored from the checkpoint."""
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_ingestion_ex8_producer_spark.operators.events import q_ewma_hourly
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        ewma_hourly_stream,
+    )
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "emissions")
+
+    events = load_table(spark, SF, "events")
+    half1 = str(tmp_path / "half1")
+    half2 = str(tmp_path / "half2")
+    w1 = events.filter(F.col("ts") <= F.lit("2024-01-15"))
+    w2 = events.filter(F.col("ts") > F.lit("2024-01-15"))
+    assert w1.count() > 0 and w2.count() > 0
+    w1.coalesce(1).write.parquet(half1)
+    w2.coalesce(1).write.parquet(half2)
+    schema = events.schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(str(staging))
+
+        def sink(batch_df, epoch_id: int) -> None:
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            ewma_hourly_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    def _copy_part(src: str, name: str) -> None:
+        part = next(Path(src).glob("part-*.parquet"))
+        shutil.copy(part, staging / name)
+
+    _copy_part(half1, "a.parquet")
+    run_once()
+    _copy_part(half2, "b.parquet")
+    run_once()  # restart from the same checkpoint; only file b is new
+
+    emissions = spark.read.parquet(out)
+    latest = Window.partitionBy("event_type", "hour_start").orderBy(
+        F.col("epoch").desc()
+    )
+    got = {
+        (r["event_type"], r["hour_start"]): (r["x"], r["n_window"], r["ewma"])
+        for r in emissions.withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    expected = {
+        (r["event_type"], r["hour_start"]): (r["x"], r["n_window"], r["ewma"])
+        for r in q_ewma_hourly(spark, SF).collect()
+    }
+    assert got == expected
