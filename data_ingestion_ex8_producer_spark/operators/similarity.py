@@ -2421,30 +2421,111 @@ _registry._REGISTRY["q_hybrid_agreement"] = _registry.QuerySpec(
 # Semantic dedup (cluster-restricted cosine pruning)
 # --------------------------------------------------------------------------
 
-_SEMDEDUP_COSINE = 0.35  # demonstration threshold: the cell restriction
-                         # thins the pair population (only same-cell pairs
-                         # qualify), so this sits below the near-dup ops'
-                         # 0.45 to keep a measurable prune set (~10% of the
-                         # corpus at test scale; swept 0.30-0.45 at two SFs).
-                         # Production semantic dedup on real embedding
-                         # spaces prunes at ~0.95+.
+_SEMDEDUP_COSINE_C = 35  # centi-cosine threshold (EXACT rational 35/100):
+                         # the cell restriction thins the pair population
+                         # (only same-cell pairs qualify), so this sits below
+                         # the near-dup ops' 0.45 to keep a measurable prune
+                         # set (~10% of the corpus at test scale; swept
+                         # 0.30-0.45 at two SFs).  Production semantic dedup
+                         # on real embedding spaces prunes at ~0.95+.
+_SEMDEDUP_COSINE = _SEMDEDUP_COSINE_C / 100.0  # float view for reporting only
+
+# Integer-quantization of the semdedup family (the q_part_pagerank BIGINT
+# doctrine applied to cosine qualification — closes the r6 driver-red
+# float-boundary defect in q_semantic_dedup_curve):  embedding components
+# are quantized ONCE to BIGINT at scale 2^9 via round-half-up — x*512 is an
+# exact power-of-two scaling, +0.5 and floor() are exact, so the quantized
+# vector is a deterministic function of the input floats on every engine.
+# All pair dot products are then EXACT BIGINT arithmetic (integer addition
+# is associative — immune to fold/partition order, SIMD, FMA, and engine
+# version), and every threshold qualification is the cleared-denominator
+# integer comparison  cosine >= t/100  <=>  pdot >= 0 AND
+# 10000*pdot^2 >= t^2*dq_a*dq_b  — no double ever reaches a comparison, so
+# a ±1-ulp perturbation can never flip a bin.  Overflow audit (|x| <= 0.53
+# from the embeddings contract): |component| <= ceil(0.53*512) = 272 < 2^9,
+# |pdot| <= 64*272^2 < 2^23, 10000*pdot^2 < 2^60, t^2*dq_a*dq_b <=
+# 2500*2^46 < 2^58 — all safely inside int64 on both engines.  The reported
+# ``cosine``/``c_cos`` doubles are single IEEE ops (div, sqrt, mul) on these
+# identical integers, hence bit-identical cross-engine per the _util.py
+# doctrine.
+_QSCALE = 512
+
+
+def _quant(col: Column) -> Column:
+    """array<double> -> array<long>: component-wise round-half-up at scale
+    _QSCALE.  Exact: x*512 (power-of-two), +0.5, floor are each a single
+    deterministic IEEE op."""
+    return F.transform(col, lambda x: F.floor(x * _QSCALE + F.lit(0.5)).cast("long"))
+
+
+def _qdot(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot product — associative, order-independent."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sql_quant(a: str) -> str:
+    return (
+        f"list_transform({a}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {_QSCALE} + 0.5) AS BIGINT))"
+    )
+
+
+def _sql_qdot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, {_DIM + 1}), "
+        f"i -> {a}[i] * {b}[i])) AS BIGINT)"
+    )
+
+
+def _sql_sem_qual(thr_c: int) -> str:
+    """cosine >= thr_c/100 as a pure-integer predicate over pair columns."""
+    return f"(pdot >= 0 AND 10000 * pdot * pdot >= {thr_c * thr_c} * da * db)"
+
+
+def _sem_qual(thr_c: int) -> Column:
+    """Spark twin of _sql_sem_qual — identical integer comparison."""
+    return (F.col("pdot") >= 0) & (
+        F.lit(10000) * F.col("pdot") * F.col("pdot")
+        >= F.lit(thr_c * thr_c) * F.col("da") * F.col("db")
+    )
 
 
 # The cluster-restricted pair relation shared by q_semantic_dedup and the
 # threshold-sweep curve — ONE definition so the two cannot drift: nearest-
 # centroid membership with each member's centroid-cosine (the keep-order
-# metric), then all (predecessor, successor) pairs WITHIN a cell under the
-# (c_cos, vec_id) keep-order.  No similarity threshold here — each consumer
-# applies its own.
+# metric, a double derived from exact integers — bit-identical both
+# engines), then all (predecessor, successor) pairs WITHIN a cell under the
+# (c_cos, vec_id) keep-order.  Pairs carry the exact-integer triple
+# (pdot, da, db) so every consumer qualifies in integer arithmetic; zero-
+# quantum vectors (dq = 0 after quantization) are excluded by contract on
+# both engines (a 0 denominator has no defined cosine).
 _SEMDEDUP_CTES = f"""{_SQL_IVF_CTES},
-    members AS (
-        SELECT a.vec_id, a.centroid_id, a.embedding,
-               {_sql_cosine('a.embedding', 'c.c_emb')} AS c_cos
+    mem_q AS (
+        SELECT a.vec_id, a.centroid_id,
+               {_sql_quant('a.embedding')} AS eq,
+               {_sql_quant('c.c_emb')} AS cq
         FROM assignment a JOIN centroids c ON c.centroid_id = a.centroid_id
+    ),
+    members AS (
+        SELECT vec_id, centroid_id, eq,
+               {_sql_qdot('eq', 'eq')} AS dq,
+               CAST({_sql_qdot('eq', 'cq')} AS DOUBLE)
+                 / (sqrt(CAST({_sql_qdot('eq', 'eq')} AS DOUBLE))
+                    * sqrt(CAST({_sql_qdot('cq', 'cq')} AS DOUBLE))) AS c_cos
+        FROM mem_q
+        WHERE {_sql_qdot('eq', 'eq')} > 0
     ),
     pairs AS (
         SELECT b.vec_id AS vec_id, a.vec_id AS kept_by, a.centroid_id,
-               {_sql_cosine('a.embedding', 'b.embedding')} AS cosine,
+               {_sql_qdot('a.eq', 'b.eq')} AS pdot,
+               a.dq AS da, b.dq AS db,
+               CAST({_sql_qdot('a.eq', 'b.eq')} AS DOUBLE)
+                 / (sqrt(CAST(a.dq AS DOUBLE)) * sqrt(CAST(b.dq AS DOUBLE)))
+                 AS cosine,
                a.c_cos AS cc_a
         FROM members a JOIN members b
           ON a.centroid_id = b.centroid_id
@@ -2457,22 +2538,40 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     """The Spark twin of _SEMDEDUP_CTES: returns (members, pairs).  The
     member relation feeds both sides of the within-cell self-join, so it is
     persisted through the persist_tracked seam (the caller's scope releases
-    it)."""
+    it).  Pair columns carry the exact-integer (pdot, da, db) triple plus
+    the derived bit-identical ``cosine`` double."""
+    import math
+
     from ._util import persist_tracked
 
     emb = _ivf_valid_emb(spark, sf_dir)
     cents = _ivf_centroid_rows(emb)
+    cq_rows = []
+    for r in cents:
+        cq = [int(math.floor(v * _QSCALE + 0.5)) for v in r.c_ed]
+        cq_rows.append((int(r.centroid_id), cq, sum(x * x for x in cq)))
+    cent_q = F.broadcast(
+        spark.createDataFrame(
+            cq_rows, "centroid_id long, cq array<long>, dc long"
+        )
+    )
     mem = (
         _ivf_assignment(emb, cents)
-        .join(_ivf_centroid_frame(spark, cents), "centroid_id")
+        .select("vec_id", "centroid_id", _quant(F.col("ed")).alias("eq"))
+        .withColumn("dq", _qdot(F.col("eq"), F.col("eq")))
+        .filter(F.col("dq") > 0)
+        .join(cent_q, "centroid_id")
         .select(
             "vec_id",
             "centroid_id",
-            "ed",
-            "norm",
+            "eq",
+            "dq",
             (
-                _dot_d(F.col("ed"), F.col("c_ed"))
-                / (F.col("norm") * F.col("c_norm"))
+                _qdot(F.col("eq"), F.col("cq")).cast("double")
+                / (
+                    F.sqrt(F.col("dq").cast("double"))
+                    * F.sqrt(F.col("dc").cast("double"))
+                )
             ).alias("c_cos"),
         )
     )
@@ -2480,15 +2579,15 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     a = mem.select(
         "centroid_id",
         F.col("vec_id").alias("kept_by"),
-        F.col("ed").alias("e_a"),
-        F.col("norm").alias("n_a"),
+        F.col("eq").alias("e_a"),
+        F.col("dq").alias("da"),
         F.col("c_cos").alias("cc_a"),
     )
     b = mem.select(
         "centroid_id",
         "vec_id",
-        F.col("ed").alias("e_b"),
-        F.col("norm").alias("n_b"),
+        F.col("eq").alias("e_b"),
+        F.col("dq").alias("db"),
         F.col("c_cos").alias("cc_b"),
     )
     pairs = (
@@ -2500,15 +2599,22 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
                 & (F.col("kept_by") < F.col("vec_id"))
             )
         )
+        .withColumn("pdot", _qdot(F.col("e_a"), F.col("e_b")))
         .select(
             "vec_id",
             "kept_by",
             "centroid_id",
-            (
-                _dot_d(F.col("e_a"), F.col("e_b"))
-                / (F.col("n_a") * F.col("n_b"))
-            ).alias("cosine"),
+            "pdot",
+            "da",
+            "db",
             "cc_a",
+            (
+                F.col("pdot").cast("double")
+                / (
+                    F.sqrt(F.col("da").cast("double"))
+                    * F.sqrt(F.col("db").cast("double"))
+                )
+            ).alias("cosine"),
         )
     )
     return mem, pairs
@@ -2522,7 +2628,7 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
         SELECT vec_id, kept_by, centroid_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY cc_a, kept_by) AS rn
-        FROM pairs WHERE cosine >= {_SEMDEDUP_COSINE}
+        FROM pairs WHERE {_sql_sem_qual(_SEMDEDUP_COSINE_C)}
     ) WHERE rn = 1
     """,
     tags=("dedup", "embedding", "semantic", "ivf"),
@@ -2540,6 +2646,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     be pruned by an earlier predecessor — the greedy chain semantics of
     the published recipe; survivors are exactly the vectors that emit no
     row here.
+
+    Qualification (``cosine >= 0.35``) is evaluated in EXACT integer
+    arithmetic over the quantized embeddings (see the _QSCALE doctrine
+    above): 10000*pdot^2 >= 35^2*dq_a*dq_b with pdot >= 0 — the cleared-
+    denominator form of the exact rational threshold 35/100, identical on
+    both engines, immune to summation order and float-literal rounding.
+    The reported ``cosine`` double is derived from the same integers via
+    single IEEE ops, hence bit-identical cross-engine.
 
     vs dedup_embedding_neardup (LSH candidates -> exact verify): same
     two-stage scale discipline, different candidate geometry — LSH buckets
@@ -2560,7 +2674,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     _mem, pairs = _semdedup_pairs(spark, sf_dir)
-    qual = pairs.filter(F.col("cosine") >= _SEMDEDUP_COSINE)
+    qual = pairs.filter(_sem_qual(_SEMDEDUP_COSINE_C))
     w = Window.partitionBy("vec_id").orderBy(F.col("cc_a").asc(), F.col("kept_by").asc())
     return (
         qual.withColumn("rn", F.row_number().over(w))
@@ -2572,20 +2686,39 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_THRESHOLDS = (30, 35, 40, 45, 50)  # centi-cosine cutoffs
 
 
+def _sql_sem_level() -> str:
+    """Per-pair qualification level: the HIGHEST registered threshold the
+    pair clears, -1 if none — every branch a pure-integer comparison."""
+    whens = " ".join(
+        f"WHEN {_sql_sem_qual(v)} THEN {v}"
+        for v in sorted(_SEMDEDUP_THRESHOLDS, reverse=True)
+    )
+    return f"CASE {whens} ELSE -1 END"
+
+
+def _sem_level() -> Column:
+    """Spark twin of _sql_sem_level — identical integer CASE chain."""
+    lvl = None
+    for v in sorted(_SEMDEDUP_THRESHOLDS, reverse=True):
+        cond = _sem_qual(v)
+        lvl = F.when(cond, v) if lvl is None else lvl.when(cond, v)
+    return lvl.otherwise(-1)
+
+
 @register(
     "q_semantic_dedup_curve",
     oracle=f"""
     WITH {_SEMDEDUP_CTES},
-    mcs AS (
-        SELECT vec_id, MAX(cosine) AS mc FROM pairs GROUP BY vec_id
+    lvls AS (
+        SELECT vec_id, MAX({_sql_sem_level()}) AS lvl FROM pairs GROUP BY vec_id
     ),
     bins AS (
-        SELECT CAST(floor(mc * 100) AS BIGINT) AS bin,
+        SELECT CAST(lvl AS BIGINT) AS bin,
                CAST(COUNT(*) AS BIGINT) AS c
-        FROM mcs GROUP BY 1
+        FROM lvls GROUP BY 1
     ),
     pop AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_valid FROM emb_valid
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_valid FROM members
     ),
     thr AS (
         SELECT CAST(v.thr_c AS INTEGER) AS thr_c
@@ -2611,24 +2744,28 @@ def q_semantic_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe's headline knob: dedup rate vs threshold).
 
     Removal semantics match q_semantic_dedup exactly: a vector is removed
-    at cutoff t iff its BEST preceding same-cell cosine clears t —
-    monotone in t, so the curve is non-increasing by construction.
-    Qualification is binned: floor(best_cosine * 100) >= thr_c, the same
-    expression on both engines (no float boundary ambiguity at the cutoff
-    literals).
+    at cutoff t iff its BEST preceding same-cell cosine clears t/100 —
+    monotone in t, so the curve is non-increasing by construction, and the
+    thr_c=35 row counts exactly q_semantic_dedup's removal set.
+    Qualification is EXACT integer arithmetic on both engines (the _QSCALE
+    doctrine): each pair's level is the highest threshold t with
+    10000*pdot^2 >= t^2*dq_a*dq_b (pdot >= 0) — no double ever reaches a
+    comparison, so no float boundary exists to flip a bin (the r6
+    driver-red defect this hardening closes).
 
     Scale shape (q_dedup_threshold_curve's contract): the pair relation is
     scored ONCE (the shared _semdedup_pairs kernel — per-cell quadratic,
-    cell-bounded), reduced to a per-vector MAX (corpus-bounded combinable
-    groupBy), then to a <=200-row centi-cosine histogram; the five
+    cell-bounded), reduced to a per-vector MAX level (corpus-bounded
+    combinable groupBy), then to a <=6-row level histogram; the five
     thresholds join that metadata histogram, so adding thresholds costs
-    nothing.  Population is the 1-row valid-vector count.  Every count is
-    an integer; threshold and removed_share are single IEEE divisions."""
+    nothing.  Population is the 1-row member count.  Every count is an
+    integer; threshold and removed_share are single IEEE divisions."""
     mem, pairs = _semdedup_pairs(spark, sf_dir)
     bins = (
-        pairs.groupBy("vec_id")
-        .agg(F.max("cosine").alias("mc"))
-        .groupBy(F.floor(F.col("mc") * 100).cast("long").alias("bin"))
+        pairs.select("vec_id", _sem_level().alias("plvl"))
+        .groupBy("vec_id")
+        .agg(F.max("plvl").alias("lvl"))
+        .groupBy(F.col("lvl").cast("long").alias("bin"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     pop = mem.agg(F.count(F.lit(1)).cast("long").alias("n_valid"))
@@ -2800,25 +2937,43 @@ _INC_SEM_MOD = 5  # vec_id % 5 == 0 stands in for today's embedding batch
     "q_incremental_semantic_dedup",
     oracle=f"""
     WITH {_SQL_IVF_CTES},
+    asn_q AS (
+        SELECT vec_id, centroid_id, eq, {_sql_qdot('eq', 'eq')} AS dq
+        FROM (
+            SELECT vec_id, centroid_id,
+                   {_sql_quant('embedding')} AS eq
+            FROM assignment
+        )
+        WHERE {_sql_qdot('eq', 'eq')} > 0
+    ),
     inc AS (
-        SELECT vec_id, centroid_id, embedding FROM assignment
+        SELECT vec_id, centroid_id, eq, dq FROM asn_q
         WHERE vec_id % {_INC_SEM_MOD} = 0
     ),
     arch AS (
-        SELECT vec_id, centroid_id, embedding FROM assignment
+        SELECT vec_id, centroid_id, eq, dq FROM asn_q
         WHERE vec_id % {_INC_SEM_MOD} <> 0
+    ),
+    scored AS (
+        SELECT i.vec_id, a.vec_id AS match_id,
+               {_sql_qdot('i.eq', 'a.eq')} AS pdot,
+               i.dq AS da, a.dq AS db
+        FROM inc i JOIN arch a ON a.centroid_id = i.centroid_id
     ),
     best AS (
         SELECT vec_id, match_id, cosine FROM (
-            SELECT i.vec_id, a.vec_id AS match_id,
-                   {_sql_cosine('i.embedding', 'a.embedding')} AS cosine,
+            SELECT vec_id, match_id,
+                   CAST(pdot AS DOUBLE)
+                     / (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE)))
+                     AS cosine,
                    ROW_NUMBER() OVER (
-                       PARTITION BY i.vec_id
-                       ORDER BY {_sql_cosine('i.embedding', 'a.embedding')} DESC,
-                                a.vec_id) AS rn
-            FROM inc i JOIN arch a ON a.centroid_id = i.centroid_id
-            WHERE {_sql_cosine('i.embedding', 'a.embedding')}
-                  >= {_SEMDEDUP_COSINE}
+                       PARTITION BY vec_id
+                       ORDER BY CAST(pdot AS DOUBLE)
+                                  / (sqrt(CAST(da AS DOUBLE))
+                                     * sqrt(CAST(db AS DOUBLE))) DESC,
+                                match_id) AS rn
+            FROM scored
+            WHERE {_sql_sem_qual(_SEMDEDUP_COSINE_C)}
         ) WHERE rn = 1
     )
     SELECT inc.vec_id,
@@ -2837,6 +2992,11 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break) — the daily-crawl shape of the SemDeDup recipe: the archive
     is NEVER self-joined, so daily cost scales with the batch.
 
+    Qualification follows the family's _QSCALE integer doctrine: the
+    threshold test is the cleared-denominator integer comparison
+    (_sem_qual), and the best-match ordering key is the cosine double
+    derived from identical exact integers — bit-identical cross-engine.
+
     Scale shape: one shuffle-free quantizer-assignment pass over the
     population (the shared _ivf_assignment numpy pandas_udf), then ONE
     one-sided join of the small incoming relation against the archive ON
@@ -2852,28 +3012,34 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _ivf_valid_emb(spark, sf_dir)
     cents = _ivf_centroid_rows(emb)
     mem = persist_tracked(
-        _ivf_assignment(emb, cents).select("vec_id", "centroid_id", "ed", "norm")
+        _ivf_assignment(emb, cents)
+        .select("vec_id", "centroid_id", _quant(F.col("ed")).alias("eq"))
+        .withColumn("dq", _qdot(F.col("eq"), F.col("eq")))
+        .filter(F.col("dq") > 0)
     )
     inc = mem.filter((F.col("vec_id") % _INC_SEM_MOD) == 0).select(
         "centroid_id",
         "vec_id",
-        F.col("ed").alias("e_i"),
-        F.col("norm").alias("n_i"),
+        F.col("eq").alias("e_i"),
+        F.col("dq").alias("da"),
     )
     arch = mem.filter((F.col("vec_id") % _INC_SEM_MOD) != 0).select(
         "centroid_id",
         F.col("vec_id").alias("match_id"),
-        F.col("ed").alias("e_a"),
-        F.col("norm").alias("n_a"),
+        F.col("eq").alias("e_a"),
+        F.col("dq").alias("db"),
     )
-    cos = _dot_d(F.col("e_i"), F.col("e_a")) / (F.col("n_i") * F.col("n_a"))
+    cos = F.col("pdot").cast("double") / (
+        F.sqrt(F.col("da").cast("double")) * F.sqrt(F.col("db").cast("double"))
+    )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("match_id")
     )
     best = (
         inc.join(arch, "centroid_id")
+        .withColumn("pdot", _qdot(F.col("e_i"), F.col("e_a")))
+        .filter(_sem_qual(_SEMDEDUP_COSINE_C))
         .select("vec_id", "match_id", cos.alias("cosine"))
-        .filter(F.col("cosine") >= _SEMDEDUP_COSINE)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "match_id", "cosine")

@@ -669,7 +669,7 @@ SEASONAL_SCHEMA = (
 _SEAS_STATE_SCHEMA = (
     "cell_keys array<long>, cell_counts array<long>, "
     "closed_n array<long>, closed_s array<long>, closed_ss array<long>, "
-    "closed_anom array<long>, n_pruned bigint"
+    "closed_anom array<long>, n_pruned bigint, max_pruned_key bigint"
 )
 _SEAS_RETAIN = 768  # open day-cells kept per type (~32 days x 24 slots)
 _DAY_US = 86_400_000_000
@@ -696,18 +696,22 @@ def _update_seasonal(
     history as the baseline drifts — while OPEN cells are re-judged
     against the full current moments on every touched emission.  Late
     events for already-pruned cells are dropped (the explicit analog of a
-    watermark)."""
+    watermark): the horizon is the persisted MAX PRUNED packed key, so a
+    pruned cell can never be recreated and double-counted — pruning walks
+    packed keys in sorted order, so every pruned key is <= that frontier
+    and every retained key is above it (the day-truncated horizon this
+    replaces let a late event resurrect a mid-day-pruned cell of the
+    oldest retained day; ADVICE r6)."""
     if state.exists:
-        (keys, counts, c_n, c_s, c_ss, c_an, n_pruned) = (
+        (keys, counts, c_n, c_s, c_ss, c_an, n_pruned, max_pruned) = (
             list(state.get[0]), list(state.get[1]), list(state.get[2]),
             list(state.get[3]), list(state.get[4]), list(state.get[5]),
-            int(state.get[6]),
+            int(state.get[6]), int(state.get[7]),
         )
         cells = dict(zip(keys, counts))
     else:
-        cells, n_pruned = {}, 0
+        cells, n_pruned, max_pruned = {}, 0, -1
         c_n, c_s, c_ss, c_an = [0] * 24, [0] * 24, [0] * 24, [0] * 24
-    oldest = min(cells) - (min(cells) % _DAY_US) if (n_pruned and cells) else None
     touched_hods: set[int] = set()
     for pdf in batches:
         if len(pdf) == 0:
@@ -718,14 +722,15 @@ def _update_seasonal(
         packed = day + hod
         for k, c in packed.value_counts().items():
             k = int(k)
-            if oldest is not None and k < oldest:
-                continue  # behind the late-data horizon: dropped
+            if k <= max_pruned:
+                continue  # at/behind the pruned frontier: dropped
             cells[k] = cells.get(k, 0) + int(c)
             touched_hods.add(int(k % _DAY_US))  # k = day_us + hod, hod < 24
     ordered = sorted(cells)
     for k in ordered[:-_SEAS_RETAIN] if len(ordered) > _SEAS_RETAIN else []:
         hod = int(k % _DAY_US)
         x = cells.pop(k)
+        max_pruned = k  # ascending walk: the frontier ends at the max
         # freeze the verdict with the full moments known NOW (closed+open)
         n_all = c_n[hod] + sum(1 for kk in cells if kk % _DAY_US == hod) + 1
         s_all = c_s[hod] + sum(
@@ -744,7 +749,7 @@ def _update_seasonal(
         n_pruned += 1
     state.update((
         sorted(cells), [cells[k] for k in sorted(cells)],
-        c_n, c_s, c_ss, c_an, n_pruned,
+        c_n, c_s, c_ss, c_an, n_pruned, max_pruned,
     ))
     rows = []
     for hod in sorted(touched_hods):

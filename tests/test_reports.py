@@ -136,7 +136,10 @@ def test_span_dedup_profile_is_internally_consistent(spark):
 
 def test_semantic_dedup_prunes_distinct_vectors_above_threshold(spark):
     """Every removed vector appears exactly once, never removes itself,
-    and its cosine to the keeper clears the registered threshold."""
+    and its cosine to the keeper clears the registered threshold.  The
+    qualification contract is the exact-integer comparison (10^4*pdot^2 >=
+    35^2*da*db); the reported cosine double may round up to ~3 ulp below
+    the rational threshold, hence the 1e-12 slack here."""
     from data_ingestion_ex8_producer_spark.operators.similarity import (
         _SEMDEDUP_COSINE,
         q_semantic_dedup,
@@ -148,7 +151,7 @@ def test_semantic_dedup_prunes_distinct_vectors_above_threshold(spark):
     assert len(removed) == len(set(removed))
     for r in rows:
         assert r.kept_by != r.vec_id
-        assert r.cosine >= _SEMDEDUP_COSINE
+        assert r.cosine >= _SEMDEDUP_COSINE - 1e-12
 
 
 def test_seasonal_anomaly_shares_are_bounded(spark):

@@ -1090,6 +1090,42 @@ def test_seasonal_state_split_batches_accumulate_cells() -> None:
     assert got == want
 
 
+def test_seasonal_state_pruned_cell_cannot_be_resurrected() -> None:
+    """ADVICE r6 regression: with a MID-DAY prune frontier (packed key 0
+    pruned, day-0 cells at hod >= 1 retained), a late event for the pruned
+    (day 0, hod 0) cell must be DROPPED — the old day-truncated horizon
+    (min(cells) rounded down to the day start) let it recreate the cell and
+    double-count it (once in the frozen closed moments, again as a new open
+    cell)."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        _SEAS_RETAIN,
+        _update_seasonal,
+    )
+
+    st = _FakeState()
+    # _SEAS_RETAIN + 1 distinct (day, hod) cells force exactly one prune:
+    # the smallest packed key 0 = (day 0, hod 0).
+    list(
+        _update_seasonal(
+            ("click",),
+            iter([_mk_events({h: 1 for h in range(_SEAS_RETAIN + 1)})]),
+            st,
+        )
+    )
+    assert st.get[6] == 1  # one cell pruned
+    assert st.get[7] == 0  # frontier = the pruned packed key
+    assert 0 not in set(st.get[0])  # pruned cell gone from open state
+    n0_closed = st.get[2][0]
+    out = pd.concat(
+        _update_seasonal(("click",), iter([_mk_events({0: 3})]), st)
+    )
+    assert len(out) == 0  # dropped: nothing touched, nothing emitted
+    assert 0 not in set(st.get[0])  # not resurrected as an open cell
+    assert st.get[2][0] == n0_closed  # closed moments untouched
+
+
 @pytest.mark.slow
 def test_streaming_ewma_checkpoint_restart(spark, tmp_path: Path) -> None:
     """Two-run checkpoint restart: the EWMA smoother's state (retained
