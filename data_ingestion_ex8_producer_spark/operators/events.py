@@ -1489,3 +1489,83 @@ def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 temporal history (change-data-capture -> type-2 dimension build)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    ch AS (
+        SELECT user_id, event_type, ts, event_id FROM e
+        WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS version,
+           CAST(CASE WHEN LEAD(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM ch
+    """,
+    tags=("events", "scd2", "temporal", "cdc"),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change stream — the
+    warehouse primitive that turns an event log into a queryable temporal
+    table: per user, collapse consecutive same-state events and emit one
+    VERSIONED interval row per state change with [valid_from, valid_to)
+    validity and an is_current flag (valid_to NULL = the open row).  The
+    tracked attribute here is event_type (the user's last-seen activity
+    state); any CDC attribute column drops into the same plan.
+
+    Determinism: interval boundaries and versions are decided by the
+    (ts, event_id) total order — a pure column ordering, no arithmetic —
+    so both engines agree exactly, including on same-timestamp ties.
+
+    Scale shape: one shuffle keyed by user_id, then three narrow window
+    passes over each user's slice (lag to find change points, lead +
+    row_number over the collapsed change rows).  Per-user history length
+    bounds the partition — the standard SCD2 build shape; a 100 TB
+    deployment runs the identical plan incrementally by windowing only
+    users touched by the day's changes (the q_incremental_dedup
+    convention) against their stored current rows."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.when(valid_to.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+    )

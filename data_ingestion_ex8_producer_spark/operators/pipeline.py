@@ -850,6 +850,107 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_DOC_BUCKET = 64  # doc_ids per cumulative-sum ranking bucket
+
+
+@register(
+    "q_concat_chunk_packing",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS tok_start
+        FROM n
+    )
+    SELECT doc_id, n_tokens, tok_start,
+           tok_start // {_PACK_CTX} AS first_chunk,
+           (tok_start + n_tokens - 1) // {_PACK_CTX} AS last_chunk,
+           CAST(CASE WHEN (tok_start + n_tokens - 1) // {_PACK_CTX}
+                          > tok_start // {_PACK_CTX}
+                     THEN 1 ELSE 0 END AS BIGINT) AS crosses_boundary
+    FROM pos
+    """,
+    tags=("pipeline", "packing", "ordering"),
+    bench=True,
+)
+def q_concat_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing assignment — the layout LLM pretraining
+    actually uses: all documents are concatenated in doc_id order and the
+    token stream is split into fixed {_PACK_CTX}-token training chunks.
+    Output per document: its global start offset in the token stream, the
+    first and last chunk it lands in, and whether it crosses a chunk
+    boundary (the fraction of crossing docs is the attention-mask /
+    document-leakage exposure the packer trades against padding waste —
+    q_packing_efficiency reports the other side of that trade).
+
+    The oracle is one global running SUM OVER (ORDER BY doc_id) — a
+    single-partition sort at scale.  The Spark side computes the SAME
+    exact prefix sums with the two-phase distributed pattern
+    (q_curriculum_order's contract, summing token counts instead of
+    counting rows): (1) per-bucket token totals (map-side-combinable
+    metadata), (2) a running sum over the TINY bucket table broadcast
+    back as starting offsets, (3) a within-bucket cumulative window
+    partitioned by bucket.  Every rank-carrying shuffle is keyed by
+    bucket, so parallelism equals the bucket count at any corpus size.
+    All positions and chunk ids are exact BIGINT arithmetic (integer
+    `div`); no float anywhere in the spec."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens()).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {_PACK_DOC_BUCKET}").alias("bucket"),
+    )
+    bucket_sums = docs.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_sums.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)).alias(
+            "bucket_offset"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (
+        F.col("bucket_offset")
+        + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    ).cast("long")
+    first_chunk = F.expr(f"tok_start div {_PACK_CTX}")
+    last_chunk = F.expr(f"(tok_start + n_tokens - 1) div {_PACK_CTX}")
+    return (
+        docs.join(F.broadcast(offsets), "bucket")
+        .withColumn("tok_start", start)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tok_start",
+            first_chunk.alias("first_chunk"),
+            last_chunk.alias("last_chunk"),
+            F.when(last_chunk > first_chunk, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("crosses_boundary"),
+        )
+    )
+
+
 @register(
     "q_source_dup_profile",
     oracle=None,  # attached below: shares dedup.sql_keeper_ctes with

@@ -1635,3 +1635,108 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("flag_dup"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-document unigram surprisal (information-density quality proxy)
+# --------------------------------------------------------------------------
+
+_SURPRISAL_LOW_BITS = 7  # mean bits/token below this flags low-info docs
+
+
+@register(
+    "q_doc_surprisal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens()}) AS term FROM documents
+    ),
+    cnts AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks
+    ),
+    tsurp AS (
+        SELECT term,
+               CAST(length(bin(total // cnt)) - 1 AS BIGINT) AS bits
+        FROM cnts CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(s.bits) AS BIGINT) AS sum_bits,
+               CAST(MAX(s.bits) AS BIGINT) AS max_bits
+        FROM toks t JOIN tsurp s ON s.term = t.term
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, sum_bits, max_bits,
+           CAST(sum_bits AS DOUBLE) / n_tokens AS mean_bits,
+           CAST(CASE WHEN sum_bits < {_SURPRISAL_LOW_BITS} * n_tokens
+                     THEN 1 ELSE 0 END AS BIGINT) AS flag_low_info
+    FROM per_doc
+    """,
+    tags=("text", "quality", "surprisal", "filtering"),
+)
+def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal — the information-density
+    quality proxy behind perplexity-style corpus filters: a document made
+    of corpus-common tokens (boilerplate, templates, navigation chrome)
+    scores low; one with rare vocabulary scores high.  Each token's
+    surprisal is floor(log2(total_tokens / its corpus count)) — the
+    repo's INTEGER log2 (length(bin(n)) - 1 over the integer quotient,
+    the q_doc_length_histogram trick), so the whole spec is exact BIGINT
+    arithmetic end-to-end: no floating ln/log whose last-ulp rounding
+    could differ cross-engine (the log-free doctrine q_bm25_mlt_topk
+    documents), and the low-info flag is the integer comparison
+    sum_bits < {_SURPRISAL_LOW_BITS} * n_tokens.  A production pipeline
+    swaps in a real LM's token logprobs via the same join shape; the
+    integer-log2 unigram form is the deterministic, oracle-checkable
+    baseline.
+
+    vs q_doc_commonness: commonness reports mean/max document frequency
+    of a doc's shingles (a duplication prior); surprisal is the
+    token-level INFORMATION content against the corpus unigram model — a
+    compression/quality signal.  Both are annotate-joins, no pairwise
+    fan-out.
+
+    Scale shape: the token-count relation is a map-side-combinable
+    groupBy over the exploded tokens; per-term surprisal is computed ONCE
+    on that metadata-sized relation (distinct vocabulary, not corpus
+    volume) with the 1-row total broadcast; the per-doc rollup is one
+    annotate join shuffled on the term key.  The vocabulary relation is
+    Zipf-bounded, so the join's build side stays small at any corpus
+    size."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens()).alias("term")
+    )
+    docs = spread(docs, spark, "doc_id")
+    cnts = docs.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    bits = (
+        F.length(F.bin(F.expr("total div cnt"))) - 1
+    ).cast("long")
+    tsurp = cnts.crossJoin(F.broadcast(tot)).select("term", bits.alias("bits"))
+    return (
+        docs.join(tsurp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+            F.max("bits").cast("long").alias("max_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_bits",
+            "max_bits",
+            (F.col("sum_bits").cast("double") / F.col("n_tokens")).alias(
+                "mean_bits"
+            ),
+            F.when(
+                F.col("sum_bits") < _SURPRISAL_LOW_BITS * F.col("n_tokens"), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("flag_low_info"),
+        )
+    )

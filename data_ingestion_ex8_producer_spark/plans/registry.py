@@ -151,6 +151,32 @@ def register(
 # whose oracle IS the plain exact-Jaccard SQL) displaced
 # dedup_ngram_jaccard (driver-green r1-r5, stays in the bench set; its
 # capped machinery also runs inside q_dedup_pair_recall, which stays).
+# Round 7 rotates IN the two r6 additions that were full-artifact-green
+# but never driver-scored — q_activity_islands (gaps-and-islands events
+# analytics) and q_incremental_semantic_dedup (the daily-crawl SemDeDup
+# shape, now integer-qualified with the rest of its family) — plus
+# q5_region_revenue, returning a TPC-H volume join (joins were down to two
+# driver representatives).  Rotated OUT, per the one-driver-green-round
+# precedent: q_time_weighted_avg and q_purchase_attribution (both
+# driver-green r6; events keep 6 reps incl. the new islands spec) and
+# q_dedup_pair_recall (driver-green r6; its capped-path machinery runs
+# end-to-end inside the staying q_dedup_threshold_curve).
+# Late in round 7 (the late-r5/r6 precedent: the round's own additions
+# join the window so every r7 spec carries driver evidence this round):
+# q_concat_chunk_packing (concat-and-chunk packing via the two-phase
+# distributed prefix sum) displaced q_balanced_downsample (driver-green
+# r6; curation keeps 4 reps); q_scd2_history (CDC -> type-2 temporal
+# build) displaced q_dau_wau_stickiness (driver-green r6; events keep 6
+# reps); q_doc_surprisal (integer-log2 unigram surprisal quality proxy)
+# displaced q_doc_commonness (driver-green r6; text keeps 5 reps and the
+# two ops are complementary annotate-joins over the same exploded token
+# relation); and the residual-encoded IVF-PQ triple
+# (sim_ivfpq_residual_topk, q_ivfpq_residual_recall, q_pqr_adc_recall —
+# the r7 flagship composition plus both its measurement surfaces)
+# displaced the Lloyd-trained pair (sim_ivfpq_topk_trained,
+# q_ivfpq_recall_trained — driver-green r6; the sampled sim_ivfpq_topk +
+# q_ivfpq_recall stay, giving the raw-vs-residual comparison driver
+# evidence on both sides) and q_dim_truncation_recall (driver-green r6).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -162,6 +188,7 @@ _PRIORITY: tuple[str, ...] = (
     # TPC-H style multi-join analytics
     "q3_shipping_priority",
     "q18_large_volume_customer",
+    "q5_region_revenue",
     # aggregation (the card composes count/sum/distinct/having/top-1)
     "q_dataset_card",
     # set operations
@@ -179,10 +206,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_part_pagerank",
     # event-time + event-sequence analytics
     "q_event_burst_gapfilled",
-    "q_purchase_attribution",
-    "q_time_weighted_avg",
+    "q_activity_islands",
     "q_value_outliers",
-    "q_dau_wau_stickiness",
+    "q_scd2_history",
     "q_seasonal_hourly_anomaly",
     "q_ewma_hourly",
     # deduplication
@@ -190,25 +216,25 @@ _PRIORITY: tuple[str, ...] = (
     "q_semantic_dedup_curve",
     "dedup_prefix_filter",
     "dedup_edit_distance",
-    "q_dedup_pair_recall",
+    "q_incremental_semantic_dedup",
     "q_lsh_band_stats",
     "q_span_dedup",
     "q_semantic_dedup",
     # text analysis + tokenizer signals + lexical retrieval
     "q_bm25_mlt_topk",
     "q_inverted_index",
-    "q_doc_commonness",
+    "q_doc_surprisal",
     "q_bpe_merge_candidates",
     "q_vocab_coverage",
     # similarity search + ANN evaluation (the full IVF-PQ story) + hybrid
     "q_hybrid_rrf",
     "q_hybrid_rrf_ivfpq",
     "q_hybrid_agreement",
-    "q_dim_truncation_recall",
     "sim_ivfpq_topk",
     "q_ivfpq_recall",
-    "sim_ivfpq_topk_trained",
-    "q_ivfpq_recall_trained",
+    "sim_ivfpq_residual_topk",
+    "q_ivfpq_residual_recall",
+    "q_pqr_adc_recall",
     # multimodal
     "mm_binary_stats",
     "mm_decode_meta",
@@ -218,7 +244,7 @@ _PRIORITY: tuple[str, ...] = (
     # curation / pipeline
     "q_emb_top_component",
     "q_emb_remove_top_component",
-    "q_balanced_downsample",
+    "q_concat_chunk_packing",
     "q_curriculum_order",
     "q_key_skew_profile",
 )

@@ -792,3 +792,114 @@ def seasonal_anomaly_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming SCD2 builder (stateful twin of operators/events.py's
+# q_scd2_history)
+# --------------------------------------------------------------------------
+
+SCD2_SCHEMA = (
+    "user_id long, state string, valid_from timestamp, valid_to timestamp, "
+    "version long, is_current long"
+)
+# Constant-size per-user state: the open interval (current state, its start,
+# its ordinal version) — SCD2 maintenance never needs more than the open row.
+_SCD2_STATE_SCHEMA = "cur_state string, since_us bigint, version bigint"
+
+
+def _update_scd2(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user incremental SCD2 maintenance across micro-batches.
+
+    State is ONLY the open interval (current state, start, version) —
+    constant-size at any stream length, the defining property of online
+    SCD2: closed intervals are immutable once emitted, so they live in the
+    sink, not in state.  Each batch sorts its events by (ts, event_id),
+    folds them through the change detector, emits every interval CLOSED in
+    this batch plus the (possibly updated) open row.  Update-mode
+    reconstruction contract: the latest emission per (user_id, version)
+    key is the authoritative row — a closed interval re-emits under the
+    same version that its earlier open form used, superseding it — so a
+    single availableNow batch reproduces q_scd2_history row-for-row and a
+    split stream's latest-per-version view equals the batch build (pinned
+    in tests/test_streaming_stateful.py).
+
+    Late-data contract (the family's watermark analog): events at or
+    before the open interval's start AS OF BATCH START are DROPPED — an
+    out-of-order event from a later batch cannot reopen or reorder closed
+    history (an offline backfill rebuilds via the batch spec instead).
+    The frontier is snapshotted at batch start so same-timestamp ties
+    WITHIN a batch still fold in (ts, event_id) order exactly as the
+    batch spec's window ordering does."""
+    if state.exists:
+        cur_state, since_us, version = (
+            state.get[0], int(state.get[1]), int(state.get[2])
+        )
+    else:
+        cur_state, since_us, version = None, None, 0
+    since0 = since_us  # the cross-batch late-data frontier
+    merged = [p for p in batches if len(p)]
+    if not merged:
+        return
+    pdf = pd.concat(merged).sort_values(["ts", "event_id"])
+    rows = []
+    user = key[0]
+    changed = False  # open row re-emits ONLY when this batch moved it
+    for ts_ns, etype in zip(
+        pdf["ts"].astype("int64"), pdf["event_type"]
+    ):
+        us = int(ts_ns) // 1_000
+        if etype is None:
+            continue
+        if since0 is not None and us <= since0:
+            continue  # at/behind the batch-start frontier: dropped
+        if cur_state is None:
+            cur_state, since_us, version = etype, us, 1
+            changed = True
+        elif etype != cur_state:
+            rows.append(
+                (user, cur_state, pd.Timestamp(since_us, unit="us"),
+                 pd.Timestamp(us, unit="us"), version, 0)
+            )
+            cur_state, since_us = etype, us
+            version += 1
+            changed = True
+    state.update((cur_state, since_us, version))
+    if changed:
+        rows.append(
+            (user, cur_state, pd.Timestamp(since_us, unit="us"),
+             None, version, 1)
+        )
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "user_id", "state", "valid_from", "valid_to", "version",
+            "is_current",
+        ],
+    )
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """Streaming SCD2 builder keyed by user_id: emits intervals closed in
+    each micro-batch plus the updated open row.  tests pin a single
+    availableNow batch row-for-row against the batch q_scd2_history and
+    the split-stream latest-per-version reconstruction."""
+    return (
+        events.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_scd2,
+            outputStructType=SCD2_SCHEMA,
+            stateStructType=_SCD2_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -224,3 +224,67 @@ def test_prefix_filter_is_lossless(case):
         for r in dedup_ngram_jaccard_exact(spark, tmp).collect()
     }
     assert got == want
+
+
+def test_concat_chunk_packing_is_an_exact_prefix_sum(spark):
+    """Offsets are the exact prefix sums of token counts in doc_id order,
+    chunk ids are consistent with the 256-token context, and the crossing
+    flag fires exactly when first_chunk != last_chunk."""
+    from data_ingestion_ex8_producer_spark.operators.pipeline import (
+        _PACK_CTX,
+        q_concat_chunk_packing,
+    )
+
+    rows = sorted(q_concat_chunk_packing(spark, SF).collect(), key=lambda r: r.doc_id)
+    assert len(rows) > 0
+    run = 0
+    for r in rows:
+        assert r.tok_start == run
+        run += r.n_tokens
+        assert r.first_chunk == r.tok_start // _PACK_CTX
+        assert r.last_chunk == (r.tok_start + r.n_tokens - 1) // _PACK_CTX
+        assert r.crosses_boundary == (1 if r.last_chunk > r.first_chunk else 0)
+
+
+def test_scd2_intervals_tile_each_user_history(spark):
+    """Per user: versions are 1..n in valid_from order, consecutive
+    intervals abut exactly (valid_to == next valid_from), consecutive
+    states differ, and exactly the LAST row is current (valid_to NULL)."""
+    from collections import defaultdict
+
+    from data_ingestion_ex8_producer_spark.operators.events import q_scd2_history
+
+    by_user = defaultdict(list)
+    for r in q_scd2_history(spark, SF).collect():
+        by_user[r.user_id].append(r)
+    assert by_user
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r.version)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.state != b.state
+            assert a.is_current == 0
+        assert rows[-1].valid_to is None and rows[-1].is_current == 1
+
+
+def test_doc_surprisal_bounds_and_flag(spark):
+    """Per-token integer surprisal is within [0, floor(log2(total))], the
+    mean is the exact integer ratio, and the low-info flag is the integer
+    comparison the docstring promises."""
+    from data_ingestion_ex8_producer_spark.operators.textops import (
+        _SURPRISAL_LOW_BITS,
+        q_doc_surprisal,
+    )
+
+    rows = q_doc_surprisal(spark, SF).collect()
+    assert len(rows) > 0
+    total = sum(r.n_tokens for r in rows)
+    cap = total.bit_length() - 1
+    for r in rows:
+        assert 0 <= r.max_bits <= cap
+        assert 0 <= r.sum_bits <= r.n_tokens * cap
+        assert r.mean_bits == r.sum_bits / r.n_tokens
+        assert r.flag_low_info == (
+            1 if r.sum_bits < _SURPRISAL_LOW_BITS * r.n_tokens else 0
+        )

@@ -1204,3 +1204,106 @@ def test_streaming_ewma_checkpoint_restart(spark, tmp_path: Path) -> None:
         for r in q_ewma_hourly(spark, SF).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# Streaming SCD2 builder (q_scd2_history's stateful twin)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_streaming_scd2_matches_batch(spark, tmp_path: Path) -> None:
+    """Single availableNow batch: the latest emission per (user, version)
+    must equal the batch q_scd2_history exactly — intervals, versions,
+    currency flags."""
+    from pyspark.sql import Window
+
+    from data_ingestion_ex8_producer_spark.operators.events import q_scd2_history
+    from data_ingestion_ex8_producer_spark.streaming.stateful import scd2_stream
+
+    events = stream_events_fixture(spark, SF, str(tmp_path / "scd2"))
+    _run(scd2_stream(events), "stream_scd2", "update")
+    got = {
+        (r["user_id"], r["version"]): (
+            r["state"], r["valid_from"], r["valid_to"], r["is_current"]
+        )
+        for r in spark.sql("SELECT * FROM stream_scd2").collect()
+    }
+    expected = {
+        (r["user_id"], r["version"]): (
+            r["state"], r["valid_from"], r["valid_to"], r["is_current"]
+        )
+        for r in q_scd2_history(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def _mk_typed_events(rows):
+    """(hour, event_id, type) triples -> one pandas batch."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "ts": pd.Series(
+                [pd.Timestamp(h * 3_600_000_000, unit="us") for h, _, _ in rows],
+                dtype="datetime64[ns]",
+            ),
+            "event_id": [e for _, e, _ in rows],
+            "event_type": [t for _, _, t in rows],
+        }
+    )
+
+
+def test_scd2_state_split_batches_reconstruct_batch_history() -> None:
+    """Split-stream semantics: after two batches, the latest emission per
+    (user, version) equals a fresh single-shot run over the merged input —
+    the update-mode reconstruction contract."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import _update_scd2
+
+    b1 = [(0, 0, "view"), (1, 1, "view"), (2, 2, "click")]
+    b2 = [(3, 3, "click"), (4, 4, "purchase"), (5, 5, "view")]
+    st = _FakeState()
+    out = []
+    out.append(pd.concat(_update_scd2((7,), iter([_mk_typed_events(b1)]), st)))
+    out.append(pd.concat(_update_scd2((7,), iter([_mk_typed_events(b2)]), st)))
+    latest = {}
+    for frame in out:
+        for r in frame.itertuples():
+            latest[(r.user_id, r.version)] = (
+                r.state, r.valid_from, r.valid_to, r.is_current
+            )
+    fresh = _FakeState()
+    single = pd.concat(
+        _update_scd2((7,), iter([_mk_typed_events(b1 + b2)]), fresh)
+    )
+    want = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in single.itertuples()
+    }
+    assert latest == want
+    # Exactly one current row, and it is the last version.
+    currents = [k for k, v in latest.items() if v[3] == 1]
+    assert currents == [(7, max(v for _, v in latest))]
+
+
+def test_scd2_state_drops_cross_batch_late_events() -> None:
+    """A late event at/behind the open interval's batch-start frontier is
+    dropped: closed history cannot be reopened or reordered."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import _update_scd2
+
+    st = _FakeState()
+    pd.concat(
+        _update_scd2(
+            (1,), iter([_mk_typed_events([(0, 0, "view"), (5, 1, "click")])]), st
+        )
+    )
+    assert st.get[0] == "click" and st.get[2] == 2
+    out = pd.concat(
+        _update_scd2((1,), iter([_mk_typed_events([(3, 2, "purchase")])]), st)
+    )
+    assert len(out) == 0  # dropped: nothing changed, nothing emitted
+    assert st.get[0] == "click" and st.get[2] == 2
