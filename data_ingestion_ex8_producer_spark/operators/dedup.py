@@ -1697,3 +1697,168 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
+
+
+# --------------------------------------------------------------------------
+# Source-level corpus similarity (the cross-source duplication matrix)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_source_similarity",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT source, shingle FROM (
+            SELECT source, unnest({sql_shingle_list(_SHINGLE_K)}) AS shingle
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, inter,
+           sa.sz AS sz_a, sb.sz AS sz_b,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+    tags=("dedup", "sources", "reporting"),
+)
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-level shingle Jaccard — the cross-source duplication
+    matrix a corpus curator reads before mixing crawls: two sources with
+    high set overlap are mirrors (or share a boilerplate substrate) and
+    should be deduped against each other before their mixture weights mean
+    anything.  Rows are source pairs sharing at least one shingle, with
+    intersection, both set sizes, and Jaccard.
+
+    Shape: documents collapse to the DISTINCT (source, shingle) relation
+    first — corpus volume drops out at that groupBy, leaving a relation
+    bounded by (catalog size x shingle vocabulary).  The self-join's
+    per-shingle fan-out is C(s, 2) where s = sources CONTAINING that
+    shingle, bounded by the source catalog (20 here) — not by corpus size,
+    so the pair space is catalog-bounded metadata.  With a large catalog
+    (thousands of feeds) the same stop-shingle DF cap the doc-level family
+    uses applies verbatim (a shingle in every source costs C(S, 2)); kept
+    exact here because the catalog is small and the report is about TOTAL
+    overlap, boilerplate included.  The join runs on xxhash64(shingle)
+    (fixed-width longs; the string-equality oracle would surface any
+    collision that changed a pair, same argument as _shingle_relation).
+    Jaccard is one IEEE division of exact integer counts (Class B,
+    FLOAT_QUALS.md) and only REPORTED, never thresholded."""
+    docs = with_shingles(spread(t(spark, sf_dir, "documents"), spark), _SHINGLE_K)
+    sh = (
+        docs.select("source", F.explode("shingle_set").alias("shingle"))
+        .select("source", F.xxhash64(F.col("shingle")).alias("shingle"))
+        .distinct()
+    )
+    sh = persist_tracked(sh)
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            "sz_a",
+            "sz_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/test split (cluster-aware assignment)
+# --------------------------------------------------------------------------
+
+
+def _leakage_safe_split_oracle() -> str:
+    from ..plans import registry as _reg
+
+    clusters_sql = _reg._REGISTRY["dedup_clusters"].oracle
+    return f"""
+    WITH clusters AS ({clusters_sql}),
+    keyed AS (
+        SELECT d.doc_id, d.lang,
+               COALESCE(c.cluster_id, d.doc_id) AS group_key
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, group_key,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT *,
+               CAST({sql_hash48("'lsplit:' || CAST(group_key AS VARCHAR)")} AS DOUBLE)
+                 / {float(1 << 48)} AS u
+        FROM keyed
+    )
+    """
+
+
+@register(
+    "q_leakage_safe_split",
+    oracle=_leakage_safe_split_oracle(),
+    tags=("dedup", "pipeline", "split", "decontamination"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware 80/10/10 split: every document is assigned by the
+    salted hash OF ITS NEAR-DUP CLUSTER's canonical id (its own id when it
+    has no near-dup), so a cluster can never straddle train and test — the
+    leakage-safe upgrade of q_train_test_split, which hashes raw doc_ids
+    and will happily put a document in train and its near-copy in test
+    (train/eval contamination by construction).  This is the split
+    discipline decontamination pipelines actually need: dedup first,
+    assign by cluster.
+
+    Composes the registered dedup_clusters operator (iterative min-label
+    propagation over the DF-capped near-dup graph; the oracle reuses its
+    recursive-closure SQL verbatim as a CTE — one definition of the
+    clustering on each engine, the q_dedup_cluster_stats precedent).  The
+    extra cost over a naive split is ONE left join of documents to the
+    cluster relation, which holds only documents participating in any
+    near-dup pair — a small fraction of any deduped corpus, broadcast-able
+    in practice; the keep decision is then the same pure-function-of-key
+    hash as q_train_test_split (stable across reruns, partitioning, and
+    engines).  The split fractions land exactly because group keys inherit
+    the hash-uniformity of doc_ids; clusters move WHOLE (slightly chunkier
+    allocation, same expectation)."""
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    keyed = docs.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_key"),
+    )
+    u = hash48(
+        F.concat(F.lit("lsplit:"), F.col("group_key").cast("string"))
+    ).cast("double") / F.lit(float(1 << 48))
+    return keyed.select(
+        "doc_id",
+        "lang",
+        "group_key",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias(
+            "split"
+        ),
+    )

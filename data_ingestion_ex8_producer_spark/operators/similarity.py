@@ -3437,3 +3437,132 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_id",
         "cosine",
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive-pair mining: hardest negative + best positive per query
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id,
+               q.label  AS query_label,
+               c.vec_id AS cand_id,
+               c.label  AS cand_label,
+               {_SQL_COSINE} AS cosine
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id, (cand_label = query_label)
+                   ORDER BY cosine DESC, cand_id) AS rk
+        FROM scored
+    ),
+    pos AS (
+        SELECT query_id, query_label,
+               cand_id AS pos_id, cosine AS pos_cosine
+        FROM ranked WHERE cand_label = query_label AND rk = 1
+    ),
+    neg AS (
+        SELECT query_id, cand_id AS neg_id, cand_label AS neg_label,
+               cosine AS neg_cosine
+        FROM ranked WHERE cand_label <> query_label AND rk = 1
+    )
+    SELECT p.query_id, p.query_label, p.pos_id, p.pos_cosine,
+           n.neg_id, n.neg_label, n.neg_cosine,
+           p.pos_cosine - n.neg_cosine AS margin,
+           CAST(CASE WHEN n.neg_cosine > p.pos_cosine THEN 1 ELSE 0 END
+                AS BIGINT) AS flag_violation
+    FROM pos p JOIN neg n USING (query_id)
+    """,
+    tags=("similarity", "mining", "contrastive"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training: for each query
+    vector, the best SAME-label neighbor (the positive) and the best
+    DIFFERENT-label neighbor (the hard negative), plus the margin between
+    them and a violation flag (negative beats positive = a hard case or a
+    label error) — the per-anchor triplet a contrastive/metric-learning
+    fine-tune consumes, and the margin histogram is the label-noise audit
+    a curator reads first.
+
+    One broadcast-queries scan over the corpus (sim_bruteforce_topk's
+    shape), then ONE window partitioned by (query, same-label-side) takes
+    the top-1 of each side — WindowGroupLimit prunes to one row per
+    (query, side) per partition before the shuffle, so the exchange
+    carries O(queries x partitions), not the corpus.  Self-pairs are
+    excluded.  The scale path swaps the exact scan for the IVF-PQ index
+    per side (probe cells, ADC-rank, exact re-rank) without changing this
+    contract; the exact form IS the recall truth set that path is measured
+    against.  Cosine is the family's Class C ordering key (FLOAT_QUALS.md:
+    orderings may ride the pinned left-fold double; exact ties break by
+    id); the margin is REPORTED, and the violation flag compares two
+    cosines from the SAME fold chain on identical inputs — bit-identical
+    on both engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    scored = queries.join(
+        corpus, F.col("cand_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "query_label",
+        "cand_id",
+        "cand_label",
+        (F.col("cand_label") == F.col("query_label")).alias("same"),
+        cosine.alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    pos = best.filter(F.col("same")).select(
+        "query_id",
+        "query_label",
+        F.col("cand_id").alias("pos_id"),
+        F.col("cosine").alias("pos_cosine"),
+    )
+    neg = best.filter(~F.col("same")).select(
+        "query_id",
+        F.col("cand_id").alias("neg_id"),
+        F.col("cand_label").alias("neg_label"),
+        F.col("cosine").alias("neg_cosine"),
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "query_label",
+        "pos_id",
+        "pos_cosine",
+        "neg_id",
+        "neg_label",
+        "neg_cosine",
+        (F.col("pos_cosine") - F.col("neg_cosine")).alias("margin"),
+        F.when(F.col("neg_cosine") > F.col("pos_cosine"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("flag_violation"),
+    )

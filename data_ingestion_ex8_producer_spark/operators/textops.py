@@ -1740,3 +1740,184 @@ def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("flag_low_info"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model surprisal (conditional information content)
+# --------------------------------------------------------------------------
+
+_BIGRAM_LOW_BITS = 3  # mean conditional bits/bigram below this = templated
+
+
+@register(
+    "q_doc_bigram_lm",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {sql_tokens()} AS ts FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        FROM toks
+    ),
+    c12 AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt12 FROM bg GROUP BY bigram
+    ),
+    ctx AS (
+        SELECT split_part(bigram, ' ', 1) AS w1,
+               CAST(SUM(cnt12) AS BIGINT) AS cnt_ctx
+        FROM c12 GROUP BY 1
+    ),
+    tb AS (
+        SELECT c.bigram,
+               CAST(length(bin(x.cnt_ctx // c.cnt12)) - 1 AS BIGINT) AS bits
+        FROM c12 c JOIN ctx x ON x.w1 = split_part(c.bigram, ' ', 1)
+    ),
+    per_doc AS (
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(t.bits) AS BIGINT) AS sum_bits,
+               CAST(MAX(t.bits) AS BIGINT) AS max_bits
+        FROM bg b JOIN tb t ON t.bigram = b.bigram
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_bits, max_bits,
+           CAST(sum_bits AS DOUBLE) / n_bigrams AS mean_bits,
+           CAST(CASE WHEN sum_bits < {_BIGRAM_LOW_BITS} * n_bigrams
+                     THEN 1 ELSE 0 END AS BIGINT) AS flag_templated
+    FROM per_doc
+    """,
+    tags=("text", "quality", "surprisal", "lm", "filtering"),
+)
+def q_doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean BIGRAM surprisal — the conditional-information
+    upgrade of q_doc_surprisal's unigram model, and the closest
+    oracle-checkable stand-in for the KenLM-perplexity filters production
+    corpus pipelines run: a document whose next-token is always predictable
+    from the previous token (templates, boilerplate, repeated phrases)
+    scores near zero even when its individual tokens are rare.
+
+    Each bigram's surprisal is floor(log2(cnt(w1 as context) /
+    cnt(w1 w2))) — an MLE conditional -log2 P(w2|w1) computed with the
+    repo's INTEGER log2 (length(bin(n)) - 1 over the integer quotient), so
+    the whole spec is exact BIGINT arithmetic end-to-end; the context count
+    is the bigram relation grouped by its first token, so numerator and
+    denominator come from ONE relation and the quotient is always >= 1.
+    The flag is the integer comparison sum_bits < 3 * n_bigrams.  Docs
+    with fewer than two tokens have no bigram and no output row (same
+    contract on both engines).
+
+    Scale shape: the bigram-count relation is a map-side-combinable
+    groupBy over exploded bigrams (Zipf-bounded: distinct observed bigrams
+    grow sub-linearly in corpus size); the context relation is a second
+    metadata-sized groupBy OF THAT relation (vocabulary-sized, not corpus-
+    sized); per-bigram bits are computed once on the joined metadata; the
+    per-doc rollup is one annotate join shuffled on the bigram key.  No
+    pairwise fan-out anywhere — the same annotate-join discipline as
+    q_doc_surprisal, one model order up."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", tokens().alias("ts"))
+    bg = spread(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(ts, 1, size(ts) - 1),"
+                    " (x, i) -> concat(x, ' ', element_at(ts, i + 2)))"
+                )
+            ).alias("bigram"),
+        ),
+        spark,
+        "doc_id",
+    )
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("cnt12"))
+    ctx = c12.groupBy(
+        F.substring_index("bigram", " ", 1).alias("w1")
+    ).agg(F.sum("cnt12").cast("long").alias("cnt_ctx"))
+    tb = c12.join(
+        ctx, F.substring_index(c12.bigram, " ", 1) == ctx.w1
+    ).select(
+        "bigram",
+        (F.length(F.bin(F.expr("cnt_ctx div cnt12"))) - 1)
+        .cast("long")
+        .alias("bits"),
+    )
+    return (
+        bg.join(tb, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+            F.max("bits").cast("long").alias("max_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_bits",
+            "max_bits",
+            (F.col("sum_bits").cast("double") / F.col("n_bigrams")).alias(
+                "mean_bits"
+            ),
+            F.when(
+                F.col("sum_bits") < _BIGRAM_LOW_BITS * F.col("n_bigrams"), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("flag_templated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deny-list PII/sensitive-term redaction
+# --------------------------------------------------------------------------
+
+# The corpus is synthetic word-salad with no emails/phones/IPs, so the
+# scored deny-list uses terms that actually occur; a production list swaps
+# in the usual PII patterns (emails, phones, national-id formats) through
+# the SAME alternation — the operator shape is identical.
+_PII_PATTERN = r"\b(customer|supplier|order)\b"
+_PII_TOKEN = "[PII]"
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_PATTERN}')) AS BIGINT)
+             AS n_hits,
+           CAST(length(text) AS BIGINT) AS n_chars_before,
+           CAST(length(regexp_replace(text, '{_PII_PATTERN}',
+                                      '{_PII_TOKEN}', 'g')) AS BIGINT)
+             AS n_chars_after,
+           md5(regexp_replace(text, '{_PII_PATTERN}',
+                              '{_PII_TOKEN}', 'g')) AS redacted_md5
+    FROM documents
+    """,
+    tags=("text", "pii", "redaction", "filtering"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deny-list sensitive-term redaction — the scrubbing pass every
+    training-data pipeline runs before text leaves curation: replace every
+    whole-word match of the deny list with a placeholder token, and report
+    per-document hit counts plus a content hash of the redacted text (the
+    hash is what a downstream exact-dedup pass would key on, so redaction
+    and dedup compose).
+
+    One compiled alternation regex over the raw text: a narrow map with NO
+    shuffle, no join, no UDF — fully pushed into the scan stage, so cost is
+    one pass over corpus bytes at any scale.  Both engines run the same
+    pattern (word-boundary alternation is identical in Java regex and
+    RE2); hit counts are exact integers and the redacted text is compared
+    by md5, so the whole row is engine-exact.  At production list sizes
+    (thousands of terms) the alternation compiles into a trie-backed
+    automaton (or an Aho-Corasick pandas UDF takes over) — the plan shape,
+    a stateless per-row map, does not change."""
+    redacted = F.regexp_replace(F.col("text"), _PII_PATTERN, _PII_TOKEN)
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_PII_PATTERN))
+        .cast("long")
+        .alias("n_hits"),
+        F.length("text").cast("long").alias("n_chars_before"),
+        F.length(redacted).cast("long").alias("n_chars_after"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

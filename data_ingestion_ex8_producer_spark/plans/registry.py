@@ -177,6 +177,21 @@ def register(
 # q_ivfpq_recall_trained — driver-green r6; the sampled sim_ivfpq_topk +
 # q_ivfpq_recall stay, giving the raw-vs-residual comparison driver
 # evidence on both sides) and q_dim_truncation_recall (driver-green r6).
+# The second late-r7 batch rotates IN the round's five curation/analysis
+# additions: q_doc_bigram_lm + q_pii_redact (text) displaced
+# q_bpe_merge_candidates + q_vocab_coverage (both driver-green r6; text
+# keeps 5 reps — BM25, inverted index, and the two surprisal models);
+# q_source_similarity + q_leakage_safe_split (dedup/curation) displaced
+# q_lsh_band_stats + q_span_dedup (both driver-green r6; dedup keeps 8
+# reps, and the band-stats machinery still runs inside the staying
+# q_dedup_threshold_curve chain); and q_hard_negatives (similarity)
+# displaced q_hybrid_rrf (driver-green r6; the exact-leg fusion still
+# executes end-to-end inside the staying q_hybrid_agreement, and the
+# production pairing q_hybrid_rrf_ivfpq stays); and q_robust_outliers
+# (median/MAD via histogram order statistics) displaced its z-score twin
+# q_value_outliers (driver-green r6; events keep 6 reps and the robust
+# form exercises the same quantized-value projection plus the
+# histogram-rank machinery on top).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -207,7 +222,7 @@ _PRIORITY: tuple[str, ...] = (
     # event-time + event-sequence analytics
     "q_event_burst_gapfilled",
     "q_activity_islands",
-    "q_value_outliers",
+    "q_robust_outliers",
     "q_scd2_history",
     "q_seasonal_hourly_anomaly",
     "q_ewma_hourly",
@@ -217,19 +232,19 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_prefix_filter",
     "dedup_edit_distance",
     "q_incremental_semantic_dedup",
-    "q_lsh_band_stats",
-    "q_span_dedup",
     "q_semantic_dedup",
+    "q_source_similarity",
+    "q_leakage_safe_split",
     # text analysis + tokenizer signals + lexical retrieval
     "q_bm25_mlt_topk",
     "q_inverted_index",
     "q_doc_surprisal",
-    "q_bpe_merge_candidates",
-    "q_vocab_coverage",
+    "q_doc_bigram_lm",
+    "q_pii_redact",
     # similarity search + ANN evaluation (the full IVF-PQ story) + hybrid
-    "q_hybrid_rrf",
     "q_hybrid_rrf_ivfpq",
     "q_hybrid_agreement",
+    "q_hard_negatives",
     "sim_ivfpq_topk",
     "q_ivfpq_recall",
     "sim_ivfpq_residual_topk",

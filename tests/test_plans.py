@@ -215,3 +215,51 @@ _R4_GUARDED = (
 def test_new_specs_no_cartesian_product(spark, specs, name) -> None:
     plan = _plan(spark, specs[name].builder(spark, SF))
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+
+
+def test_runtime_bloom_filter_fires_on_selective_dim_filter(spark) -> None:
+    """100 TB posture check: Spark's runtime bloom-filter injection (on by
+    default in Spark 4) must rewrite a selective-dimension shuffle join into
+    scan -> might_contain(bloom) -> join, so the fact side drops
+    non-qualifying rows BEFORE the exchange.  Locally the feature never
+    fires only because the application side is far below the 10 GB
+    scan-size threshold, so this test simulates cluster-scale conditions
+    (threshold floored to 0, broadcast disabled to force a shuffle join)
+    and asserts the plan contract: a bloom_filter_agg builds on the
+    filtered creation side and a might_contain predicate lands on the fact
+    scan's filter.  At real scale the DEFAULT thresholds admit exactly this
+    plan with no tuning — that is the point of pinning it."""
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        joined = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg({"l_quantity": "sum"})
+        )
+        plan = _plan(spark, joined)
+        assert "bloom_filter_agg" in plan, "creation-side bloom agg missing"
+        assert "might_contain" in plan, "fact-side runtime filter missing"
+        # The filter must sit on the FACT side's l_orderkey, pre-exchange.
+        cond = [l for l in plan.splitlines() if "might_contain" in l]
+        assert any("l_orderkey" in l for l in cond), cond
+        # And the contract survives execution (AQE may re-plan; the result
+        # must still be the join's true answer).
+        [row] = joined.collect()
+        assert row["o_orderpriority"] == "1-URGENT"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

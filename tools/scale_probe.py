@@ -95,6 +95,17 @@ PROBE_QUERIES = (
     "q_dataset_card",
     "q_activity_islands",
     "q_incremental_semantic_dedup",
+    # r7: curation/analysis additions — bigram LM + PII scrub (annotate-join
+    # and narrow-map shapes), source matrix + cluster-aware split (catalog-
+    # bounded pair space / one extra left join over the clusters relation),
+    # hard-negative mining (broadcast-scan shape), robust MAD outliers
+    # (two histogram order statistics, nothing fact-scale sorted)
+    "q_doc_bigram_lm",
+    "q_pii_redact",
+    "q_source_similarity",
+    "q_leakage_safe_split",
+    "q_hard_negatives",
+    "q_robust_outliers",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
