@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import hash48, sql_hash48, sql_shingle_list, sql_tokens, tokens
 from ..plans.registry import register
-from ._util import spread, t
+from ._util import persist_tracked, spread, t
 
 # --------------------------------------------------------------------------
 # Token statistics
@@ -1921,3 +1921,129 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redacted).cast("long").alias("n_chars_after"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Collocation mining (positive-PMI phrase candidates)
+# --------------------------------------------------------------------------
+
+_COLLOC_MIN_COUNT = 5  # PMI is unstable on rare pairs; the standard floor
+
+
+@register(
+    "q_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {sql_tokens()} AS ts FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        FROM toks
+    ),
+    c12 AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt12
+        FROM bg GROUP BY bigram
+    ),
+    uni1 AS (
+        SELECT split_part(bigram, ' ', 1) AS w, CAST(SUM(cnt12) AS BIGINT) AS cnt
+        FROM c12 GROUP BY 1
+    ),
+    uni2 AS (
+        SELECT split_part(bigram, ' ', 2) AS w, CAST(SUM(cnt12) AS BIGINT) AS cnt
+        FROM c12 GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cnt12) AS BIGINT) AS n FROM c12),
+    pmi AS (
+        SELECT c.bigram, c.cnt12,
+               CAST(length(bin((c.cnt12 * t.n) // (u1.cnt * u2.cnt))) - 1
+                    AS BIGINT) AS pmi_bits
+        FROM c12 c
+        JOIN uni1 u1 ON u1.w = split_part(c.bigram, ' ', 1)
+        JOIN uni2 u2 ON u2.w = split_part(c.bigram, ' ', 2)
+        CROSS JOIN tot t
+        WHERE c.cnt12 >= {_COLLOC_MIN_COUNT}
+          AND c.cnt12 * t.n >= u1.cnt * u2.cnt
+    )
+    SELECT bigram, cnt12, pmi_bits FROM pmi
+    """,
+    tags=("text", "collocations", "pmi", "phrases"),
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation (phrase-candidate) mining: bigrams whose joint frequency
+    meets or beats the independence expectation, scored by integer-log2
+    PMI bits, with the standard min-count floor — the word2vec-phrases
+    primitive that turns "new york"-style glue pairs into single tokens
+    before tokenizer
+    training.  The lexicon keeps every min-count pair AT OR ABOVE
+    independence (cnt12 * N >= cnt1 * cnt2 — integer cross-multiplication)
+    and reports its integer-log2 PMI in bits; a release picks its glue
+    threshold from the bits column (this corpus is near-independent word
+    salad, so >= 1-bit pairs are rare by construction — the contract is
+    the filter arithmetic, not this corpus's lexicon size).  Complements
+    q_bpe_merge_candidates (raw adjacent-pair frequency: finds COMMON
+    pairs) and q_doc_bigram_lm (per-doc conditional surprisal): PMI
+    normalizes by both unigram frequencies, so it finds
+    STRONGLY-ASSOCIATED pairs regardless of their absolute rate.
+
+    Exactness: PMI's log2 is the INTEGER log2 of the integer quotient
+    (cnt12 * N) // (cnt_w1 * cnt_w2) — all counts derive from the one
+    bigram relation (unigram counts are the bigram relation grouped by
+    each position, so numerator and denominator share a universe and the
+    ratio is the textbook PMI over bigram events).  cnt12 * N stays well
+    inside BIGINT (1e9-token corpus x 1e6-count pair = 1e15); the
+    positive-association filter is the integer cross-multiplication
+    cnt12 * N >= cnt1 * cnt2, so nothing floats anywhere (Class A).
+
+    Scale shape: one combinable groupBy over exploded bigrams (the
+    Zipf-bounded distinct-bigram relation), two vocabulary-sized groupBys
+    OF that relation, the 1-row total broadcast, and two metadata joins on
+    the unigram key.  Output is the filtered collocation lexicon —
+    vocabulary-scale, never corpus-scale."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", tokens().alias("ts"))
+    bg = spread(
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(ts, 1, size(ts) - 1),"
+                    " (x, i) -> concat(x, ' ', element_at(ts, i + 2)))"
+                )
+            ).alias("bigram")
+        ),
+        spark,
+    )
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("cnt12"))
+    c12 = persist_tracked(c12)
+    uni = c12.groupBy(
+        F.substring_index("bigram", " ", 1).alias("w")
+    ).agg(F.sum("cnt12").cast("long").alias("cnt"))
+    uni2 = c12.groupBy(
+        F.substring_index("bigram", " ", -1).alias("w")
+    ).agg(F.sum("cnt12").cast("long").alias("cnt"))
+    # Unigram occurrences over bigram EVENTS: as first position + as second
+    # position — two groupBys of the same metadata relation; PMI's
+    # denominator uses position-marginal counts (u1 from position 1, u2
+    # from position 2), the exact bigram-event probability model.
+    tot = c12.agg(F.sum("cnt12").cast("long").alias("n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cnt").alias("cnt1"))
+    u2 = uni2.select(F.col("w").alias("w2"), F.col("cnt").alias("cnt2"))
+    joined = (
+        c12.filter(F.col("cnt12") >= _COLLOC_MIN_COUNT)
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt12") * F.col("n") >= F.col("cnt1") * F.col("cnt2"))
+        .select(
+            "bigram",
+            "cnt12",
+            (
+                F.length(
+                    F.bin(F.expr("(cnt12 * n) div (cnt1 * cnt2)"))
+                )
+                - 1
+            )
+            .cast("long")
+            .alias("pmi_bits"),
+        )
+    )
+    return joined

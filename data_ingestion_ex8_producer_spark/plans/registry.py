@@ -191,7 +191,10 @@ def register(
 # (median/MAD via histogram order statistics) displaced its z-score twin
 # q_value_outliers (driver-green r6; events keep 6 reps and the robust
 # form exercises the same quantized-value projection plus the
-# histogram-rank machinery on top).
+# histogram-rank machinery on top); and q_collocations (positive-PMI
+# phrase lexicon) displaced q_inverted_index (driver-green r6; the
+# df/posting statistics chain executes end-to-end inside the staying
+# q_bm25_mlt_topk).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -237,7 +240,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_leakage_safe_split",
     # text analysis + tokenizer signals + lexical retrieval
     "q_bm25_mlt_topk",
-    "q_inverted_index",
+    "q_collocations",
     "q_doc_surprisal",
     "q_doc_bigram_lm",
     "q_pii_redact",
