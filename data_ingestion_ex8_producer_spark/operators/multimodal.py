@@ -380,3 +380,127 @@ def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_sq bigint, rms double, peak bigint",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# WebDataset-style shard manifest (byte-budget sample packing)
+# --------------------------------------------------------------------------
+
+_SHARD_BUDGET = 16384  # bytes per shard (production: ~1 GiB tar members)
+_SHARD_DOC_BUCKET = 64  # doc_ids per prefix-sum ranking bucket
+
+
+@register(
+    "mm_shard_manifest",
+    oracle=f"""
+    WITH samples AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CASE WHEN n_chars % 3 = 0 THEN 'image'
+                    WHEN n_chars % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, n_bytes, kind,
+               COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS byte_start
+        FROM samples
+    )
+    SELECT CAST(byte_start // {_SHARD_BUDGET} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+           CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_image,
+           CAST(SUM(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_audio,
+           CAST(SUM(CASE WHEN kind = 'video' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_video,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM placed
+    GROUP BY 1
+    """,
+    tags=("multimodal", "packing", "shards", "manifest"),
+)
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest: assign every sample (whole, never
+    split) to the byte-budget shard where its global offset starts, and
+    report the per-shard manifest — sample count, actual bytes, modality
+    mix, and the contiguous [first_doc, last_doc] id range — the layout
+    pass a multimodal training pipeline runs before its tar/parquet shard
+    writers, and the manifest each reader uses to schedule epoch I/O.
+    Samples are packed in doc_id order so every shard is a CONTIGUOUS id
+    range (sequential-read locality); actual shard bytes land within one
+    max-sample-size of the budget because samples are kept whole.
+
+    The global byte offset is the same two-phase distributed prefix sum as
+    q_concat_chunk_packing (that op packs TOKENS into fixed training
+    contexts; this one packs whole SAMPLES into byte-budget shards and
+    emits the shard-level manifest): per-bucket byte totals
+    (map-side-combinable metadata), a running sum over the tiny bucket
+    table broadcast back, a within-bucket cumulative window — every
+    rank-carrying shuffle keyed by bucket, so nothing corpus-scale is ever
+    globally sorted.  All offsets, shard ids, and counts are exact BIGINT
+    (integer `div`); the manifest itself is shard-cardinality metadata.
+    In production the writers stream each shard's id range via
+    foreachPartition after a repartition on shard_id; this registered core
+    is the assignment + manifest arithmetic the writers trust."""
+    from pyspark.sql import Window
+
+    samples = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.octet_length(F.col("text").cast("binary")).cast("long").alias(
+            "n_bytes"
+        ),
+        F.when(F.col("n_chars") % 3 == 0, "image")
+        .when(F.col("n_chars") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.expr(f"doc_id div {_SHARD_DOC_BUCKET}").alias("bucket"),
+    )
+    bucket_sums = samples.groupBy("bucket").agg(
+        F.sum("n_bytes").alias("bucket_bytes")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_sums.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_bytes").over(w_off), F.lit(0)).alias(
+            "bucket_offset"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    byte_start = (
+        F.col("bucket_offset")
+        + F.coalesce(F.sum("n_bytes").over(w_in), F.lit(0))
+    ).cast("long")
+    return (
+        samples.join(F.broadcast(offsets), "bucket")
+        .withColumn("byte_start", byte_start)
+        .withColumn(
+            "shard_id", F.expr(f"byte_start div {_SHARD_BUDGET}").cast("long")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum("n_bytes").cast("long").alias("shard_bytes"),
+            F.sum((F.col("kind") == "image").cast("long"))
+            .cast("long")
+            .alias("n_image"),
+            F.sum((F.col("kind") == "audio").cast("long"))
+            .cast("long")
+            .alias("n_audio"),
+            F.sum((F.col("kind") == "video").cast("long"))
+            .cast("long")
+            .alias("n_video"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

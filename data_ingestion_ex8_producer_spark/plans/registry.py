@@ -194,7 +194,10 @@ def register(
 # histogram-rank machinery on top); and q_collocations (positive-PMI
 # phrase lexicon) displaced q_inverted_index (driver-green r6; the
 # df/posting statistics chain executes end-to-end inside the staying
-# q_bm25_mlt_topk).
+# q_bm25_mlt_topk); and mm_shard_manifest (byte-budget shard packing via
+# the shared two-phase prefix sum) displaced mm_decode_meta (driver-green
+# r1-r6; multimodal keeps 2 reps and the decode seam stays
+# pytest-pinned).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -255,7 +258,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_pqr_adc_recall",
     # multimodal
     "mm_binary_stats",
-    "mm_decode_meta",
+    "mm_shard_manifest",
     # Python UDF / UDAF / UDTF
     "udaf_minmax_normalize",
     "udtf_bigrams",

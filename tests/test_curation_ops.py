@@ -117,3 +117,72 @@ def test_hard_negatives_one_triplet_per_query(spark) -> None:
         assert emb[r.pos_id] == r.query_label
         assert emb[r.neg_id] == r.neg_label != r.query_label
         assert r.flag_violation == (1 if r.margin < 0 else 0)
+
+
+def test_shard_manifest_partitions_the_corpus(spark) -> None:
+    """Shards hold every sample exactly once, byte totals are conserved,
+    and consecutive shards cover contiguous non-overlapping doc_id ranges
+    (the sequential-read-locality contract)."""
+    from data_ingestion_ex8_producer_spark.operators.multimodal import (
+        mm_shard_manifest,
+    )
+
+    rows = sorted(
+        mm_shard_manifest(spark, SF).collect(), key=lambda r: r.shard_id
+    )
+    assert len(rows) > 1
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    total_bytes = docs.select(
+        F.sum(F.octet_length(F.col("text").cast("binary")))
+    ).collect()[0][0]
+    assert sum(r.n_samples for r in rows) == n_docs
+    assert sum(r.shard_bytes for r in rows) == total_bytes
+    for r in rows:
+        assert r.n_image + r.n_audio + r.n_video == r.n_samples
+        assert r.first_doc <= r.last_doc
+    for a, b in zip(rows, rows[1:]):
+        assert b.shard_id == a.shard_id + 1  # no empty shard ids
+        assert b.first_doc == a.last_doc + 1  # contiguous, non-overlapping
+
+
+def test_collocations_respect_floor_and_association(spark) -> None:
+    """Every reported pair meets the min-count floor, carries a
+    non-negative integer PMI, and actually occurs at or above its
+    independence expectation under the position-marginal model."""
+    from data_ingestion_ex8_producer_spark.operators.textops import (
+        _COLLOC_MIN_COUNT,
+        q_collocations,
+    )
+
+    with persisted_scope():
+        rows = q_collocations(spark, SF).collect()
+    assert len(rows) > 0
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice(split(trim(text), '\\\\s+'), 1,"
+                " size(split(trim(text), '\\\\s+')) - 1),"
+                " (x, i) -> concat(x, ' ',"
+                " element_at(split(trim(text), '\\\\s+'), i + 2)))"
+            )
+        ).alias("bigram")
+    )
+    counts = {r.bigram: r.cnt for r in bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    n = sum(counts.values())
+    from collections import Counter
+
+    m1, m2 = Counter(), Counter()
+    for b, c in counts.items():
+        w1, w2 = b.split(" ")
+        m1[w1] += c
+        m2[w2] += c
+    for r in rows:
+        assert r.cnt12 >= _COLLOC_MIN_COUNT
+        assert r.pmi_bits >= 0
+        w1, w2 = r.bigram.split(" ")
+        assert counts[r.bigram] == r.cnt12
+        assert r.cnt12 * n >= m1[w1] * m2[w2]
+        assert r.pmi_bits == ((r.cnt12 * n) // (m1[w1] * m2[w2])).bit_length() - 1

@@ -106,6 +106,11 @@ PROBE_QUERIES = (
     "q_leakage_safe_split",
     "q_hard_negatives",
     "q_robust_outliers",
+    # late r7: PMI collocation lexicon (vocabulary-sized joins over the
+    # bigram relation) and the byte-budget shard manifest (two-phase
+    # prefix sum over sample sizes; manifest is shard-cardinality metadata)
+    "q_collocations",
+    "mm_shard_manifest",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
