@@ -495,7 +495,7 @@ def main() -> None:
         "near-uniform dfs -> weak prefixes): the replicated corpus adds "
         "documents, not vocabulary skew, so candidate growth stays "
         "~linear; its exact verify equals dedup_ngram_jaccard_exact's "
-        "answers by construction, checked by the shared oracle.  The last pair: q_activity_islands is flat (1.0x — its windows ride calendar-bounded hourly cells, the same fixed key domain as the EWMA/seasonal rollups); q_incremental_semantic_dedup probes 7.4x, the steepest new curve, because the replica construction grows BOTH sides of its one-sided join (batch 10x AND archive 10x, with exact-copy vectors, so per-cell pair counts grow ~100x/K) — the operator's own contract is the fixed-batch regime, where cost grows with archive/K only, and the remedy is the same K-raising rule every cell-restricted operator documents.  The r7 curation/analysis rows: q_robust_outliers is near-flat (1.4x — both order statistics come from per-type value HISTOGRAMS whose key domain is the 1e-2 grid, so volume only deepens the map-side combine); q_leakage_safe_split (2.5x) pays the dedup_clusters iterations plus one left join, both riding the capped pair relation; q_pii_redact (3.8x at sub-second absolute cost) is a pure scan-stage map, fixed-overhead-dominated; q_source_similarity (3.8x) grows the distinct (source, shingle) relation ~linearly while its pair space stays catalog-bounded; q_hard_negatives (4.3x) is the broadcast-scan shape — corpus enters one scan and one pruned window; q_doc_bigram_lm (5.1x) tracks the distinct-bigram relation, Zipf-sublinear under the suffix-token replica construction — all six at or below the 10x data ratio.",
+        "answers by construction, checked by the shared oracle.  The last pair: q_activity_islands is flat (1.0x — its windows ride calendar-bounded hourly cells, the same fixed key domain as the EWMA/seasonal rollups); q_incremental_semantic_dedup probes 7.4x, the steepest new curve, because the replica construction grows BOTH sides of its one-sided join (batch 10x AND archive 10x, with exact-copy vectors, so per-cell pair counts grow ~100x/K) — the operator's own contract is the fixed-batch regime, where cost grows with archive/K only, and the remedy is the same K-raising rule every cell-restricted operator documents.  The r7 curation/analysis rows: q_robust_outliers is near-flat (1.3x — both order statistics come from per-type value HISTOGRAMS whose key domain is the 1e-2 grid, so volume only deepens the map-side combine), and mm_shard_manifest (1.2x) rides the same two-phase prefix sum the token packer uses, with a shard-cardinality manifest as output; q_leakage_safe_split (2.1x) pays the dedup_clusters iterations plus one left join, both riding the capped pair relation; q_source_similarity (3.0x) grows the distinct (source, shingle) relation ~linearly while its pair space stays catalog-bounded; q_collocations (3.0x) and q_doc_bigram_lm (3.2x) track the distinct-bigram relation, Zipf-sublinear under the suffix-token replica construction; q_hard_negatives (4.2x) is the broadcast-scan shape — corpus enters one scan and one pruned window; q_pii_redact (5.3x at a 0.16 s base) is a pure scan-stage map whose ratio is fixed-overhead arithmetic, not plan growth — all eight at or below the 10x data ratio.",
     ]
     # r7 (VERDICT r6 #5): graduate the edit-distance scale explanation from
     # prose to measurement — seconds per MILLION LSH candidate pairs at 1x
