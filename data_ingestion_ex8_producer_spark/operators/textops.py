@@ -2047,3 +2047,133 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined
+
+
+# --------------------------------------------------------------------------
+# Composed release gate (the keep/drop verdict a corpus release ships)
+# --------------------------------------------------------------------------
+
+_GATE_MIN_TOKENS = 20
+_GATE_TTR_NUM, _GATE_TTR_DEN = 3, 10  # type/token ratio >= 0.3, cross-mult
+# Corpus-calibrated information dials (every release tunes its gate to its
+# own corpus distributions): mean unigram surprisal >= 4.03 bits and mean
+# bigram conditional surprisal >= 4.3 bits, both applied as exact integer
+# cross-multiplications against the component relations' BIGINT sums.
+_GATE_UNI_C, _GATE_UNI_D = 403, 100  # sum_bits * 100 >= 403 * n_tokens
+_GATE_BI_C, _GATE_BI_D = 43, 10     # bg_sum_bits * 10 >= 43 * n_bigrams
+
+
+def _quality_gate_oracle() -> str:
+    from ..plans import registry as _reg
+
+    return f"""
+    WITH tstats AS ({_reg._REGISTRY["text_token_stats"].oracle}),
+    surp AS ({_reg._REGISTRY["q_doc_surprisal"].oracle}),
+    bglm AS ({_reg._REGISTRY["q_doc_bigram_lm"].oracle}),
+    gated AS (
+        SELECT t.doc_id, t.n_tokens,
+               CASE WHEN t.n_tokens < {_GATE_MIN_TOKENS} THEN 1 ELSE 0 END
+                 AS f_short,
+               CASE WHEN t.n_unique_tokens * {_GATE_TTR_DEN}
+                         < t.n_tokens * {_GATE_TTR_NUM} THEN 1 ELSE 0 END
+                 AS f_ttr,
+               CASE WHEN COALESCE(s.sum_bits * {_GATE_UNI_D}
+                                  < {_GATE_UNI_C} * s.n_tokens, FALSE)
+                    THEN 1 ELSE 0 END AS f_lowinfo,
+               CASE WHEN COALESCE(b.sum_bits * {_GATE_BI_D}
+                                  < {_GATE_BI_C} * b.n_bigrams, FALSE)
+                    THEN 1 ELSE 0 END AS f_templated
+        FROM tstats t
+        LEFT JOIN surp s ON s.doc_id = t.doc_id
+        LEFT JOIN bglm b ON b.doc_id = t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(CASE WHEN f_short + f_ttr + f_lowinfo + f_templated = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep,
+           CAST(f_short + 2 * f_ttr + 4 * f_lowinfo + 8 * f_templated
+                AS BIGINT) AS reason_mask
+    FROM gated
+    """
+
+
+@register(
+    "q_quality_gate",
+    oracle=_quality_gate_oracle(),
+    tags=("text", "quality", "gate", "filtering", "composition"),
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/drop RELEASE GATE — the verdict table a corpus
+    release actually ships, folding three registered quality signals into
+    one row per document: minimum length (n_tokens >= 20), lexical
+    diversity (type/token ratio >= 0.3 as the integer cross-multiplication
+    n_unique * 10 >= n_tokens * 3), unigram information density (mean
+    surprisal >= 4.03 bits over q_doc_surprisal's exact BIGINT sums), and
+    bigram predictability (mean conditional surprisal >= 4.3 bits over
+    q_doc_bigram_lm's sums).  `keep` is the AND of the four rules;
+    `reason_mask` is the failure bitmask (1=short, 2=low-TTR, 4=low-info,
+    8=templated) a curator histograms to see WHY the corpus shrinks — the
+    C4/Gopher-style filter cascade as one auditable table.  The two
+    information dials are CORPUS-CALIBRATED (chosen from this corpus's
+    measured quartiles, as every release tunes its gate to its own
+    distributions) and applied as exact integer cross-multiplications, so
+    no rule ever bins a raw double (Class A; FLOAT_QUALS.md).
+
+    Composition discipline: the Spark side calls the three REGISTERED
+    builders and joins on doc_id; the oracle splices those specs' oracle
+    SQL in verbatim as CTEs (the q_dedup_cluster_stats precedent), so each
+    signal's definition exists ONCE per engine and the gate cannot drift
+    from its inputs.  Documents too short for a bigram row pass that rule
+    by default (no evidence is not a failure), identical on both engines.
+
+    Scale shape: three already-scale-safe annotate pipelines (each a
+    combinable groupBy + metadata join — see their own docstrings) joined
+    on the uniform doc_id key; the gate adds two doc-keyed joins and a
+    narrow map.  At 100 TB the inputs are what a pipeline materializes as
+    tables anyway, and the gate is one co-partitioned three-way join."""
+    tstats = text_token_stats(spark, sf_dir).select(
+        "doc_id", "n_tokens", "n_unique_tokens"
+    )
+    surp = q_doc_surprisal(spark, sf_dir).select(
+        "doc_id",
+        F.col("sum_bits").alias("u_sum_bits"),
+        F.col("n_tokens").alias("u_n_tokens"),
+    )
+    bglm = q_doc_bigram_lm(spark, sf_dir).select(
+        "doc_id",
+        F.col("sum_bits").alias("b_sum_bits"),
+        F.col("n_bigrams").alias("b_n_bigrams"),
+    )
+    f_short = (F.col("n_tokens") < _GATE_MIN_TOKENS).cast("long")
+    f_ttr = (
+        F.col("n_unique_tokens") * _GATE_TTR_DEN
+        < F.col("n_tokens") * _GATE_TTR_NUM
+    ).cast("long")
+    f_lowinfo = F.coalesce(
+        (
+            F.col("u_sum_bits") * _GATE_UNI_D
+            < F.lit(_GATE_UNI_C) * F.col("u_n_tokens")
+        ).cast("long"),
+        F.lit(0),
+    )
+    f_templated = F.coalesce(
+        (
+            F.col("b_sum_bits") * _GATE_BI_D
+            < F.lit(_GATE_BI_C) * F.col("b_n_bigrams")
+        ).cast("long"),
+        F.lit(0),
+    )
+    return (
+        tstats.join(surp, "doc_id", "left")
+        .join(bglm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(f_short + f_ttr + f_lowinfo + f_templated == 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("keep"),
+            (f_short + 2 * f_ttr + 4 * f_lowinfo + 8 * f_templated)
+            .cast("long")
+            .alias("reason_mask"),
+        )
+    )

@@ -197,7 +197,11 @@ def register(
 # q_bm25_mlt_topk); and mm_shard_manifest (byte-budget shard packing via
 # the shared two-phase prefix sum) displaced mm_decode_meta (driver-green
 # r1-r6; multimodal keeps 2 reps and the decode seam stays
-# pytest-pinned).
+# pytest-pinned); and q_quality_gate (the composed release gate over
+# three registered quality signals) displaced q_ewma_hourly (driver-green
+# r6; events keep 5 reps and the seasonal twin keeps hourly-rate
+# coverage — the gate gives the round's text-quality family its
+# composition-level driver evidence).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -231,7 +235,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_robust_outliers",
     "q_scd2_history",
     "q_seasonal_hourly_anomaly",
-    "q_ewma_hourly",
+    "q_quality_gate",
     # deduplication
     "q_dedup_threshold_curve",
     "q_semantic_dedup_curve",

@@ -186,3 +186,21 @@ def test_collocations_respect_floor_and_association(spark) -> None:
         assert counts[r.bigram] == r.cnt12
         assert r.cnt12 * n >= m1[w1] * m2[w2]
         assert r.pmi_bits == ((r.cnt12 * n) // (m1[w1] * m2[w2])).bit_length() - 1
+
+
+def test_quality_gate_verdicts_are_consistent(spark) -> None:
+    """keep == (reason_mask == 0), masks stay in the 4-bit range, both
+    verdict classes are populated, and every document gets exactly one
+    verdict row."""
+    from data_ingestion_ex8_producer_spark.operators.textops import (
+        q_quality_gate,
+    )
+
+    rows = q_quality_gate(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == docs == len({r.doc_id for r in rows})
+    keeps = sum(r.keep for r in rows)
+    assert 0 < keeps < len(rows)  # the gate must discriminate
+    for r in rows:
+        assert 0 <= r.reason_mask <= 15
+        assert r.keep == (1 if r.reason_mask == 0 else 0)

@@ -111,6 +111,10 @@ PROBE_QUERIES = (
     # prefix sum over sample sizes; manifest is shard-cardinality metadata)
     "q_collocations",
     "mm_shard_manifest",
+    # final r7: the composed release gate (three annotate pipelines joined
+    # on the uniform doc_id key — cost is the sum of its already-probed
+    # inputs plus two doc-keyed joins)
+    "q_quality_gate",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
