@@ -1690,3 +1690,85 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-smoothed mixture (the multilingual tau-sampling dial)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, n_docs,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS weight
+        FROM counts
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+               CAST(SUM(weight) AS BIGINT) AS wsum
+        FROM w
+    )
+    SELECT lang, n_docs, weight,
+           CAST(n_docs AS DOUBLE) / total AS actual_share,
+           CAST(weight AS DOUBLE) / wsum AS tau_share,
+           CAST(weight AS DOUBLE) * total / (wsum * n_docs) AS resample_weight
+    FROM w, tot
+    """,
+    tags=("pipeline", "sampling", "mixture", "temperature"),
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed language mixture at tau = 2 — the multilingual
+    sampling dial (mC4 / XLM-R style): target share proportional to
+    p_lang^(1/tau), sitting between the raw corpus distribution (tau = 1,
+    head languages dominate) and q_mixture_weights' uniform rebalance
+    (tau = inf, tail languages oversampled hardest).  Emits per language
+    the actual share, the tau-smoothed target share, and the per-document
+    resample weight a sampler multiplies into its keep rate.
+
+    Exactness: tau = 2 makes the smoothing a square root, and the weight
+    is the INTEGER floor(sqrt(n_docs)) — IEEE sqrt is correctly rounded,
+    so sqrt of an exact integer-valued double is deterministic and its
+    floor is the true integer square root on any engine.  The weight sum
+    is then an exact BIGINT (never a float accumulation whose order could
+    differ), and every reported share/weight is a single division or a
+    two-op chain of those integers (Class B, FLOAT_QUALS.md).  A general
+    tau generalizes via exp(ln(p)/tau) — kept OFF the scored surface
+    because transcendental rounding is not cross-engine-guaranteed; tau=2
+    is the common production setting and the oracle-exact one.
+
+    Scale shape: one map-side-combinable groupBy over the lang key (a
+    fixed catalog), a 1-row total, and a catalog-sized projection —
+    metadata arithmetic at any corpus size, same as the other mixture
+    dials."""
+    counts = t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = counts.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long").alias(
+            "weight"
+        ),
+    )
+    tot = w.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.sum("weight").cast("long").alias("wsum"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "weight",
+        (F.col("n_docs").cast("double") / F.col("total")).alias("actual_share"),
+        (F.col("weight").cast("double") / F.col("wsum")).alias("tau_share"),
+        (
+            F.col("weight").cast("double")
+            * F.col("total")
+            / (F.col("wsum") * F.col("n_docs"))
+        ).alias("resample_weight"),
+    )

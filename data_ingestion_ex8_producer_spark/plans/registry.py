@@ -201,7 +201,10 @@ def register(
 # three registered quality signals) displaced q_ewma_hourly (driver-green
 # r6; events keep 5 reps and the seasonal twin keeps hourly-rate
 # coverage — the gate gives the round's text-quality family its
-# composition-level driver evidence).
+# composition-level driver evidence).  Last, q_temperature_mixture (the
+# tau=2 sampling dial) displaced q_curriculum_order (driver-green r6;
+# curation keeps 5 reps and the two-phase ranking machinery it shares
+# still executes inside the staying q_concat_chunk_packing).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -270,7 +273,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_emb_top_component",
     "q_emb_remove_top_component",
     "q_concat_chunk_packing",
-    "q_curriculum_order",
+    "q_temperature_mixture",
     "q_key_skew_profile",
 )
 

@@ -115,6 +115,7 @@ PROBE_QUERIES = (
     # on the uniform doc_id key — cost is the sum of its already-probed
     # inputs plus two doc-keyed joins)
     "q_quality_gate",
+    "q_temperature_mixture",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
