@@ -143,21 +143,12 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RANGE_COSINE = 0.25
+_RANGE_COSINE_C = 25  # cosine radius 0.25 as integer centi-cosine units
 
 
 @register(
     "sim_range_search",
-    oracle=f"""
-    SELECT q.vec_id AS query_id,
-           c.vec_id AS neighbor_id,
-           c.label  AS neighbor_label,
-           {_SQL_COSINE} AS cosine
-    FROM embeddings q
-    JOIN embeddings c ON c.vec_id <> q.vec_id
-    WHERE q.vec_id < {_N_QUERIES}
-      AND {_SQL_COSINE} >= {_RANGE_COSINE}
-    """,
+    oracle=None,  # patched at module end (needs the _QSCALE helpers below)
     tags=("similarity", "range-search"),
 )
 def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,34 +160,49 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same broadcast-scan shape as sim_bruteforce_topk but with NO window: the
     threshold filter replaces ranking, so the plan is one scan + broadcast
     join + filter — embarrassingly parallel, no shuffle at all after the
-    broadcast.  Query-side norms are broadcast precomputed; corpus norms
-    are computed once per corpus row, not once per (query, corpus) pair."""
+    broadcast.  Query-side quantized vectors are broadcast precomputed;
+    corpus norms are computed once per corpus row, not once per
+    (query, corpus) pair.
+
+    Qualification is EXACT integer arithmetic (r7, closing the registry's
+    last Class C thresholds — FLOAT_QUALS.md): embeddings quantize to the
+    _QSCALE BIGINT grid, the radius test is the cleared-denominator
+    predicate pdot >= 0 AND 10^4*pdot^2 >= 25^2*da*db (the _sem_qual
+    doctrine), and the reported cosine is the Class B double
+    pdot/(sqrt(da)*sqrt(db)) from those same integers — no left-fold
+    double ever reaches a comparison.  Zero-quantum vectors (da = 0) have
+    no defined cosine and are excluded by contract on both engines."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+        _quant(F.transform("embedding", lambda x: x.cast("double"))).alias("eq"),
     )
-    emb = emb.withColumn("norm", F.sqrt(_dot_d(F.col("ed"), F.col("ed"))))
+    emb = emb.withColumn("dq", _qdot(F.col("eq"), F.col("eq"))).filter(
+        F.col("dq") > 0
+    )
     queries = F.broadcast(
         emb.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
-            F.col("ed").alias("q_emb"),
-            F.col("norm").alias("q_norm"),
+            F.col("eq").alias("q_eq"),
+            F.col("dq").alias("da"),
         )
     )
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
-        F.col("ed").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
+        F.col("eq").alias("c_eq"),
+        F.col("dq").alias("db"),
     )
-    cosine = _dot_d(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_norm") * F.col("c_norm")
+    cosine = F.col("pdot").cast("double") / (
+        F.sqrt(F.col("da").cast("double")) * F.sqrt(F.col("db").cast("double"))
     )
     return (
         queries.join(corpus, F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "neighbor_label", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= _RANGE_COSINE)
+        .withColumn("pdot", _qdot(F.col("q_eq"), F.col("c_eq")))
+        .filter(_sem_qual(_RANGE_COSINE_C))
+        .select(
+            "query_id", "neighbor_id", "neighbor_label", cosine.alias("cosine")
+        )
     )
 
 
@@ -436,7 +442,7 @@ _patch_oracle("sim_lsh_topk", _lsh_oracle())
 _patch_oracle("sim_lsh_topk_tuned", _lsh_oracle(_TUNED_TABLES, _TUNED_BITS))
 
 
-_NEARDUP_COSINE = 0.45  # demonstration threshold for this synthetic corpus
+_NEARDUP_COSINE_C = 45  # cosine >= 0.45: demonstration threshold for this synthetic corpus
                         # (max pairwise cosine ~0.51); production near-dup
                         # detection uses ~0.95 on real embedding spaces.
 _NEARDUP_LSH_BITS = 6   # shorter bucket keys than sim_lsh_topk's 8: the
@@ -452,8 +458,10 @@ _NEARDUP_LSH_BITS = 6   # shorter bucket keys than sim_lsh_topk's 8: the
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, two-stage scale form: LSH-bucket candidate
     generation (4 tables x 6 sign bits, same deterministic hyperplane family
-    as sim_lsh_topk) -> exact cosine verification at >= 0.45 on candidates
-    only.
+    as sim_lsh_topk) -> quantized-integer cosine verification at >= 0.45 on
+    candidates only (the _QSCALE cleared-denominator predicate — r7 moved
+    this family's thresholds to Class A, FLOAT_QUALS.md; the reported
+    cosine is the Class B double from those same integers).
 
     This is the 100 TB shape for embedding dedup: the candidate join's key
     is (table, bucket) so shuffle volume is O(n x tables) instead of the
@@ -484,21 +492,26 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vec = emb.select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+        _quant(F.transform("embedding", lambda x: x.cast("double"))).alias("eq"),
     )
-    vec = vec.withColumn("norm", F.sqrt(_dot_d(F.col("ed"), F.col("ed"))))
+    vec = vec.withColumn("dq", _qdot(F.col("eq"), F.col("eq"))).filter(
+        F.col("dq") > 0
+    )
     va = vec.select(
-        F.col("vec_id").alias("vec_a"), F.col("ed").alias("e_a"), F.col("norm").alias("n_a")
+        F.col("vec_id").alias("vec_a"), F.col("eq").alias("e_a"), F.col("dq").alias("da")
     )
     vb = vec.select(
-        F.col("vec_id").alias("vec_b"), F.col("ed").alias("e_b"), F.col("norm").alias("n_b")
+        F.col("vec_id").alias("vec_b"), F.col("eq").alias("e_b"), F.col("dq").alias("db")
     )
-    cosine = _dot_d(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    cosine = F.col("pdot").cast("double") / (
+        F.sqrt(F.col("da").cast("double")) * F.sqrt(F.col("db").cast("double"))
+    )
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
+        .withColumn("pdot", _qdot(F.col("e_a"), F.col("e_b")))
+        .filter(_sem_qual(_NEARDUP_COSINE_C))
         .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= _NEARDUP_COSINE)
     )
 
 
@@ -517,35 +530,33 @@ def _neardup_oracle() -> str:
         FROM bucketed a
         JOIN bucketed b ON a.tb = b.tb AND a.bucket = b.bucket
                         AND a.vec_id < b.vec_id
+    ),
+    quantized AS (
+        SELECT vec_id, eq, {_sql_qdot('eq', 'eq')} AS dq FROM (
+            SELECT vec_id, {_sql_quant('embedding')} AS eq FROM embeddings
+        ) WHERE {_sql_qdot('eq', 'eq')} > 0
     )
-    SELECT vec_a, vec_b, cosine FROM (
+    SELECT vec_a, vec_b,
+           CAST(pdot AS DOUBLE)
+             / (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE))) AS cosine
+    FROM (
         SELECT cand.vec_a, cand.vec_b,
-               {_sql_dot('ea.embedding', 'eb.embedding')}
-                 / (sqrt({_sql_dot('ea.embedding', 'ea.embedding')})
-                    * sqrt({_sql_dot('eb.embedding', 'eb.embedding')})) AS cosine
+               {_sql_qdot('qa.eq', 'qb.eq')} AS pdot,
+               qa.dq AS da, qb.dq AS db
         FROM cand
-        JOIN embeddings ea ON ea.vec_id = cand.vec_a
-        JOIN embeddings eb ON eb.vec_id = cand.vec_b
-    ) WHERE cosine >= {_NEARDUP_COSINE}
+        JOIN quantized qa ON qa.vec_id = cand.vec_a
+        JOIN quantized qb ON qb.vec_id = cand.vec_b
+    ) WHERE {_sql_sem_qual(_NEARDUP_COSINE_C)}
     """
 
 
-_patch_oracle("dedup_embedding_neardup", _neardup_oracle())
+# NOTE: _patch_oracle("dedup_embedding_neardup", ...) happens at module end —
+# the quantized verify references the _QSCALE helpers defined further down.
 
 
 @register(
     "dedup_embedding_cosine_exact",
-    oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_sql_dot('a.embedding', 'b.embedding')}
-             / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
-                * sqrt({_sql_dot('b.embedding', 'b.embedding')})) AS cosine
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_sql_dot('a.embedding', 'b.embedding')}
-             / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
-                * sqrt({_sql_dot('b.embedding', 'b.embedding')})) >= {_NEARDUP_COSINE}
-    """,
+    oracle=None,  # patched at module end (needs the _QSCALE helpers below)
     tags=("dedup", "embedding", "similarity", "exact-baseline"),
 )
 def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,28 +567,33 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB).  The all-pairs join here is O(n^2) — correct, benchable at
     test scale, and deliberately NOT the primary registered form.
     """
-    # Per-pair work is the hot path (O(n²) pairs): pre-cast each embedding to
-    # double and precompute its norm ONCE per row (O(n)), so every pair costs
-    # one zip_with dot + a scalar divide instead of three dots with inline
-    # float→double casts.  sqrt(Σx²) per row is the same double as the
-    # per-pair recomputation, so results are bit-identical to the oracle's
-    # formulation (which the optimizer can't hoist — DuckDB is fast enough).
+    # Per-pair work is the hot path (O(n²) pairs): quantize each embedding
+    # and precompute its self-dot ONCE per row (O(n)), so every pair costs
+    # one BIGINT zip_with dot + the integer qualification.  Same _QSCALE
+    # doctrine as the primary form and the semdedup family (r7: the
+    # registry's last Class C thresholds moved to Class A), so the two
+    # forms' pair sets stay directly comparable.
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+        _quant(F.transform("embedding", lambda x: x.cast("double"))).alias("eq"),
     )
-    emb = emb.withColumn("norm", F.sqrt(_dot_d(F.col("ed"), F.col("ed"))))
+    emb = emb.withColumn("dq", _qdot(F.col("eq"), F.col("eq"))).filter(
+        F.col("dq") > 0
+    )
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("ed").alias("e_a"), F.col("norm").alias("n_a")
+        F.col("vec_id").alias("vec_a"), F.col("eq").alias("e_a"), F.col("dq").alias("da")
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("ed").alias("e_b"), F.col("norm").alias("n_b")
+        F.col("vec_id").alias("vec_b"), F.col("eq").alias("e_b"), F.col("dq").alias("db")
     )
-    cosine = _dot_d(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    cosine = F.col("pdot").cast("double") / (
+        F.sqrt(F.col("da").cast("double")) * F.sqrt(F.col("db").cast("double"))
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("pdot", _qdot(F.col("e_a"), F.col("e_b")))
+        .filter(_sem_qual(_NEARDUP_COSINE_C))
         .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= _NEARDUP_COSINE)
     )
 
 
@@ -3566,3 +3582,57 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("flag_violation"),
     )
+
+
+# --------------------------------------------------------------------------
+# r7 Class-A migration: the three cosine-threshold specs qualify on the
+# _QSCALE integer grid (closing the registry's last Class C thresholds).
+# Their oracles reference the helpers above, so they are patched here.
+# --------------------------------------------------------------------------
+
+_SQL_QUANTIZED_CTE = f"""
+    quantized AS (
+        SELECT vec_id, label, eq, {_sql_qdot('eq', 'eq')} AS dq FROM (
+            SELECT vec_id, label, {_sql_quant('embedding')} AS eq
+            FROM embeddings
+        ) WHERE {_sql_qdot('eq', 'eq')} > 0
+    )
+"""
+
+_patch_oracle(
+    "sim_range_search",
+    f"""
+    WITH {_SQL_QUANTIZED_CTE}
+    SELECT query_id, neighbor_id, neighbor_label,
+           CAST(pdot AS DOUBLE)
+             / (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE))) AS cosine
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               c.label AS neighbor_label,
+               {_sql_qdot('q.eq', 'c.eq')} AS pdot,
+               q.dq AS da, c.dq AS db
+        FROM quantized q
+        JOIN quantized c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ) WHERE {_sql_sem_qual(_RANGE_COSINE_C)}
+    """,
+)
+
+_patch_oracle(
+    "dedup_embedding_cosine_exact",
+    f"""
+    WITH {_SQL_QUANTIZED_CTE}
+    SELECT vec_a, vec_b,
+           CAST(pdot AS DOUBLE)
+             / (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE))) AS cosine
+    FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_sql_qdot('a.eq', 'b.eq')} AS pdot,
+               a.dq AS da, b.dq AS db
+        FROM quantized a
+        JOIN quantized b ON a.vec_id < b.vec_id
+    ) WHERE {_sql_sem_qual(_NEARDUP_COSINE_C)}
+    """,
+)
+
+_patch_oracle("dedup_embedding_neardup", _neardup_oracle())
