@@ -903,3 +903,125 @@ def scd2_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming robust (median/MAD) outlier monitor (stateful twin of
+# operators/events.py's q_robust_outliers)
+# --------------------------------------------------------------------------
+
+ROBUST_SCHEMA = (
+    "event_type string, n_events bigint, median_value double, "
+    "mad_value double, n_outliers bigint, outlier_share double"
+)
+# The per-type VALUE HISTOGRAM {vq: count} — the sufficient statistic for
+# median/MAD/outlier counts, so merging batch histograms is EXACTLY
+# associative: the split-batch contract below is equality, not just
+# row-for-row on a single batch.
+_ROBUST_STATE_SCHEMA = "vqs array<long>, counts array<long>"
+_RO_Q2 = 100  # the batch twin's exact 1e-2 grid (events.py:_VO_Q2)
+_RO_MAX_BINS = 100_000  # state bound: distinct 1e-2 grid values per type.
+# Beyond it the monitor fails fast with an explicit error instead of
+# growing state silently — production widens the grid (or clamps the value
+# domain) BEFORE deployment; an implicit rebin here would silently change
+# the reported order statistics vs the batch twin.
+
+
+def _hist_order_stat(pairs: list[tuple[int, int]]) -> tuple[int, int]:
+    """(value at the lower-median rank, total count) from (value, count)
+    pairs — the batch twin's rank (n-1)//2 + 1 selected by walking the
+    sorted histogram, never materializing rows."""
+    n = sum(c for _, c in pairs)
+    target = (n - 1) // 2 + 1
+    cum = 0
+    for v, c in sorted(pairs):
+        cum += c
+        if cum >= target:
+            return v, n
+    raise AssertionError("unreachable: histogram empty")
+
+
+def _update_robust(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type median/MAD outlier monitor across micro-batches.
+
+    State is the quantized VALUE HISTOGRAM — constant-size in stream
+    LENGTH (bounded by the 1e-2 grid's distinct values, guarded by
+    _RO_MAX_BINS), and an associative merge: histogram(batch A union
+    batch B) == histogram(A) merged with histogram(B), so the final
+    emission after any batch split equals the single-batch emission
+    EXACTLY, and a single availableNow batch reproduces q_robust_outliers
+    row-for-row.  Each touched type re-emits its full summary (update
+    mode: latest emission wins downstream).
+
+    Unlike the moment-based detectors (EWMA/seasonal), nothing here is
+    frozen at prune time because nothing is pruned: robust statistics
+    need the full histogram, which is value-cardinality-bounded — the
+    monitor's memory follows the DATA DOMAIN, not the stream length, the
+    same reason the batch twin's scale story holds at 100 TB."""
+    if state.exists:
+        hist = dict(zip(list(state.get[0]), list(state.get[1])))
+    else:
+        hist = {}
+    touched = False
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        vq = (pdf["value"].astype("float64") * _RO_Q2).round().astype("int64")
+        for v, c in vq.value_counts().items():
+            hist[int(v)] = hist.get(int(v), 0) + int(c)
+        touched = True
+    if len(hist) > _RO_MAX_BINS:
+        raise ValueError(
+            f"robust monitor for {key[0]!r} exceeds {_RO_MAX_BINS} value "
+            "bins; widen the quantization grid or clamp the value domain"
+        )
+    state.update((sorted(hist), [hist[v] for v in sorted(hist)]))
+    if not touched or not hist:
+        yield pd.DataFrame(columns=[c.split()[0] for c in ROBUST_SCHEMA.split(", ")])
+        return
+    pairs = list(hist.items())
+    med, n = _hist_order_stat(pairs)
+    dev: dict[int, int] = {}
+    for v, c in pairs:
+        d = abs(v - med)
+        dev[d] = dev.get(d, 0) + c
+    mad, _ = _hist_order_stat(list(dev.items()))
+    n_out = sum(c for d, c in dev.items() if d > 3 * mad)
+    yield pd.DataFrame(
+        [
+            (
+                key[0],
+                n,
+                med / _RO_Q2,
+                mad / _RO_Q2,
+                n_out,
+                n_out / n,
+            )
+        ],
+        columns=[
+            "event_type", "n_events", "median_value",
+            "mad_value", "n_outliers", "outlier_share",
+        ],
+    )
+
+
+def robust_outliers_stream(events: DataFrame) -> DataFrame:
+    """Streaming robust-outlier monitor: applyInPandasWithState keyed by
+    event_type.  tests/test_streaming_stateful.py pins a single
+    availableNow batch row-for-row against the batch q_robust_outliers and
+    the EXACT split-batch associativity of the histogram state."""
+    return (
+        events.filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_robust,
+            outputStructType=ROBUST_SCHEMA,
+            stateStructType=_ROBUST_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

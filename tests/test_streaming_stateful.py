@@ -1307,3 +1307,80 @@ def test_scd2_state_drops_cross_batch_late_events() -> None:
     )
     assert len(out) == 0  # dropped: nothing changed, nothing emitted
     assert st.get[0] == "click" and st.get[2] == 2
+
+
+def test_streaming_robust_outliers_matches_batch(spark, tmp_path: Path) -> None:
+    """Single availableNow batch: the stateful robust-outlier monitor must
+    emit exactly the batch q_robust_outliers rows."""
+    from data_ingestion_ex8_producer_spark.operators.events import (
+        q_robust_outliers,
+    )
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        robust_outliers_stream,
+    )
+
+    events = stream_events_fixture(spark, SF, str(tmp_path / "robust"))
+    _run(robust_outliers_stream(events), "stream_robust", "update")
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["median_value"], r["mad_value"],
+            r["n_outliers"], r["outlier_share"],
+        )
+        for r in spark.sql("SELECT * FROM stream_robust").collect()
+    }
+    expected = {
+        r["event_type"]: (
+            r["n_events"], r["median_value"], r["mad_value"],
+            r["n_outliers"], r["outlier_share"],
+        )
+        for r in q_robust_outliers(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_robust_state_split_batches_are_exactly_associative() -> None:
+    """The histogram state is the sufficient statistic, so the final
+    emission after ANY batch split equals the single-batch emission
+    exactly — a stronger contract than the moment-based twins'."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        _update_robust,
+    )
+
+    def _vals(vs):
+        return pd.DataFrame({"value": pd.Series(vs, dtype="float64")})
+
+    a = [1.00, 1.01, 1.02, 1.00, 9.99]
+    b = [1.01, 1.03, 0.98, 25.5, 1.02]
+    split = _FakeState()
+    list(_update_robust(("buy",), iter([_vals(a)]), split))
+    out_split = pd.concat(_update_robust(("buy",), iter([_vals(b)]), split))
+    single = _FakeState()
+    out_single = pd.concat(_update_robust(("buy",), iter([_vals(a + b)]), single))
+    assert split.get == single.get  # identical histogram state
+    assert out_split.to_dict("records") == out_single.to_dict("records")
+    row = out_single.iloc[0]
+    assert row["n_events"] == 10
+    assert row["median_value"] == 1.01  # lower order statistic of the 10
+    assert row["n_outliers"] == 2  # 9.99 and 25.5 vs MAD 0.01
+
+
+def test_robust_state_bin_cap_fails_fast() -> None:
+    """Beyond _RO_MAX_BINS distinct quantized values the monitor raises an
+    explicit error instead of growing state silently (the documented
+    widen-the-grid operational guard)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_ingestion_ex8_producer_spark.streaming import stateful as _st
+
+    old = _st._RO_MAX_BINS
+    _st._RO_MAX_BINS = 3
+    try:
+        st = _FakeState()
+        vals = pd.DataFrame({"value": pd.Series([0.01, 0.02, 0.03, 0.04])})
+        with _pytest.raises(ValueError, match="value bins"):
+            list(_st._update_robust(("buy",), iter([vals]), st))
+    finally:
+        _st._RO_MAX_BINS = old
