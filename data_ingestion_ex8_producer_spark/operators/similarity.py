@@ -3128,8 +3128,8 @@ def _sem_level() -> Column:
     )
     SELECT thr_c,
            thr_c / 100.0 AS threshold,
-           COALESCE(SUM(b.c), 0) AS n_removed,
-           n_valid - COALESCE(SUM(b.c), 0) AS n_survivors,
+           CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS n_removed,
+           CAST(n_valid - COALESCE(SUM(b.c), 0) AS BIGINT) AS n_survivors,
            CAST(COALESCE(SUM(b.c), 0) AS DOUBLE) / n_valid AS removed_share
     FROM thr LEFT JOIN bins b ON b.bin >= thr.thr_c CROSS JOIN pop
     GROUP BY thr_c, n_valid

@@ -247,3 +247,40 @@ def test_coverage_doc_counts_match_registry() -> None:
     assert int(m.group(2)) == n_oracled, (
         f"COVERAGE.md says {m.group(2)} oracled, registry has {n_oracled}"
     )
+
+
+def test_oracle_output_types_are_driver_safe() -> None:
+    """Every oracle's DuckDB output type must be one the driver's comparator
+    renders identically whether materialized via ``fetchall()`` or Arrow
+    (VERDICT r7: q_semantic_dedup_curve's ``SUM(BIGINT)`` returned HUGEINT,
+    which Arrow surfaces as decimal128 and stringifies differently from
+    Spark's bigint — the only hash-red driver row two rounds running, while
+    every fetchall-based local check was green).  DuckDB binds the plan
+    lazily, so checking ``.types`` costs no execution."""
+    import duckdb
+
+    from data_ingestion_ex8_producer_spark.plans.registry import all_specs
+    from tools.check_correctness import TABLES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    approved = {"BOOLEAN", "INTEGER", "BIGINT", "DOUBLE", "VARCHAR", "DATE",
+                "TIMESTAMP", "BLOB"}
+    offenders = []
+    for name, spec in all_specs().items():
+        if spec.oracle is None:
+            continue
+        rel = con.sql(spec.oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            base = str(typ).removesuffix("[]")
+            if base not in approved:
+                offenders.append((name, col, str(typ)))
+    con.close()
+    assert not offenders, (
+        "oracles emitting driver-unsafe output types (HUGEINT/DECIMAL/"
+        f"unsigned/other — CAST them in the oracle SQL): {offenders}"
+    )

@@ -104,6 +104,15 @@ def main() -> int:
             cur = con.execute(spec.oracle)
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
+            # Dual-rendering check (VERDICT r7 #3): the driver may
+            # materialize the oracle through Arrow, where DuckDB types like
+            # HUGEINT surface as decimal128 and stringify differently from
+            # fetchall()'s plain Python ints.  Fingerprint BOTH renderings
+            # and fail loudly if they disagree — this is the local repro for
+            # the q_semantic_dedup_curve class of driver-only hash reds.
+            atbl = con.execute(spec.oracle).arrow()
+            arows = [tuple(row[c] for c in atbl.column_names)
+                     for row in atbl.to_pylist()]
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             report[name] = {"err": f"oracle error: {exc}"[:500]}
@@ -112,6 +121,29 @@ def main() -> int:
 
         sn, sc, sh = frame_fingerprint(scols, srows)
         on, oc, oh = frame_fingerprint(ocols, orows)
+        an, ac, ah = frame_fingerprint(list(atbl.column_names), arows)
+        # Value-hash equality is NOT enough: str(Decimal('3')) == str(3), so
+        # a HUGEINT column hashes identically here yet diverges in a
+        # pandas/Arrow-based driver comparator.  Compare the Python TYPE
+        # classes each rendering yields per column as well.
+        type_mismatch = []
+        for i, col in enumerate(ocols):
+            ftypes = {type(r[i]).__name__ for r in orows if r[i] is not None}
+            atypes = {type(r[i]).__name__ for r in arows if r[i] is not None}
+            if ftypes != atypes:
+                type_mismatch.append(f"{col}: fetchall={ftypes} arrow={atypes}")
+        if (an, ac, ah) != (on, oc, oh) or type_mismatch:
+            failures.append(name)
+            report[name] = {
+                "err": "oracle dual-rendering mismatch (fetchall vs .arrow): "
+                       "driver-unsafe output type — CAST it in the oracle "
+                       f"SQL. {'; '.join(type_mismatch)}"[:500],
+            }
+            print(
+                f"FAIL  {name}: oracle fetchall vs arrow rendering mismatch"
+                f" ({'; '.join(type_mismatch) or 'value hash'})"
+            )
+            continue
         report[name] = {
             "rows_match": sn == on,
             "schema_match": sc == oc,
