@@ -763,6 +763,56 @@ def _ivf_centroid_frame(spark: SparkSession, centroid_rows: list) -> DataFrame:
 
 
 @register(
+    "q_ivf_argmax_margin_canary",
+    oracle=None,  # rows-only BY DESIGN: the margin is a difference of two
+    # Class-C left-fold doubles and the canary's whole point is measuring
+    # how far the data sits from the argmax boundary — an exact-hash oracle
+    # over it would reintroduce the very exposure it monitors.
+    tags=("similarity", "ivf", "canary", "report"),
+)
+def q_ivf_argmax_margin_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-stability canary for the IVF coarse assignment (FLOAT_QUALS.md
+    Class-C population-selecting ordering): for every valid vector, the
+    margin between its best and runner-up centroid cosine.  One output row:
+    corpus size, the minimum margin, and how many vectors sit within 1e-9 /
+    1e-12 of the boundary.  Both counts are expected to be 0 — a nonzero
+    value is the early warning that a fold-order or engine change could
+    flip an assignment and shift the semdedup counting specs' populations
+    (the escalation path is the exact integer argmax documented in
+    FLOAT_QUALS.md).  Scale: the same shuffle-free narrow map as
+    ``_ivf_assignment`` (codebook in the UDF closure) feeding a single
+    all-reduce aggregate — no join, no exchange before the final combine."""
+    emb = _ivf_valid_emb(spark, sf_dir)
+    centroid_rows = _ivf_centroid_rows(emb)
+    c_mat = np.array([r.c_ed for r in centroid_rows], dtype=np.float64)
+    c_norm_vec = np.array([r.c_norm for r in centroid_rows], dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _margin(ed: pd.Series, norm: pd.Series) -> pd.Series:
+        # Same strict left-to-right fold as _assign so the cosines measured
+        # here are bit-identical to the ones the assignment argmaxes over.
+        n = len(ed)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        E = np.zeros((n, _DIM), dtype=np.float64)
+        for r, v in enumerate(ed.values):
+            E[r, :] = np.asarray(v, dtype=np.float64)
+        acc = np.zeros((n, c_mat.shape[0]), dtype=np.float64)
+        for i in range(_DIM):
+            acc += E[:, i : i + 1] * c_mat[:, i]
+        cos = acc / (norm.values[:, None] * c_norm_vec[None, :])
+        top2 = np.partition(cos, -2, axis=1)
+        return pd.Series(top2[:, -1] - top2[:, -2])
+
+    return emb.select(_margin(F.col("ed"), F.col("norm")).alias("margin")).agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.min("margin").alias("min_margin"),
+        F.sum((F.col("margin") < 1e-9).cast("long")).alias("n_below_1em9"),
+        F.sum((F.col("margin") < 1e-12).cast("long")).alias("n_below_1em12"),
+    )
+
+
+@register(
     "sim_ivf_topk",
     oracle=f"""
     WITH {_SQL_IVF_CTES},
