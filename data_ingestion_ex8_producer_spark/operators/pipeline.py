@@ -1772,3 +1772,281 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("wsum") * F.col("n_docs"))
         ).alias("resample_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weighting (target-domain data selection)
+# --------------------------------------------------------------------------
+
+_DSIR_TARGET_LANG = "en"  # the target domain: the corpus' English slice
+_DSIR_QUOTA_DEN = 10      # select the top 1/10th by importance weight
+
+
+@register(
+    "q_dsir_importance",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, {sql_tokens()} AS ts FROM documents),
+    toks AS (SELECT doc_id, lang, unnest(ts) AS term FROM d),
+    raw AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_r FROM toks GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_r,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM raw) AS vocab
+        FROM toks
+    ),
+    tgt AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_t
+        FROM toks WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1
+    ),
+    ttot AS (
+        SELECT CAST(COALESCE(SUM(cnt_t), 0) AS BIGINT) AS total_t FROM tgt
+    ),
+    bits AS (
+        SELECT r.term,
+               CAST(length(bin(t.total_r // r.cnt_r)) - 1 AS BIGINT)
+                 AS bits_r,
+               CAST(length(bin((tt.total_t + t.vocab)
+                               // (COALESCE(g.cnt_t, 0) + 1))) - 1 AS BIGINT)
+                 AS bits_t
+        FROM raw r LEFT JOIN tgt g ON g.term = r.term
+        CROSS JOIN tot t CROSS JOIN ttot tt
+    ),
+    per_doc AS (
+        SELECT k.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(b.bits_r - b.bits_t) AS BIGINT) AS weight_bits
+        FROM toks k JOIN bits b ON b.term = k.term
+        GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM per_doc),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY weight_bits DESC, doc_id) AS rk
+        FROM per_doc
+    )
+    SELECT doc_id, n_tokens, weight_bits,
+           CAST(rk AS BIGINT) AS dsir_rank,
+           CAST(CASE WHEN rk <= n_docs // {_DSIR_QUOTA_DEN} THEN 1 ELSE 0 END
+                AS BIGINT) AS selected
+    FROM ranked CROSS JOIN n
+    """,
+    tags=("curation", "selection", "dsir", "importance"),
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-weighted data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every document by log p_target(x) - log p_raw(x) under bag-of-words
+    unigram models of the target domain (the '{_DSIR_TARGET_LANG}' slice)
+    and the raw corpus, then keep the top 1/{_DSIR_QUOTA_DEN} by weight —
+    the published recipe for tilting a web-scale crawl toward a
+    high-quality reference domain without training a classifier.
+
+    Exactness: both models use the repo's INTEGER log2
+    (length(bin(n)) - 1 over integer quotients, the q_doc_surprisal
+    doctrine) — bits_raw = ilog2(total_raw/cnt) and bits_target =
+    ilog2((total_target + V)/(cnt_target + 1)) (add-one smoothing over the
+    raw vocabulary, so unseen-in-target terms get a finite penalty).  The
+    importance weight is the exact BIGINT sum of per-token bit
+    differences; ranking and the quota cut are pure integer comparisons
+    (FLOAT_QUALS.md Class A end-to-end — no float anywhere).
+
+    Scale shape: two map-side-combinable token-count groupBys (raw and
+    target) whose outputs live on the Zipf-bounded vocabulary; per-term
+    bits computed once on that metadata relation with the two 1-row
+    totals broadcast; one annotate join back to the exploded tokens and a
+    doc-keyed rollup.  The global ranking uses the two-phase distributed
+    pattern (per-bucket counts -> broadcast offsets -> within-bucket
+    row_number) with weight_bits as the bucket key — the bucket domain is
+    the achievable range of bit sums, not corpus volume, so the broadcast
+    stays metadata-sized at any scale."""
+    from ..functions.text import tokens
+    from ._util import spread
+    from .analytics_ext import _rfm_rank_two_phase
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(tokens()).alias("term")
+    )
+    toks = spread(d, spark, "doc_id")
+    raw = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_r")
+    )
+    tot = raw.agg(
+        F.sum("cnt_r").cast("long").alias("total_r"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    tgt = (
+        toks.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_t"))
+    )
+    ttot = tgt.agg(
+        F.coalesce(F.sum("cnt_t"), F.lit(0)).cast("long").alias("total_t")
+    )
+    bits = (
+        raw.join(tgt, "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "term",
+            (F.length(F.bin(F.expr("total_r div cnt_r"))) - 1)
+            .cast("long")
+            .alias("bits_r"),
+            (
+                F.length(
+                    F.bin(
+                        F.expr(
+                            "(total_t + vocab) div (coalesce(cnt_t, 0) + 1)"
+                        )
+                    )
+                )
+                - 1
+            )
+            .cast("long")
+            .alias("bits_t"),
+        )
+    )
+    per_doc = (
+        toks.join(bits, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("bits_r") - F.col("bits_t"))
+            .cast("long")
+            .alias("weight_bits"),
+        )
+    )
+    n = per_doc.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ranked = _rfm_rank_two_phase(
+        per_doc, "weight_bits", True, [F.col("doc_id")], "dsir_rank"
+    )
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "n_tokens",
+        "weight_bits",
+        F.col("dsir_rank").cast("long").alias("dsir_rank"),
+        F.when(
+            F.col("dsir_rank") <= F.expr(f"n_docs div {_DSIR_QUOTA_DEN}"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("selected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source token-budget sampling (budget-capped corpus assembly)
+# --------------------------------------------------------------------------
+
+_BUDGET_HASH_BUCKET = 1 << 44  # 16 contiguous ranges of the 48-bit keyspace
+
+
+@register(
+    "q_token_budget_sample",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len({sql_tokens()}) AS BIGINT) AS n_tokens,
+               {sql_hash48("CAST(doc_id AS VARCHAR)")} AS hkey
+        FROM documents
+    ),
+    b AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM d
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM d
+    )
+    SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens,
+           CAST(CASE WHEN c.cum_tokens
+                          <= b.total_tokens // (b.n_sources * 2)
+                     THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM c CROSS JOIN b
+    """,
+    tags=("curation", "sampling", "budget", "mixture"),
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-capped per-source sampling — the corpus-assembly step
+    that takes each source's documents in a deterministic hash order and
+    keeps them until the source's TOKEN budget (here half the mean source
+    mass, computed from the corpus itself) is exhausted: the op behind
+    "cap every domain at N billion tokens" dataset recipes, where capping
+    by token mass (not doc count) is what actually equalizes influence.
+
+    Determinism: the within-source order is (hash48(doc_id), doc_id) —
+    content-stable and reshard-safe per the module's sampling doctrine;
+    cumulative mass, the budget, and the keep flag are exact BIGINT
+    arithmetic end-to-end (FLOAT_QUALS.md Class A).
+
+    Scale shape: the oracle's per-source running SUM is computed with the
+    two-phase distributed prefix-sum pattern (q_concat_chunk_packing's
+    contract, partitioned per source): per-(source, hash-range-bucket)
+    token totals -> running sum over the tiny bucket table broadcast back
+    as offsets -> within-bucket cumulative window.  Buckets are contiguous
+    ranges of the 48-bit hash keyspace, so within-bucket order + bucket
+    offsets reproduce the exact per-source global order; every
+    rank-carrying shuffle is keyed by (source, bucket) and parallelism
+    equals sources x buckets at any corpus size."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens()).cast("long").alias("n_tokens"),
+        hash48(F.col("doc_id").cast("string")).alias("hkey"),
+    ).withColumn("bucket", F.expr(f"hkey div {_BUDGET_HASH_BUCKET}"))
+    b = docs.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    bucket_sums = docs.groupBy("source", "bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)).alias(
+            "bucket_offset"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        docs.join(F.broadcast(offsets), ["source", "bucket"])
+        .withColumn(
+            "cum_tokens",
+            (F.col("bucket_offset") + F.sum("n_tokens").over(w_in)).cast(
+                "long"
+            ),
+        )
+        .crossJoin(F.broadcast(b))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "cum_tokens",
+            F.when(
+                F.col("cum_tokens")
+                <= F.expr("total_tokens div (n_sources * 2)"),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("kept"),
+        )
+    )

@@ -3686,3 +3686,76 @@ _patch_oracle(
 )
 
 _patch_oracle("dedup_embedding_neardup", _neardup_oracle())
+
+
+@register(
+    "q_ivf_cell_stats",
+    oracle=f"""
+    WITH {_SQL_IVF_CTES},
+    cells AS (
+        SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM assignment GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM cells)
+    SELECT c.centroid_id,
+           CAST(COALESCE(s.n_vectors, 0) AS BIGINT) AS n_vectors,
+           CAST(COALESCE(s.n_vectors, 0) AS DOUBLE) / t.total AS cell_share,
+           CAST(CASE WHEN {_IVF_K} * COALESCE(s.n_vectors, 0) > 2 * t.total
+                     THEN 1 ELSE 0 END AS BIGINT) AS flag_hot,
+           CAST(CASE WHEN s.n_vectors IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS flag_dead
+    FROM centroids c LEFT JOIN cells s ON s.centroid_id = c.centroid_id
+    CROSS JOIN tot t
+    """,
+    tags=("similarity", "ivf", "diagnostics", "report"),
+)
+def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-population health report for the deployed IVF coarse index —
+    the ANN-side analog of q_lsh_band_stats (every index the engine
+    deploys ships its own surveillance): per centroid, the assigned-vector
+    count, its share of the corpus, a hot-cell flag (cell > 2x the mean —
+    the integer cross-multiplication {_IVF_K}*n > 2*total), and a
+    dead-cell flag (zero assignments).  Cell skew IS the nprobe cost
+    model: a hot cell makes every probe that touches it scan a corpus-
+    scale posting list (the ADC stage's shuffle input), and dead cells
+    waste codebook capacity — the remedy (re-train the quantizer, split
+    the hot cell) is applied BEFORE p99 search latency melts down.
+
+    Scale shape: the shuffle-free closure-codebook assignment pass (the
+    same `_ivf_assignment` the search specs run) into one map-side-
+    combinable groupBy on {_IVF_K} keys, left-joined to the broadcast
+    centroid relation with the 1-row total — output is constant-size
+    ({_IVF_K} rows) at any corpus size."""
+    emb = _ivf_valid_emb(spark, sf_dir)
+    centroid_rows = _ivf_centroid_rows(emb)
+    cells = (
+        _ivf_assignment(emb, centroid_rows)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_assigned"))
+    )
+    cents = _ivf_centroid_frame(spark, centroid_rows).select("centroid_id")
+    tot = cells.agg(F.sum("n_assigned").cast("long").alias("total"))
+    return (
+        cents.join(cells, "centroid_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "centroid_id",
+            F.coalesce("n_assigned", F.lit(0)).cast("long").alias("n_vectors"),
+            (
+                F.coalesce("n_assigned", F.lit(0)).cast("double")
+                / F.col("total")
+            ).alias("cell_share"),
+            F.when(
+                _IVF_K * F.coalesce(F.col("n_assigned"), F.lit(0))
+                > 2 * F.col("total"),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("flag_hot"),
+            F.when(F.col("n_assigned").isNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("flag_dead"),
+        )
+    )

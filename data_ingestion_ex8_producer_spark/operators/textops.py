@@ -2177,3 +2177,366 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reason_mask"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Within-document repetition filters (the MassiveText/Gopher family)
+# --------------------------------------------------------------------------
+
+# Integer cross-multiplied thresholds (share > num/den), after the published
+# repetition-filter recipe (Rae et al. 2021, MassiveText, Appendix A1.1):
+# most-frequent token share > 0.20, most-frequent bigram share > 0.18,
+# duplicated-trigram instance share > 0.30.
+_REP_TOP1_NUM, _REP_TOP1_DEN = 1, 5
+_REP_TOP2_NUM, _REP_TOP2_DEN = 9, 50
+_REP_DUP3_NUM, _REP_DUP3_DEN = 3, 10
+
+
+@register(
+    "q_doc_repetition",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {sql_tokens()} AS ts FROM documents),
+    t1 AS (
+        SELECT doc_id, unnest(ts) AS term FROM toks
+    ),
+    c1 AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM t1 GROUP BY 1, 2
+    ),
+    d1 AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(MAX(cnt) AS BIGINT) AS top_token_cnt
+        FROM c1 GROUP BY 1
+    ),
+    t2 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        FROM toks
+    ),
+    c2 AS (
+        SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM t2 GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               CAST(MAX(cnt) AS BIGINT) AS top_bigram_cnt
+        FROM c2 GROUP BY 1
+    ),
+    t3 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts) - 1),
+                                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+                 AS trigram
+        FROM toks
+    ),
+    c3 AS (
+        SELECT doc_id, trigram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM t3 GROUP BY 1, 2
+    ),
+    d3 AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+               CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+                 AS dup_trigram_cnt
+        FROM c3 GROUP BY 1
+    ),
+    j AS (
+        SELECT d1.doc_id, d1.n_tokens, d1.top_token_cnt,
+               COALESCE(d2.n_bigrams, 0) AS n_bigrams,
+               COALESCE(d2.top_bigram_cnt, 0) AS top_bigram_cnt,
+               COALESCE(d3.n_trigrams, 0) AS n_trigrams,
+               COALESCE(d3.dup_trigram_cnt, 0) AS dup_trigram_cnt
+        FROM d1 LEFT JOIN d2 ON d2.doc_id = d1.doc_id
+                LEFT JOIN d3 ON d3.doc_id = d1.doc_id
+    )
+    SELECT doc_id, n_tokens, top_token_cnt, n_bigrams, top_bigram_cnt,
+           n_trigrams, dup_trigram_cnt,
+           CAST(top_token_cnt AS DOUBLE) / n_tokens AS top_token_share,
+           CASE WHEN n_trigrams = 0 THEN 0.0
+                ELSE CAST(dup_trigram_cnt AS DOUBLE) / n_trigrams
+           END AS dup_trigram_share,
+           CAST(CASE WHEN {_REP_TOP1_DEN} * top_token_cnt
+                          > {_REP_TOP1_NUM} * n_tokens THEN 1 ELSE 0 END
+                + CASE WHEN {_REP_TOP2_DEN} * top_bigram_cnt
+                            > {_REP_TOP2_NUM} * n_bigrams THEN 2 ELSE 0 END
+                + CASE WHEN {_REP_DUP3_DEN} * dup_trigram_cnt
+                            > {_REP_DUP3_NUM} * n_trigrams THEN 4 ELSE 0 END
+             AS BIGINT) AS rep_mask
+    FROM j
+    """,
+    tags=("text", "quality", "repetition", "filtering"),
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filters — the published MassiveText/Gopher
+    repetition battery (most-frequent-token share, most-frequent-bigram
+    share, duplicated-trigram instance share) that removes the
+    stuck-in-a-loop / keyword-stuffed documents perplexity filters miss
+    (a doc repeating one rare phrase scores HIGH on surprisal but is
+    worthless training data).  Each signal is an exact integer count; the
+    thresshold battery is integer cross-multiplication (FLOAT_QUALS.md
+    Class A) packed into a bitmask (1 = top token > 20%, 2 = top bigram >
+    18%, 4 = dup trigrams > 30%, the q_quality_gate reason-mask idiom);
+    reported shares are single divisions of those integers (Class B).
+
+    Scale shape: three per-(doc, gram) map-side-combinable groupBys — the
+    key domain is each DOCUMENT's OWN grams, so partial aggregation does
+    nearly all the work scan-side and the shuffled relation is bounded by
+    distinct-grams-per-doc, not corpus volume; the rollups then reduce on
+    doc_id alone, and the final assembly is two doc-keyed left joins.  No
+    cross-document state at all — the filter parallelizes embarrassingly
+    at any corpus size (contrast the corpus-level annotate joins of
+    q_doc_surprisal: this battery needs NO vocabulary relation)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", tokens().alias("ts"))
+    t1 = spread(
+        docs.select("doc_id", F.explode("ts").alias("term")), spark, "doc_id"
+    )
+    d1 = (
+        t1.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.max("cnt").cast("long").alias("top_token_cnt"),
+        )
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', element_at(ts, i + 2)))"
+            )
+        ).alias("bigram"),
+    )
+    d2 = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.max("cnt").cast("long").alias("top_bigram_cnt"),
+        )
+    )
+    tg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, greatest(size(ts) - 2, 0)),"
+                " (x, i) -> concat(x, ' ', element_at(ts, i + 2),"
+                "                  ' ', element_at(ts, i + 3)))"
+            )
+        ).alias("trigram"),
+    )
+    d3 = (
+        tg.groupBy("doc_id", "trigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_trigrams"),
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("dup_trigram_cnt"),
+        )
+    )
+    j = (
+        d1.join(d2, "doc_id", "left")
+        .join(d3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_token_cnt",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("dup_trigram_cnt", F.lit(0)).alias("dup_trigram_cnt"),
+        )
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "top_token_cnt",
+        "n_bigrams",
+        "top_bigram_cnt",
+        "n_trigrams",
+        "dup_trigram_cnt",
+        (F.col("top_token_cnt").cast("double") / F.col("n_tokens")).alias(
+            "top_token_share"
+        ),
+        F.when(F.col("n_trigrams") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("dup_trigram_cnt").cast("double") / F.col("n_trigrams")
+        )
+        .alias("dup_trigram_share"),
+        (
+            F.when(
+                _REP_TOP1_DEN * F.col("top_token_cnt")
+                > _REP_TOP1_NUM * F.col("n_tokens"),
+                1,
+            ).otherwise(0)
+            + F.when(
+                _REP_TOP2_DEN * F.col("top_bigram_cnt")
+                > _REP_TOP2_NUM * F.col("n_bigrams"),
+                2,
+            ).otherwise(0)
+            + F.when(
+                _REP_DUP3_DEN * F.col("dup_trigram_cnt")
+                > _REP_DUP3_NUM * F.col("n_trigrams"),
+                4,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("rep_mask"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Prefix-boilerplate duplicate groups
+# --------------------------------------------------------------------------
+
+_PREFIX_DUP_TOKENS = 16  # header length that defines a shared boilerplate
+
+
+@register(
+    "q_doc_prefix_dup",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   ({sql_tokens()})[1:{_PREFIX_DUP_TOKENS}], ' ')) AS prefix_md5
+        FROM documents
+    )
+    SELECT prefix_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS survivor_doc_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dup_docs
+    FROM p GROUP BY prefix_md5 HAVING COUNT(*) >= 2
+    """,
+    tags=("text", "dedup", "boilerplate", "report"),
+)
+def q_doc_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix (boilerplate header) duplicate groups: documents whose
+    first {_PREFIX_DUP_TOKENS} tokens hash identically, grouped with a
+    min-doc_id survivor — the cheap screen for template/header duplication
+    that whole-document exact dedup misses (bodies differ) and pairwise
+    near-dup runs too expensively to find (crawl corpora share navigation
+    headers across millions of otherwise-distinct pages).  22 groups at
+    sf0.01.  md5 prefix hashing is the portable-hash contract
+    (functions/text.py); survivor selection is MIN(doc_id), an
+    order-independent exact aggregate.
+
+    Scale shape: one narrow scan-stage projection (slice + concat + md5 —
+    no explode, the prefix is bounded at {_PREFIX_DUP_TOKENS} tokens
+    regardless of document length) into a single map-side-combinable
+    groupBy on the uniform 128-bit key; the HAVING prunes the unique mass
+    before anything leaves the aggregate.  The same shape at 100 TB: cost
+    is one scan plus a combiner shuffle of distinct prefix hashes."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(tokens(), 1, _PREFIX_DUP_TOKENS))
+        ).alias("prefix_md5"),
+    )
+    return (
+        docs.groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("survivor_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "prefix_md5",
+            "n_docs",
+            "survivor_doc_id",
+            (F.col("n_docs") - 1).cast("long").alias("n_dup_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus frequency-spectrum (Zipf) profile
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_zipf_profile",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({sql_tokens()}) AS term FROM documents
+    ),
+    cnts AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(cnt) AS BIGINT) AS total_tokens
+        FROM cnts
+    ),
+    dec AS (
+        SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS freq_decade,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(cnt) AS BIGINT) AS n_instances
+        FROM cnts GROUP BY 1
+    )
+    SELECT freq_decade, n_terms, n_instances,
+           CAST(n_terms AS DOUBLE) / vocab AS term_share,
+           CAST(n_instances AS DOUBLE) / total_tokens AS mass_share
+    FROM dec CROSS JOIN tot
+    """,
+    tags=("text", "corpus", "zipf", "report"),
+)
+def q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency-spectrum profile — the Zipf-health report a corpus
+    curator reads before trusting any frequency-derived signal: for each
+    integer-log2 frequency decade (floor(log2(term count))), how many
+    distinct terms live there and how much token MASS they carry.  A
+    healthy natural corpus shows the Zipf signature (term count falling
+    ~geometrically per decade while mass stays spread); a scrape gone
+    wrong shows up instantly as a bulge (template spam inflates one high
+    decade) or a missing hapax tail (over-aggressive dedup).  The decade
+    is the repo's integer log2 (length(bin(n)) - 1) — exact BIGINT
+    end-to-end; the two share columns are single divisions of exact
+    integers (FLOAT_QUALS.md Class B, reported only).
+
+    Scale shape: one map-side-combinable term-count groupBy (the same
+    Zipf-bounded vocabulary relation q_doc_surprisal builds), then a
+    SECOND tiny groupBy OF that metadata relation onto ~20 decade keys
+    with the 1-row totals broadcast — the output is constant-size (≤64
+    rows) at any corpus size, and nothing after the first aggregate
+    touches corpus volume."""
+    toks = spread(
+        t(spark, sf_dir, "documents").select(
+            F.explode(tokens()).alias("term")
+        ),
+        spark,
+    )
+    cnts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = cnts.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+    )
+    dec = (
+        cnts.select(
+            (F.length(F.bin(F.col("cnt"))) - 1)
+            .cast("long")
+            .alias("freq_decade"),
+            "cnt",
+        )
+        .groupBy("freq_decade")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("cnt").cast("long").alias("n_instances"),
+        )
+    )
+    return dec.crossJoin(F.broadcast(tot)).select(
+        "freq_decade",
+        "n_terms",
+        "n_instances",
+        (F.col("n_terms").cast("double") / F.col("vocab")).alias(
+            "term_share"
+        ),
+        (
+            F.col("n_instances").cast("double") / F.col("total_tokens")
+        ).alias("mass_share"),
+    )

@@ -227,14 +227,34 @@ def register(
 # q_cross_lingual_overlap + text_quality_score + q_contamination_check;
 # multimodal mm_frame_sample (keeps the family at 2 reps).
 # q_semantic_dedup_curve STAYS — it needs a green round with the r8
-# HUGEINT oracle fix.  Every rotated-out name remains exact-oracle-verified
+# HUGEINT oracle fix.  Late in round 8 (the standing late-round precedent:
+# the round's own additions join the window so every r8 spec carries
+# driver evidence this round) the five new oracled curation/analysis ops
+# joined: q_doc_repetition + q_zipf_profile (text), q_doc_prefix_dup
+# (dedup/boilerplate), q_dsir_importance + q_token_budget_sample
+# (curation/selection).  Displaced, per the multi-green-veteran precedent
+# with every family keeping >=1 rep: q_top_orders (driver-green r1-r7;
+# TakeOrderedAndProject stays plan-asserted in test_plans.py and ranked
+# top-k coverage stays via q_topk_per_group), q_copurchase_pairs (green
+# r6-r7; analytics keeps triangles+pagerank+rfm), q_event_burst_gapfilled
+# (green r6-r7; events keep 4 reps), q_dedup_threshold_curve (green
+# r6-r7; dedup keeps 9 reps incl. both curves' shared banding via
+# q_semantic_dedup_curve), and q_hybrid_agreement (green r6-r7;
+# similarity keeps the production fusion q_hybrid_rrf_ivfpq + the IVF-PQ
+# pair + range search).  The rows-only q_ivf_argmax_margin_canary stays
+# OUT of the window by design (pytest-pinned; a driver row would record
+# only the weaker rows-only check).
+# Final late-r8 admission: q_ivf_cell_stats (the IVF index-health report,
+# the ANN-side q_lsh_band_stats) displaced q_regex_extract (driver-green
+# r1-r7; scalars keep the three fresh reps q_json_extract + q_try_funcs +
+# q_variant_json).
+# Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
 # after the priority block.
 _PRIORITY: tuple[str, ...] = (
     # relational: scan/filter/project, sort/limit, joins
     "q1_pricing_summary",
-    "q_top_orders",
     # TPC-H style multi-join analytics
     "q3_shipping_priority",
     "q18_large_volume_customer",
@@ -249,7 +269,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_range_frame",
     "q_window_distribution",
     # scalar functions
-    "q_regex_extract",
     "q_json_extract",
     "q_try_funcs",
     "q_variant_json",
@@ -257,16 +276,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_lateral_topn",
     # extended analytics + reports
     "q_customer_rfm",
-    "q_copurchase_pairs",
     "q_copurchase_triangles",
     "q_part_pagerank",
     # event-time + event-sequence analytics
-    "q_event_burst_gapfilled",
     "q_seasonal_hourly_anomaly",
     "q_retention_cohorts",
     "q_session_window_dynamic",
     # deduplication
-    "q_dedup_threshold_curve",
     "q_semantic_dedup_curve",
     "dedup_prefix_filter",
     "dedup_edit_distance",
@@ -275,18 +291,21 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "q_dedup_cluster_stats",
     "dedup_embedding_neardup",
+    "q_doc_prefix_dup",
     # text analysis + tokenizer signals + lexical retrieval
     "q_bm25_mlt_topk",
     "q_doc_length_histogram",
     "q_cross_lingual_overlap",
     "text_quality_score",
     "q_contamination_check",
+    "q_doc_repetition",
+    "q_zipf_profile",
     # similarity search + ANN evaluation + hybrid
     "q_hybrid_rrf_ivfpq",
-    "q_hybrid_agreement",
     "sim_ivfpq_topk",
     "q_ivfpq_recall",
     "sim_range_search",
+    "q_ivf_cell_stats",
     # multimodal
     "mm_binary_stats",
     "mm_frame_sample",
@@ -297,6 +316,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_emb_top_component",
     "q_emb_remove_top_component",
     "q_key_skew_profile",
+    "q_dsir_importance",
+    "q_token_budget_sample",
 )
 
 
