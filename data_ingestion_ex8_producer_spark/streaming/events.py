@@ -146,3 +146,19 @@ def ohlc_bars_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame
             "volume",
         )
     )
+
+
+def stream_documents_fixture(
+    spark: SparkSession, sf_dir: str, staging_dir: str
+) -> DataFrame:
+    """Replay the documents parquet as a file-source stream (one file = one
+    micro-batch input) — the fixture for document-pipeline streaming twins
+    (token-budget gate)."""
+    import shutil
+    from pathlib import Path
+
+    staging = Path(staging_dir)
+    staging.mkdir(parents=True, exist_ok=True)
+    shutil.copy(f"{sf_dir}/documents.parquet", staging / "documents.parquet")
+    batch = spark.read.parquet(str(staging / "documents.parquet"))
+    return spark.readStream.schema(batch.schema).parquet(str(staging))

@@ -1025,3 +1025,84 @@ def robust_outliers_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming token-budget gate (the q_token_budget_sample twin)
+# --------------------------------------------------------------------------
+
+TOKEN_BUDGET_SCHEMA = (
+    "doc_id bigint, source string, n_tokens bigint, cum_tokens bigint,"
+    " kept bigint"
+)
+_TBG_STATE_SCHEMA = "cum bigint"
+
+
+def _make_update_token_budget(budget: int):
+    """Closure factory: the budget is a per-deployment constant (the batch
+    spec derives it from corpus totals; a stream cannot know them upfront,
+    so the gate takes it as a parameter — the operational shape anyway:
+    'cap this source at N tokens')."""
+
+    def _update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Per-source running token mass; a document is admitted iff the
+        cumulative mass INCLUDING it is within budget (the batch spec's
+        positional-cut semantics: rejected docs still advance the
+        cursor).  Within one micro-batch rows are ordered by (hash48,
+        doc_id) — so a single availableNow batch reproduces the batch
+        q_token_budget_sample row-for-row; across batches the order is
+        arrival order, the documented online contract.  State is one
+        BIGINT per source — constant size forever."""
+        (cum,) = state.get if state.exists else (0,)
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf) == 0:
+            state.update((cum,))
+            return
+        pdf = pdf.sort_values(
+            ["hkey", "doc_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        cums = pdf["n_tokens"].astype("int64").cumsum() + cum
+        cum = int(cums.iloc[-1])
+        state.update((cum,))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "source": key[0],
+                "n_tokens": pdf["n_tokens"].astype("int64"),
+                "cum_tokens": cums.astype("int64"),
+                "kept": (cums <= budget).astype("int64"),
+            }
+        )
+
+    return _update
+
+
+def token_budget_gate_stream(docs: DataFrame, budget_tokens: int) -> DataFrame:
+    """Streaming per-source token-budget gate: admit arriving documents
+    until each source's cumulative token mass exhausts ``budget_tokens``
+    — quota enforcement at ingest time, the online twin of the batch
+    q_token_budget_sample (operators/pipeline.py).  tests/
+    test_streaming_stateful.py pins a single availableNow batch
+    row-for-row against the batch spec and the exact split-batch
+    associativity of the cumulative state."""
+    from ..functions.text import hash48, tokens
+
+    toks = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    ).select(
+        "doc_id",
+        "source",
+        F.size(tokens()).cast("long").alias("n_tokens"),
+        hash48(F.col("doc_id").cast("string")).alias("hkey"),
+    )
+    return toks.groupBy("source").applyInPandasWithState(
+        _make_update_token_budget(int(budget_tokens)),
+        outputStructType=TOKEN_BUDGET_SCHEMA,
+        stateStructType=_TBG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

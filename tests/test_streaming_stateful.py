@@ -1384,3 +1384,98 @@ def test_robust_state_bin_cap_fails_fast() -> None:
             list(_st._update_robust(("buy",), iter([vals]), st))
     finally:
         _st._RO_MAX_BINS = old
+
+
+def _budget_for(spark) -> int:
+    """The batch spec's budget: total corpus tokens div (n_sources * 2)."""
+    from data_ingestion_ex8_producer_spark.functions.text import tokens
+    from data_ingestion_ex8_producer_spark.operators._util import t
+
+    row = (
+        t(spark, SF, "documents")
+        .select(F.size(tokens()).cast("long").alias("n"), "source")
+        .agg(
+            F.sum("n").cast("long").alias("total"),
+            F.countDistinct("source").cast("long").alias("ns"),
+        )
+        .collect()[0]
+    )
+    return int(row["total"]) // (int(row["ns"]) * 2)
+
+
+@pytest.mark.slow
+def test_streaming_token_budget_matches_batch(spark, tmp_path: Path) -> None:
+    """Single availableNow batch: the streaming token-budget gate must emit
+    exactly the batch q_token_budget_sample rows (the within-batch
+    (hash48, doc_id) ordering reproduces the batch spec's hash order)."""
+    from data_ingestion_ex8_producer_spark.operators.pipeline import (
+        q_token_budget_sample,
+    )
+    from data_ingestion_ex8_producer_spark.streaming.events import (
+        stream_documents_fixture,
+    )
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        token_budget_gate_stream,
+    )
+
+    docs = stream_documents_fixture(spark, SF, str(tmp_path / "tbg"))
+    _run(
+        token_budget_gate_stream(docs, _budget_for(spark)),
+        "stream_tbg",
+        "append",
+    )
+    got = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"], r["kept"])
+        for r in spark.sql("SELECT * FROM stream_tbg").collect()
+    }
+    expected = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"], r["kept"])
+        for r in q_token_budget_sample(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_token_budget_state_split_batches_sum_exactly() -> None:
+    """The cumulative-mass state is a plain BIGINT sum, so after ANY batch
+    split the final cursor equals the single-batch cursor exactly, and
+    every emitted row's kept flag is cum <= budget relative to the running
+    cursor (the documented online arrival-order contract)."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        _make_update_token_budget,
+    )
+
+    def _docs(ids, toks, hks):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "source": "s0",
+                "n_tokens": pd.Series(toks, dtype="int64"),
+                "hkey": pd.Series(hks, dtype="int64"),
+            }
+        )
+
+    update = _make_update_token_budget(100)
+    a = _docs([1, 2], [40, 30], [5, 9])
+    b = _docs([3, 4], [40, 10], [1, 7])  # doc 3 hashes EARLIER than batch a
+    split = _FakeState()
+    out_a = pd.concat(update(("s0",), iter([a]), split))
+    out_b = pd.concat(update(("s0",), iter([b]), split))
+    single = _FakeState()
+    out_single = pd.concat(
+        update(("s0",), iter([pd.concat([a, b], ignore_index=True)]), single)
+    )
+    # cursor state is exactly associative under any split
+    assert split.get == single.get == (120,)
+    # online contract: batch a admits 40+30; batch b's doc 3 arrives with
+    # only 30 budget left and is rejected even though its hash order would
+    # have admitted it in the single-batch run
+    ka = dict(zip(out_a["doc_id"], out_a["kept"]))
+    kb = dict(zip(out_b["doc_id"], out_b["kept"]))
+    assert ka == {1: 1, 2: 1} and kb == {3: 0, 4: 0}
+    ks = dict(zip(out_single["doc_id"], out_single["kept"]))
+    assert ks == {3: 1, 1: 1, 4: 1, 2: 0}  # hash order: 3(40) 1(40) 4(10) 2(30)
+    # every emission is internally consistent: kept == (cum <= budget)
+    for out in (out_a, out_b, out_single):
+        assert ((out["cum_tokens"] <= 100).astype("int64") == out["kept"]).all()
