@@ -116,6 +116,19 @@ PROBE_QUERIES = (
     # inputs plus two doc-keyed joins)
     "q_quality_gate",
     "q_temperature_mixture",
+    # r8: the curation/analysis additions — repetition battery (per-doc
+    # combinable groupBys, NO cross-document state), prefix-dup screen (one
+    # combiner groupBy on md5), DSIR selection (vocab-bounded annotate join
+    # + two-phase ranking over the bit-sum bucket domain), token-budget
+    # sampling (two-phase per-source prefix sum), Zipf spectrum (second
+    # tiny groupBy OF the vocab relation), IVF cell health (shuffle-free
+    # assignment into a K-key groupBy)
+    "q_doc_repetition",
+    "q_doc_prefix_dup",
+    "q_dsir_importance",
+    "q_token_budget_sample",
+    "q_zipf_profile",
+    "q_ivf_cell_stats",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
@@ -500,7 +513,7 @@ def main() -> None:
         "near-uniform dfs -> weak prefixes): the replicated corpus adds "
         "documents, not vocabulary skew, so candidate growth stays "
         "~linear; its exact verify equals dedup_ngram_jaccard_exact's "
-        "answers by construction, checked by the shared oracle.  The last pair: q_activity_islands is flat (1.0x — its windows ride calendar-bounded hourly cells, the same fixed key domain as the EWMA/seasonal rollups); q_incremental_semantic_dedup probes 7.4x, the steepest new curve, because the replica construction grows BOTH sides of its one-sided join (batch 10x AND archive 10x, with exact-copy vectors, so per-cell pair counts grow ~100x/K) — the operator's own contract is the fixed-batch regime, where cost grows with archive/K only, and the remedy is the same K-raising rule every cell-restricted operator documents.  The r7 curation/analysis rows (ratios vary ~±1 run-to-run at these sub-5s absolute costs; every run has landed them at or below the 10x data ratio): q_robust_outliers is near-flat (~1.5x — both order statistics come from per-type value HISTOGRAMS whose key domain is the 1e-2 grid, so volume only deepens the map-side combine), as is mm_shard_manifest (~1.3x — the same two-phase prefix sum the token packer uses, with a shard-cardinality manifest as output); q_leakage_safe_split (~2.7x) pays the dedup_clusters iterations plus one left join, both riding the capped pair relation; q_quality_gate (~2.9x) is the sum of its three annotate-pipeline inputs plus two doc-keyed joins; q_hard_negatives (~3.1x) is the broadcast-scan shape — corpus enters one scan and one pruned window; q_source_similarity (~4.1x) grows the distinct (source, shingle) relation ~linearly while its pair space stays catalog-bounded; q_collocations (~4.4x) and q_doc_bigram_lm (~5.5x) track the distinct-bigram relation, Zipf-sublinear under the suffix-token replica construction; q_pii_redact (~4.3x at a 0.2 s base) is a pure scan-stage map whose ratio is fixed-overhead arithmetic, not plan growth; and q_temperature_mixture is flat (~1.1x — catalog-keyed metadata arithmetic at any corpus size).",
+        "answers by construction, checked by the shared oracle.  The last pair: q_activity_islands is flat (1.0x — its windows ride calendar-bounded hourly cells, the same fixed key domain as the EWMA/seasonal rollups); q_incremental_semantic_dedup probes 7.4x, the steepest new curve, because the replica construction grows BOTH sides of its one-sided join (batch 10x AND archive 10x, with exact-copy vectors, so per-cell pair counts grow ~100x/K) — the operator's own contract is the fixed-batch regime, where cost grows with archive/K only, and the remedy is the same K-raising rule every cell-restricted operator documents.  The r7 curation/analysis rows (ratios vary ~±1 run-to-run at these sub-5s absolute costs; every run has landed them at or below the 10x data ratio): q_robust_outliers is near-flat (~1.5x — both order statistics come from per-type value HISTOGRAMS whose key domain is the 1e-2 grid, so volume only deepens the map-side combine), as is mm_shard_manifest (~1.3x — the same two-phase prefix sum the token packer uses, with a shard-cardinality manifest as output); q_leakage_safe_split (~2.7x) pays the dedup_clusters iterations plus one left join, both riding the capped pair relation; q_quality_gate (~2.9x) is the sum of its three annotate-pipeline inputs plus two doc-keyed joins; q_hard_negatives (~3.1x) is the broadcast-scan shape — corpus enters one scan and one pruned window; q_source_similarity (~4.1x) grows the distinct (source, shingle) relation ~linearly while its pair space stays catalog-bounded; q_collocations (~4.4x) and q_doc_bigram_lm (~5.5x) track the distinct-bigram relation, Zipf-sublinear under the suffix-token replica construction; q_pii_redact (~4.3x at a 0.2 s base) is a pure scan-stage map whose ratio is fixed-overhead arithmetic, not plan growth; and q_temperature_mixture is flat (~1.1x — catalog-keyed metadata arithmetic at any corpus size).  The r8 curation rows: q_dsir_importance (~1.8x) is the annotate-join + two-phase-ranking shape — both count relations live on the Zipf-bounded vocabulary; q_token_budget_sample (~2.7x) and q_doc_prefix_dup (~3.0x) are one two-phase prefix sum / one combiner groupBy riding the scan; q_ivf_cell_stats (~2.3x) is the shuffle-free assignment pass into a K-key rollup; q_zipf_profile (~3.2x) pays only the vocabulary groupBy (the decade rollup is metadata); q_doc_repetition (~7.0x) is the steepest r8 curve and the honest shape of its contract: the trigram+bigram explodes roughly triple the exploded-token volume, ALL of it inside per-doc combinable groupBys — cost is linear in corpus tokens with a constant gram-order factor, and nothing cross-document exists to bend it quadratic.",
     ]
     # r7 (VERDICT r6 #5): graduate the edit-distance scale explanation from
     # prose to measurement — seconds per MILLION LSH candidate pairs at 1x
