@@ -230,3 +230,102 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-bucketed proximity self-join (the band-join scale pattern)
+# --------------------------------------------------------------------------
+
+_PROX_WINDOW_US = 300_000_000  # +/- 5 minutes, exact integer microseconds
+
+
+@register(
+    "q_event_proximity_pairs",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) AS t_us
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT a.user_id,
+           a.event_id AS event_id_a,
+           b.event_id AS event_id_b,
+           a.event_type AS type_a,
+           b.event_type AS type_b,
+           CAST(b.t_us - a.t_us AS BIGINT) AS dt_us
+    FROM e a JOIN e b
+      ON b.user_id = a.user_id
+     AND b.event_id > a.event_id
+     AND abs(b.t_us - a.t_us) <= {_PROX_WINDOW_US}
+    """,
+    tags=("events", "join", "temporal", "scale-pattern"),
+)
+def q_event_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal proximity self-join: all same-user event pairs within
+    +/- 5 minutes — the primitive behind co-occurrence mining, duplicate-
+    click detection, and cross-device stitching.  The oracle states the
+    intent as a naive theta self-join (|dt| <= w), which no engine can
+    hash; the builder runs the TIME-BUCKETED BAND JOIN every production
+    stream processor uses instead: bucket = epoch_us div w, each left row
+    probes buckets {{b-1, b, b+1}}, so the join is a plain EQUI-join on
+    (user_id, bucket) and the theta predicate only ever evaluates on
+    candidates from adjacent 5-minute cells.  Each qualifying pair
+    matches on exactly ONE probe bucket (b's own), so no dedup step is
+    needed.  All arithmetic is exact BIGINT microseconds (unix_micros ==
+    DuckDB epoch_us; the signed dt is reported raw — never floor-divided,
+    where the two engines' negative-division conventions differ).
+
+    Scale shape: candidate volume is bounded by per-(user, 5-min-cell)
+    density — 3 cells per probe — instead of per-user history squared;
+    the equi-join shuffles on the uniform (user_id, bucket) composite
+    key.  A user parked in one hot cell is the q_key_skew_profile
+    surveillance case, and the remedy (salt the hot cell) composes with
+    q_salted_join's pattern above."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("unix_micros(ts)").alias("t_us"),
+        )
+        .withColumn("bucket", F.expr(f"t_us div {_PROX_WINDOW_US}"))
+    )
+    probes = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("event_id_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("t_us").alias("t_us_a"),
+        F.explode(
+            F.array(
+                F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+            )
+        ).alias("bucket"),
+    )
+    right = e.select(
+        "user_id",
+        "bucket",
+        F.col("event_id").alias("event_id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("t_us").alias("t_us_b"),
+    )
+    return (
+        probes.join(right, ["user_id", "bucket"])
+        .filter(
+            (F.col("event_id_b") > F.col("event_id_a"))
+            & (
+                F.abs(F.col("t_us_b") - F.col("t_us_a"))
+                <= F.lit(_PROX_WINDOW_US)
+            )
+        )
+        .select(
+            "user_id",
+            "event_id_a",
+            "event_id_b",
+            "type_a",
+            "type_b",
+            (F.col("t_us_b") - F.col("t_us_a")).cast("long").alias("dt_us"),
+        )
+    )

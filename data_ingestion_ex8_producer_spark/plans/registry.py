@@ -247,7 +247,11 @@ def register(
 # Final late-r8 admission: q_ivf_cell_stats (the IVF index-health report,
 # the ANN-side q_lsh_band_stats) displaced q_regex_extract (driver-green
 # r1-r7; scalars keep the three fresh reps q_json_extract + q_try_funcs +
-# q_variant_json).
+# q_variant_json).  And q_event_proximity_pairs (the time-bucketed
+# band join — the theta-join scale pattern) displaced
+# q18_large_volume_customer (driver-green r1-r7; joins keep q3 plus the
+# new band join, and q18's having-subquery machinery stays covered by the
+# subquery family).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -257,7 +261,6 @@ _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     # TPC-H style multi-join analytics
     "q3_shipping_priority",
-    "q18_large_volume_customer",
     # aggregation
     "q_dataset_card",
     "q_median_quartiles",
@@ -282,6 +285,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_seasonal_hourly_anomaly",
     "q_retention_cohorts",
     "q_session_window_dynamic",
+    "q_event_proximity_pairs",
     # deduplication
     "q_semantic_dedup_curve",
     "dedup_prefix_filter",

@@ -129,6 +129,8 @@ PROBE_QUERIES = (
     "q_token_budget_sample",
     "q_zipf_profile",
     "q_ivf_cell_stats",
+    # final r8: the time-bucketed band join (theta -> 3-probe equi-join)
+    "q_event_proximity_pairs",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
