@@ -204,3 +204,49 @@ def test_quality_gate_verdicts_are_consistent(spark) -> None:
     for r in rows:
         assert 0 <= r.reason_mask <= 15
         assert r.keep == (1 if r.reason_mask == 0 else 0)
+
+
+def test_doc_repetition_short_doc_guards(spark, tmp_path) -> None:
+    """Documents with fewer than 3 (or 2) tokens exercise the
+    greatest(size-k, 0) slice guards and the LEFT JOIN + COALESCE zero
+    paths — branches the sf fixtures never hit (min doc length there is
+    10 tokens).  Differential against the same DuckDB oracle on a
+    synthetic corpus."""
+    import duckdb
+
+    from data_ingestion_ex8_producer_spark.operators.textops import (
+        q_doc_repetition,
+    )
+    from data_ingestion_ex8_producer_spark.plans.registry import all_specs
+    from tools.check_correctness import frame_fingerprint
+
+    rows = [
+        (1, "solo", "en", "s0", 4),                    # 1 token: no bigrams
+        (2, "two tokens", "en", "s0", 10),             # 2: no trigrams
+        (3, "a a a a a", "en", "s0", 9),               # degenerate repeat
+        (4, "x y x y x y", "en", "s0", 11),            # alternating bigram
+        (5, "normal words vary here nicely today", "en", "s0", 35),
+    ]
+    sf_dir = str(tmp_path / "mini")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    sdf = q_doc_repetition(spark, sf_dir)
+    s_fp = frame_fingerprint(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(all_specs()["q_doc_repetition"].oracle)
+    o_fp = frame_fingerprint([d[0] for d in cur.description], cur.fetchall())
+    assert s_fp == o_fp
+
+    got = {r["doc_id"]: r.asDict() for r in sdf.collect()}
+    assert got[1]["n_bigrams"] == 0 and got[1]["n_trigrams"] == 0
+    assert got[2]["n_bigrams"] == 1 and got[2]["n_trigrams"] == 0
+    assert got[3]["rep_mask"] & 1  # one token is 100% of the doc
+    assert got[3]["dup_trigram_share"] == 1.0
+    assert got[4]["rep_mask"] & 2  # 'x y' is 3 of 5 bigrams
