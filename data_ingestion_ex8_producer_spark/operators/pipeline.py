@@ -2050,3 +2050,106 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Data-constrained epoch allocation (repeat-data budget planner)
+# --------------------------------------------------------------------------
+
+_EPOCH_BUDGET_MULT = 2  # token budget = 2x the unique corpus mass
+_EPOCH_MAX_MILLI = 4000  # repeat any source at most 4 epochs (milli-units)
+
+
+@register(
+    "q_epoch_allocation",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, CAST(len({sql_tokens()}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    m AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS mass_tokens
+        FROM d GROUP BY source
+    ),
+    b AS (
+        SELECT CAST({_EPOCH_BUDGET_MULT} * SUM(mass_tokens) AS BIGINT)
+                 AS budget,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM m
+    ),
+    a AS (
+        SELECT m.source, m.mass_tokens,
+               LEAST(({_EPOCH_MAX_MILLI} * m.mass_tokens) // 1000,
+                     b.budget // b.n_sources) AS tokens_served
+        FROM m CROSS JOIN b
+    )
+    SELECT a.source, a.mass_tokens,
+           CAST(a.tokens_served AS BIGINT) AS tokens_served,
+           CAST((a.tokens_served * 1000) // a.mass_tokens AS BIGINT)
+             AS epochs_milli,
+           CAST(CASE WHEN a.tokens_served > a.mass_tokens THEN 1 ELSE 0 END
+                AS BIGINT) AS flag_repeated,
+           CAST(b.budget - (SELECT SUM(tokens_served) FROM a) AS BIGINT)
+             AS budget_leftover
+    FROM a CROSS JOIN b
+    """,
+    tags=("curation", "mixture", "budget", "epochs"),
+)
+def q_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch allocation — the repeat-data budget planner
+    from the data-constrained scaling literature (Muennighoff et al.
+    2023: repeating a source up to ~4 epochs retains most of its value;
+    beyond that, excess budget should move elsewhere): each source gets
+    an equal share of a {_EPOCH_BUDGET_MULT}x-the-corpus token budget,
+    capped at 4 epochs of its own unique mass, with the per-source
+    milli-epoch count, a repetition flag, and the corpus-level leftover
+    the planner would redistribute in its next pass.  All arithmetic is
+    exact BIGINT (integer floor division on positive operands, where both
+    engines agree — FLOAT_QUALS.md Class A); the 4-epoch cap is the
+    LEAST of two integers.
+
+    Scale shape: one map-side-combinable per-source token-mass groupBy
+    (the |sources|-row catalog relation), a 1-row budget broadcast, and
+    catalog-sized arithmetic — nothing after the first aggregate touches
+    corpus volume."""
+    from ..functions.text import tokens
+
+    m = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.size(tokens()).cast("long").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("mass_tokens"))
+    )
+    b = m.agg(
+        (_EPOCH_BUDGET_MULT * F.sum("mass_tokens"))
+        .cast("long")
+        .alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    a = m.crossJoin(F.broadcast(b)).select(
+        "source",
+        "mass_tokens",
+        F.least(
+            F.expr(f"({_EPOCH_MAX_MILLI} * mass_tokens) div 1000"),
+            F.expr("budget div n_sources"),
+        )
+        .cast("long")
+        .alias("tokens_served"),
+        "budget",
+    )
+    tot = a.agg(F.sum("tokens_served").cast("long").alias("served_total"))
+    return a.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "mass_tokens",
+        "tokens_served",
+        F.expr("(tokens_served * 1000) div mass_tokens")
+        .cast("long")
+        .alias("epochs_milli"),
+        F.when(F.col("tokens_served") > F.col("mass_tokens"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("flag_repeated"),
+        (F.col("budget") - F.col("served_total"))
+        .cast("long")
+        .alias("budget_leftover"),
+    )

@@ -2540,3 +2540,65 @@ def q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_instances").cast("double") / F.col("total_tokens")
         ).alias("mass_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-language tokenizer fertility report
+# --------------------------------------------------------------------------
+
+_BPEISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang,
+               CAST(len({sql_tokens()}) AS BIGINT) AS n_ws,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bp,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(n_bp) AS BIGINT) AS n_bpeish_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_bp) AS DOUBLE) / SUM(n_ws) AS fertility,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_ws) AS chars_per_word
+    FROM d GROUP BY lang
+    """,
+    tags=("text", "tokens", "tokenizer", "report"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility — subword tokens emitted per
+    whitespace word, the dial that decides whether a tokenizer taxes some
+    languages with 2-3x the sequence length (and therefore 2-3x the
+    training/serving cost per sentence): the multilingual-pipeline report
+    read before fixing a vocabulary.  Uses the same GPT-2-style
+    pre-tokenizer regex as text_bpeish_tokens (restricted to the class
+    syntax where Java regex and RE2/DuckDB agree) over the whitespace
+    word count; both token counts and char mass are exact BIGINT sums,
+    the two ratios single reported divisions (FLOAT_QUALS.md Class B).
+
+    Scale shape: one stateless scan-stage projection (two regexp_counts +
+    a length) into a map-side-combinable groupBy on the bounded lang
+    key — output is |langs| rows at any corpus size, no join, no second
+    pass."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(tokens()).cast("long").alias("n_ws"),
+        F.regexp_count("text", F.lit(_BPEISH_RE)).cast("long").alias("n_bp"),
+        F.length("text").cast("long").alias("n_chars_doc"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("n_ws_tokens"),
+        F.sum("n_bp").cast("long").alias("n_bpeish_tokens"),
+        F.sum("n_chars_doc").cast("long").alias("n_chars"),
+        (F.sum("n_bp").cast("double") / F.sum("n_ws")).alias("fertility"),
+        (F.sum("n_chars_doc").cast("double") / F.sum("n_ws")).alias(
+            "chars_per_word"
+        ),
+    )

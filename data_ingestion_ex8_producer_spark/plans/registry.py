@@ -251,7 +251,13 @@ def register(
 # band join — the theta-join scale pattern) displaced
 # q18_large_volume_customer (driver-green r1-r7; joins keep q3 plus the
 # new band join, and q18's having-subquery machinery stays covered by the
-# subquery family).
+# subquery family).  The second late-r8 batch — q_tokenizer_fertility
+# (per-lang subword fertility report) and q_epoch_allocation (the
+# data-constrained repeat-data budget planner) — displaced q_dataset_card
+# (driver-green r6-r7; aggregation keeps q_median_quartiles +
+# q_regr_stats) and q_topk_per_group (driver-green r1-r7; windows keep
+# q_window_range_frame + q_window_distribution plus the ranking-family
+# q_customer_rfm).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -262,13 +268,11 @@ _PRIORITY: tuple[str, ...] = (
     # TPC-H style multi-join analytics
     "q3_shipping_priority",
     # aggregation
-    "q_dataset_card",
     "q_median_quartiles",
     "q_regr_stats",
     # set operations
     "q_union_all",
     # window functions
-    "q_topk_per_group",
     "q_window_range_frame",
     "q_window_distribution",
     # scalar functions
@@ -302,6 +306,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_cross_lingual_overlap",
     "text_quality_score",
     "q_contamination_check",
+    "q_tokenizer_fertility",
     "q_doc_repetition",
     "q_zipf_profile",
     # similarity search + ANN evaluation + hybrid
@@ -322,6 +327,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_key_skew_profile",
     "q_dsir_importance",
     "q_token_budget_sample",
+    "q_epoch_allocation",
 )
 
 

@@ -131,6 +131,10 @@ PROBE_QUERIES = (
     "q_ivf_cell_stats",
     # final r8: the time-bucketed band join (theta -> 3-probe equi-join)
     "q_event_proximity_pairs",
+    # second late-r8 batch: per-lang fertility + epoch budget planner (both
+    # collapse to catalog-keyed rollups after one scan)
+    "q_tokenizer_fertility",
+    "q_epoch_allocation",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
