@@ -1948,6 +1948,8 @@ _BUDGET_HASH_BUCKET = 1 << 44  # 16 contiguous ranges of the 48-bit keyspace
                CAST(len({sql_tokens()}) AS BIGINT) AS n_tokens,
                {sql_hash48("CAST(doc_id AS VARCHAR)")} AS hkey
         FROM documents
+        WHERE doc_id IS NOT NULL AND source IS NOT NULL
+          AND text IS NOT NULL
     ),
     b AS (
         SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
@@ -1996,12 +1998,25 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.text import tokens
 
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(tokens()).cast("long").alias("n_tokens"),
-        hash48(F.col("doc_id").cast("string")).alias("hkey"),
-    ).withColumn("bucket", F.expr(f"hkey div {_BUDGET_HASH_BUCKET}"))
+    docs = (
+        t(spark, sf_dir, "documents")
+        # NULL contract, mirrored in the oracle's WHERE and the streaming
+        # twin: a NULL source would silently vanish from the equi-joins
+        # below while the oracle's window kept it as a group (code-review
+        # finding, r8); NULL text would poison the cumulative sums.
+        .filter(
+            F.col("doc_id").isNotNull()
+            & F.col("source").isNotNull()
+            & F.col("text").isNotNull()
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.size(tokens()).cast("long").alias("n_tokens"),
+            hash48(F.col("doc_id").cast("string")).alias("hkey"),
+        )
+        .withColumn("bucket", F.expr(f"hkey div {_BUDGET_HASH_BUCKET}"))
+    )
     b = docs.agg(
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.countDistinct("source").cast("long").alias("n_sources"),

@@ -708,6 +708,35 @@ def _ivf_centroid_rows(emb: DataFrame) -> list:
     )
 
 
+def _cos_fold(
+    ed: pd.Series, norm: pd.Series, c_mat: np.ndarray, c_norm_vec: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """The ONE cosine fold the IVF assignment argmaxes over and the margin
+    canary measures — factored so their bit-identity is structural, not
+    comment discipline (code-review finding, r8).  Each of the K dots
+    accumulates over the dimension index (acc += E[:,i] * C[:,i]) — a
+    strict left-to-right float64 fold, bit-identical to the
+    Catalyst/DuckDB aggregate/list_sum the oracle evaluates (no FMA:
+    numpy multiply and add are separate correctly-rounded ops), so cosine
+    ties and near-ties resolve identically on both engines.  Returns
+    (cos, valid); invalid rows (NULL / wrong width / non-finite) carry a
+    zero-filled row in cos and False in valid."""
+    n = len(ed)
+    E = np.zeros((n, _DIM), dtype=np.float64)
+    valid = np.ones(n, dtype=bool)
+    for r, v in enumerate(ed.values):
+        a = None if v is None else np.asarray(v, dtype=np.float64)
+        if a is None or a.shape != (_DIM,) or not np.isfinite(a).all():
+            valid[r] = False
+        else:
+            E[r, :] = a
+    acc = np.zeros((n, c_mat.shape[0]), dtype=np.float64)
+    for i in range(_DIM):
+        acc += E[:, i : i + 1] * c_mat[:, i]
+    cos = acc / (norm.values[:, None] * c_norm_vec[None, :])
+    return cos, valid
+
+
 def _ivf_assignment(emb: DataFrame, centroid_rows: list) -> DataFrame:
     """Nearest-centroid assignment as a SHUFFLE-FREE numpy pandas_udf pass:
     one narrow map over the corpus — no crossJoin, no exchange, no
@@ -718,29 +747,13 @@ def _ivf_assignment(emb: DataFrame, centroid_rows: list) -> DataFrame:
 
     @F.pandas_udf("long")
     def _assign(ed: pd.Series, norm: pd.Series) -> pd.Series:
-        # Vectorized per Arrow batch.  Each of the K dots accumulates over
-        # the dimension index (acc += E[:,i] * C[:,i]) — a strict
-        # left-to-right float64 fold, bit-identical to the Catalyst/DuckDB
-        # aggregate/list_sum the oracle evaluates (no FMA: numpy multiply
-        # and add are separate correctly-rounded ops), so cosine ties and
-        # near-ties resolve identically on both engines.  Rows are
+        # Vectorized per Arrow batch over the shared _cos_fold.  Rows are
         # pre-filtered valid (non-NULL, _DIM-wide, finite positive norm);
         # anything else maps to centroid -1, which no consumer references.
         n = len(ed)
         if n == 0:
             return pd.Series([], dtype="int64")
-        E = np.zeros((n, _DIM), dtype=np.float64)
-        valid = np.ones(n, dtype=bool)
-        for r, v in enumerate(ed.values):
-            a = None if v is None else np.asarray(v, dtype=np.float64)
-            if a is None or a.shape != (_DIM,) or not np.isfinite(a).all():
-                valid[r] = False
-            else:
-                E[r, :] = a
-        acc = np.zeros((n, c_mat.shape[0]), dtype=np.float64)
-        for i in range(_DIM):
-            acc += E[:, i : i + 1] * c_mat[:, i]
-        cos = acc / (norm.values[:, None] * c_norm_vec[None, :])
+        cos, valid = _cos_fold(ed, norm, c_mat, c_norm_vec)
         best = c_id_vec[np.argmax(cos, axis=1)]
         return pd.Series(np.where(valid, best, -1))
 
@@ -789,18 +802,13 @@ def q_ivf_argmax_margin_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("double")
     def _margin(ed: pd.Series, norm: pd.Series) -> pd.Series:
-        # Same strict left-to-right fold as _assign so the cosines measured
-        # here are bit-identical to the ones the assignment argmaxes over.
+        # The shared _cos_fold IS the fold _assign argmaxes over, so the
+        # margins measured here are structurally bit-identical to the
+        # assignment's decision values (input is pre-filtered valid).
         n = len(ed)
         if n == 0:
             return pd.Series([], dtype="float64")
-        E = np.zeros((n, _DIM), dtype=np.float64)
-        for r, v in enumerate(ed.values):
-            E[r, :] = np.asarray(v, dtype=np.float64)
-        acc = np.zeros((n, c_mat.shape[0]), dtype=np.float64)
-        for i in range(_DIM):
-            acc += E[:, i : i + 1] * c_mat[:, i]
-        cos = acc / (norm.values[:, None] * c_norm_vec[None, :])
+        cos, _ = _cos_fold(ed, norm, c_mat, c_norm_vec)
         top2 = np.partition(cos, -2, axis=1)
         return pd.Series(top2[:, -1] - top2[:, -2])
 

@@ -248,11 +248,19 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The GPT-2-style pre-tokenizer pattern (word runs, single digits,
+# punctuation) — ONE definition interpolated into every builder and oracle
+# that counts subword-ish tokens (text_bpeish_tokens, q_tokenizer_fertility),
+# so the Spark and SQL sides cannot drift (code-review finding, r8).
+# Restricted to the class syntax where Java regex and RE2/DuckDB agree.
+_BPEISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
 @register(
     "text_bpeish_tokens",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)
+           CAST(len(regexp_extract_all(text, '{_BPEISH_RE}')) AS BIGINT)
              AS n_bpeish_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens,
            CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit_tokens,
@@ -267,10 +275,9 @@ def text_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule-of-thumb — the cheap LLM-cost estimators, all via regexp_count
     (JVM regex, no Python).  Pattern restricted to the class syntax where
     Java regex and RE2 agree."""
-    token_re = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
     return t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.regexp_count("text", F.lit(token_re)).cast("long").alias("n_bpeish_tokens"),
+        F.regexp_count("text", F.lit(_BPEISH_RE)).cast("long").alias("n_bpeish_tokens"),
         F.regexp_count("text", F.lit(r"[A-Za-z]+")).cast("long").alias("n_word_tokens"),
         F.regexp_count("text", F.lit(r"[0-9]")).cast("long").alias("n_digit_tokens"),
         F.ceil(F.length("text") / 4.0).alias("n_chars_div4"),
@@ -2546,9 +2553,6 @@ def q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-language tokenizer fertility report
 # --------------------------------------------------------------------------
 
-_BPEISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
-
-
 @register(
     "q_tokenizer_fertility",
     oracle=f"""
@@ -2556,7 +2560,7 @@ _BPEISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
         SELECT lang,
                CAST(len({sql_tokens()}) AS BIGINT) AS n_ws,
                CAST(len(regexp_extract_all(text,
-                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bp,
+                    '{_BPEISH_RE}')) AS BIGINT) AS n_bp,
                CAST(length(text) AS BIGINT) AS n_chars
         FROM documents
     )

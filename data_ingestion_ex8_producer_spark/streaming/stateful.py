@@ -1092,7 +1092,9 @@ def token_budget_gate_stream(docs: DataFrame, budget_tokens: int) -> DataFrame:
     from ..functions.text import hash48, tokens
 
     toks = docs.filter(
-        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+        F.col("doc_id").isNotNull()
+        & F.col("source").isNotNull()
+        & F.col("text").isNotNull()
     ).select(
         "doc_id",
         "source",

@@ -27,6 +27,13 @@ sys.path.insert(0, "/root/repo")
 from data_ingestion_ex8_producer_spark.plans.registry import all_specs  # noqa: E402
 from data_ingestion_ex8_producer_spark.session import build_session  # noqa: E402
 
+# DuckDB types whose fetchall() and Arrow renderings are proven identical
+# (the guardrail test asserts every registered oracle stays in this set).
+_RENDER_SAFE_TYPES = {
+    "BOOLEAN", "INTEGER", "BIGINT", "DOUBLE", "VARCHAR", "DATE",
+    "TIMESTAMP", "BLOB",
+}
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -110,9 +117,24 @@ def main() -> int:
             # fetchall()'s plain Python ints.  Fingerprint BOTH renderings
             # and fail loudly if they disagree — this is the local repro for
             # the q_semantic_dedup_curve class of driver-only hash reds.
-            atbl = con.execute(spec.oracle).arrow()
-            arows = [tuple(row[c] for c in atbl.column_names)
-                     for row in atbl.to_pylist()]
+            # Gated on the BOUND types (zero-cost con.sql().types): types in
+            # the comparator-safe allowlist are proven to render identically
+            # (tests/test_guardrails.py asserts the whole registry stays in
+            # it), so only an oracle emitting something outside the set pays
+            # the second execution — the full-artifact runs stay at 1x
+            # oracle cost (code-review finding, r8).
+            otypes = [str(t) for t in con.sql(spec.oracle).types]
+            suspect = any(
+                t.removesuffix("[]") not in _RENDER_SAFE_TYPES
+                for t in otypes
+            )
+            if suspect:
+                atbl = con.execute(spec.oracle).arrow()
+                arows = [tuple(row[c] for c in atbl.column_names)
+                         for row in atbl.to_pylist()]
+                acols = list(atbl.column_names)
+            else:
+                arows, acols = orows, ocols
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             report[name] = {"err": f"oracle error: {exc}"[:500]}
@@ -121,7 +143,7 @@ def main() -> int:
 
         sn, sc, sh = frame_fingerprint(scols, srows)
         on, oc, oh = frame_fingerprint(ocols, orows)
-        an, ac, ah = frame_fingerprint(list(atbl.column_names), arows)
+        an, ac, ah = frame_fingerprint(acols, arows)
         # Value-hash equality is NOT enough: str(Decimal('3')) == str(3), so
         # a HUGEINT column hashes identically here yet diverges in a
         # pandas/Arrow-based driver comparator.  Compare the Python TYPE
