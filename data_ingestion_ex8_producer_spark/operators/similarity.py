@@ -3767,3 +3767,489 @@ def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("flag_dead"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MMR result diversification (Carbonell & Goldstein 1998)
+# --------------------------------------------------------------------------
+
+# lambda = 0.7: the relevance/diversity trade-off.  Written as the two
+# double literals 0.7/0.3 on BOTH engines so the per-row score arithmetic
+# (two multiplies + one subtract on bit-identical inputs) is bit-identical.
+_MMR_K = 5        # diversified result size
+_MMR_CAND = 20    # relevance candidate pool per query
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR as a DuckDB recursive CTE: the per-query state is the
+    ordered picked-list; each recursion step LATERAL-selects the argmax of
+    0.7*rel - 0.3*max_sim_to_picked over the remaining candidates (the
+    exact greedy the Spark builder unrolls), with ties broken by candidate
+    id.  COALESCE(.., 0.0) makes the empty-picked first step the plain
+    relevance argmax — the same uniform formula the Spark side uses."""
+    return f"""
+    WITH RECURSIVE {_SQL_QUANTIZED_CTE.strip()},
+    cand AS (
+        SELECT * FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cid, c.eq AS ceq,
+                   c.dq AS cdq,
+                   CAST({_sql_qdot('q.eq', 'c.eq')} AS DOUBLE)
+                     / (sqrt(CAST(q.dq AS DOUBLE)) * sqrt(CAST(c.dq AS DOUBLE)))
+                     AS rel,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY CAST({_sql_qdot('q.eq', 'c.eq')} AS DOUBLE)
+                                  / (sqrt(CAST(q.dq AS DOUBLE))
+                                     * sqrt(CAST(c.dq AS DOUBLE))) DESC,
+                                c.vec_id) AS rk
+            FROM quantized q JOIN quantized c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        ) WHERE rk <= {_MMR_CAND}
+    ),
+    psim AS (
+        SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+               CAST({_sql_qdot('a.ceq', 'b.ceq')} AS DOUBLE)
+                 / (sqrt(CAST(a.cdq AS DOUBLE)) * sqrt(CAST(b.cdq AS DOUBLE)))
+                 AS sim
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.cid <> b.cid
+    ),
+    sel AS (
+        SELECT query_id, 0 AS step, CAST(NULL AS BIGINT) AS picked_cid,
+               CAST(NULL AS DOUBLE) AS mmr_score, [] :: BIGINT[] AS picked
+        FROM (SELECT DISTINCT query_id FROM cand)
+        UNION ALL
+        SELECT s.query_id, s.step + 1, best.cid, best.score,
+               list_append(s.picked, best.cid)
+        FROM sel s, LATERAL (
+            SELECT c.cid,
+                   0.7 * c.rel - 0.3 * COALESCE(
+                       (SELECT MAX(p.sim) FROM psim p
+                        WHERE p.query_id = s.query_id AND p.ca = c.cid
+                          AND list_contains(s.picked, p.cb)), 0.0) AS score
+            FROM cand c
+            WHERE c.query_id = s.query_id
+              AND NOT list_contains(s.picked, c.cid)
+            ORDER BY score DESC, c.cid
+            LIMIT 1
+        ) best
+        WHERE s.step < {_MMR_K}
+    )
+    SELECT query_id, CAST(step AS INTEGER) AS rk, picked_cid AS neighbor_id,
+           mmr_score
+    FROM sel WHERE step >= 1
+    """
+
+
+@register(
+    "q_mmr_diversify",
+    oracle=None,  # patched below (__doc__ interpolation keeps this adjacent)
+    tags=("similarity", "retrieval", "diversification", "mmr"),
+)
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-5 per query (Carbonell &
+    Goldstein 1998): greedily pick argmax of 0.7*relevance - 0.3*max
+    similarity to the already-picked set, from a top-20 relevance candidate
+    pool — the standard de-redundancy pass between ANN retrieval and a
+    context window (RAG) or an annotation batch (active learning): pure
+    top-k hands you five paraphrases of the same document; MMR hands you
+    five DIFFERENT relevant documents.
+
+    Spark-first shape: greedy selection is inherently sequential in k, but
+    k is a compile-time constant — so the loop is UNROLLED into a static
+    {_MMR_K}-stage Catalyst plan (no Python in the loop, no driver
+    .collect()): stage i anti-joins the picked set (i-1 rows per query,
+    broadcast), left-joins the candidate->picked max-similarity aggregate,
+    and takes the per-query argmax with one WindowGroupLimit row_number.
+    The candidate pool and its {_MMR_CAND}x{_MMR_CAND} pairwise-similarity
+    relation are built ONCE and persisted (both are metadata-sized:
+    |Q| x {_MMR_CAND} and |Q| x {_MMR_CAND}^2 rows at ANY corpus size — the
+    corpus-scale work is only the one broadcast-queries scan that forms the
+    pool; at production scale that scan is replaced by the IVF-PQ index
+    path feeding the same pool contract).
+
+    Determinism: relevance and pairwise similarity are doubles derived
+    from exact _QSCALE BIGINT dots (single IEEE div/sqrt/mul — bit-identical
+    cross-engine per the _util doctrine); the MMR score is two multiplies
+    and a subtract on those; MAX over bit-identical doubles is
+    order-independent; argmax ties break on candidate id.  The oracle runs
+    the SAME greedy as a recursive CTE with a LATERAL argmax — exact row
+    match, not rows-only."""
+    from pyspark.sql import Window
+
+    from ._util import persist_tracked
+
+    emb = t(spark, sf_dir, "embeddings")
+    qz = (
+        emb.select("vec_id", _quant(F.col("embedding")).alias("eq"))
+        .withColumn("dq", _qdot(F.col("eq"), F.col("eq")))
+        .filter(F.col("dq") > 0)
+    )
+    queries = F.broadcast(
+        qz.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("eq").alias("q_eq"),
+            F.col("dq").alias("q_dq"),
+        )
+    )
+    rel = F.col("pdot").cast("double") / (
+        F.sqrt(F.col("q_dq").cast("double")) * F.sqrt(F.col("cdq").cast("double"))
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("cid"))
+    cand = persist_tracked(
+        queries.join(qz, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cid"),
+            F.col("eq").alias("ceq"),
+            F.col("dq").alias("cdq"),
+            "q_eq",
+            "q_dq",
+        )
+        .withColumn("pdot", _qdot(F.col("q_eq"), F.col("ceq")))
+        .select("query_id", "cid", "ceq", "cdq", rel.alias("rel"))
+        .withColumn("rk", F.row_number().over(w_rel))
+        .filter(F.col("rk") <= _MMR_CAND)
+        .drop("rk")
+    )
+    a = cand.select("query_id", F.col("cid").alias("ca"), F.col("ceq").alias("ea"), F.col("cdq").alias("da"))
+    b = cand.select("query_id", F.col("cid").alias("cb"), F.col("ceq").alias("eb"), F.col("cdq").alias("db"))
+    sim = F.col("pp").cast("double") / (
+        F.sqrt(F.col("da").cast("double")) * F.sqrt(F.col("db").cast("double"))
+    )
+    psim = persist_tracked(
+        a.join(b, ["query_id"])
+        .filter(F.col("ca") != F.col("cb"))
+        .withColumn("pp", _qdot(F.col("ea"), F.col("eb")))
+        .select("query_id", "ca", "cb", sim.alias("sim"))
+    )
+    pool = cand.select("query_id", "cid", "rel")
+    w_pick = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("cid")
+    )
+    picked: DataFrame | None = None
+    steps: list[DataFrame] = []
+    for step in range(1, _MMR_K + 1):
+        if picked is None:
+            scored = pool.withColumn("maxsim", F.lit(0.0))
+        else:
+            pk = F.broadcast(picked.select("query_id", F.col("cid").alias("cb")))
+            ms = (
+                psim.join(pk, ["query_id", "cb"])
+                .groupBy("query_id", F.col("ca").alias("cid"))
+                .agg(F.max("sim").alias("maxsim"))
+            )
+            scored = (
+                pool.join(
+                    F.broadcast(picked.select("query_id", "cid")),
+                    ["query_id", "cid"],
+                    "left_anti",
+                )
+                .join(ms, ["query_id", "cid"], "left")
+                .withColumn("maxsim", F.coalesce(F.col("maxsim"), F.lit(0.0)))
+            )
+        # Persist each step's |Q|-row pick: steps 2..k reference the
+        # previous picks TWICE (anti-join + max-sim aggregate) and the
+        # final union once more — without the cache cut the lineage
+        # re-evaluates every earlier window 2^(k-step) times (measured:
+        # ~490 stages and 28.6 s at sf0.01; ~5x fewer stages cached).
+        nxt = persist_tracked(
+            scored.withColumn(
+                "score", F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("maxsim")
+            )
+            .withColumn("prn", F.row_number().over(w_pick))
+            .filter(F.col("prn") == 1)
+            .select("query_id", "cid", F.lit(step).alias("rk"), F.col("score"))
+        )
+        steps.append(nxt)
+        picked = steps[0] if len(steps) == 1 else picked.unionByName(nxt)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        "query_id",
+        F.col("rk").cast("int").alias("rk"),
+        F.col("cid").alias("neighbor_id"),
+        F.col("score").alias("mmr_score"),
+    )
+
+
+_patch_oracle("q_mmr_diversify", _mmr_oracle())
+
+
+# --------------------------------------------------------------------------
+# kNN-graph health report (hubness / reciprocity / homophily)
+# --------------------------------------------------------------------------
+
+_KNNG_K = 5  # out-degree of the kNN graph
+
+
+@register(
+    "q_knn_graph_stats",
+    oracle=f"""
+    WITH {_SQL_IVF_CTES},
+    members AS (
+        SELECT vec_id, label, centroid_id, eq, {_sql_qdot('eq', 'eq')} AS dq
+        FROM (
+            SELECT a.vec_id, a.label, a.centroid_id,
+                   {_sql_quant('a.embedding')} AS eq
+            FROM assignment a
+        ) WHERE {_sql_qdot('eq', 'eq')} > 0
+    ),
+    edges AS (
+        SELECT * FROM (
+            SELECT a.vec_id AS src, a.label AS src_label,
+                   b.vec_id AS dst, b.label AS dst_label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY CAST({_sql_qdot('a.eq', 'b.eq')} AS DOUBLE)
+                                  / (sqrt(CAST(a.dq AS DOUBLE))
+                                     * sqrt(CAST(b.dq AS DOUBLE))) DESC,
+                                b.vec_id) AS rk
+            FROM members a JOIN members b
+              ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+        ) WHERE rk <= {_KNNG_K}
+    ),
+    nodes AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM members GROUP BY label
+    ),
+    estats AS (
+        SELECT src_label AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(COUNT(*) FILTER (WHERE dst_label = src_label) AS BIGINT)
+                 AS n_same_label
+        FROM edges GROUP BY 1
+    ),
+    mstats AS (
+        SELECT e1.src_label AS label, CAST(COUNT(*) AS BIGINT) AS n_mutual
+        FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+        GROUP BY 1
+    ),
+    indeg AS (
+        SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY dst
+    ),
+    istats AS (
+        SELECT m.label, CAST(MAX(i.deg) AS BIGINT) AS max_indeg
+        FROM indeg i JOIN members m ON m.vec_id = i.dst
+        GROUP BY m.label
+    )
+    SELECT n.label, n.n_nodes,
+           CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges,
+           CAST(COALESCE(e.n_same_label, 0) AS BIGINT) AS n_same_label,
+           CAST(COALESCE(m.n_mutual, 0) AS BIGINT) AS n_mutual,
+           CASE WHEN COALESCE(e.n_edges, 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(m.n_mutual, 0) AS DOUBLE) / e.n_edges
+           END AS reciprocity,
+           CASE WHEN COALESCE(e.n_edges, 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(e.n_same_label, 0) AS DOUBLE) / e.n_edges
+           END AS homophily,
+           CAST(COALESCE(i.max_indeg, 0) AS BIGINT) AS max_indeg
+    FROM nodes n
+    LEFT JOIN estats e ON e.label = n.label
+    LEFT JOIN mstats m ON m.label = n.label
+    LEFT JOIN istats i ON i.label = n.label
+    """,
+    tags=("similarity", "knn", "graph", "diagnostics", "report"),
+)
+def q_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label health report of the cell-restricted k={_KNNG_K} kNN graph —
+    the structure agglomerative semantic dedup, label-propagation
+    clustering, and graph-based diversity sampling all consume, and the
+    place where the classic ANN pathologies are measured BEFORE a 100 TB
+    job builds on it: max in-degree exposes HUBS (a handful of vectors
+    that appear in everyone's neighbor list — in high dimensions they
+    silently absorb whole clusters downstream); reciprocity (share of
+    directed edges whose reverse edge also exists) is the standard
+    proxy for neighborhood quality (mutual-kNN edges survive as the
+    trusted backbone); homophily (share of edges staying within the
+    source's label) reads the label signal-to-noise of the embedding
+    space itself.
+
+    Scale shape: the graph is built the way the deployed index searches —
+    neighbors restricted to the vector's own coarse cell (the SemDeDup
+    within-cluster contract), so the pair stage is Σ|cell|², never n²;
+    the shuffle-free closure-codebook assignment pass feeds a per-cell
+    self-join on the centroid key, WindowGroupLimit prunes each source to
+    {_KNNG_K} rows pre-shuffle, and the edge relation (n x {_KNNG_K} rows)
+    is persisted once to feed the three downstream aggregates (mutual
+    self-join on the (src,dst) key, in-degree groupBy, per-label rollup) —
+    each combinable, each on bounded keys.  The oracle builds the SAME
+    cell-restricted graph, so the match is exact, not an approximation
+    gap.  Ordering is the cosine double derived from exact _QSCALE BIGINT
+    dots (bit-identical cross-engine; ties break on neighbor id)."""
+    from ._util import persist_tracked
+
+    emb = _ivf_valid_emb(spark, sf_dir)
+    centroid_rows = _ivf_centroid_rows(emb)
+    asn = _ivf_assignment(emb, centroid_rows)
+    members = persist_tracked(
+        asn.select(
+            "vec_id",
+            "label",
+            "centroid_id",
+            _quant(F.col("ed")).alias("eq"),
+        )
+        .withColumn("dq", _qdot(F.col("eq"), F.col("eq")))
+        .filter(F.col("dq") > 0)
+    )
+    a = members.select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("src_label"),
+        F.col("centroid_id").alias("cell"),
+        F.col("eq").alias("ea"),
+        F.col("dq").alias("da"),
+    )
+    b = members.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("dst_label"),
+        F.col("centroid_id").alias("cell"),
+        F.col("eq").alias("eb"),
+        F.col("dq").alias("db"),
+    )
+    cos = F.col("pdot").cast("double") / (
+        F.sqrt(F.col("da").cast("double")) * F.sqrt(F.col("db").cast("double"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    edges = persist_tracked(
+        a.join(b, ["cell"])
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("pdot", _qdot(F.col("ea"), F.col("eb")))
+        .select("src", "src_label", "dst", "dst_label", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNNG_K)
+        .select("src", "src_label", "dst", "dst_label")
+    )
+    nodes = members.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    estats = edges.groupBy(F.col("src_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(
+            F.when(F.col("dst_label") == F.col("src_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_same_label"),
+    )
+    e2 = edges.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    mstats = (
+        edges.join(e2, ["src", "dst"])
+        .groupBy(F.col("src_label").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_mutual"))
+    )
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    istats = (
+        indeg.join(members.select(F.col("vec_id").alias("dst"), "label"), "dst")
+        .groupBy("label")
+        .agg(F.max("deg").cast("long").alias("max_indeg"))
+    )
+    return (
+        nodes.join(estats, "label", "left")
+        .join(mstats, "label", "left")
+        .join(istats, "label", "left")
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("n_same_label", F.lit(0))
+            .cast("long")
+            .alias("n_same_label"),
+            F.coalesce("n_mutual", F.lit(0)).cast("long").alias("n_mutual"),
+            F.when(F.coalesce("n_edges", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_mutual", F.lit(0)).cast("double")
+                / F.col("n_edges")
+            )
+            .alias("reciprocity"),
+            F.when(F.coalesce("n_edges", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_same_label", F.lit(0)).cast("double")
+                / F.col("n_edges")
+            )
+            .alias("homophily"),
+            F.coalesce("max_indeg", F.lit(0)).cast("long").alias("max_indeg"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cluster-balanced downsampling (embedding-space diversity sampling)
+# --------------------------------------------------------------------------
+
+_CBS_PER_CELL = 12   # deterministic per-cell keep budget
+_CBS_SALT = "cbs:"   # md5 salt for the in-cell pseudo-random order
+
+
+@register(
+    "q_cluster_balanced_sample",
+    oracle=f"""
+    WITH {_SQL_IVF_CTES},
+    cells AS (
+        SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS cell_n
+        FROM assignment GROUP BY 1
+    ),
+    ranked AS (
+        SELECT vec_id, label, centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY centroid_id
+                   ORDER BY md5('{_CBS_SALT}' || CAST(vec_id AS VARCHAR)),
+                            vec_id) AS rn
+        FROM assignment
+    )
+    SELECT r.vec_id, r.label, r.centroid_id, c.cell_n,
+           CAST(r.rn AS INTEGER) AS sample_rank
+    FROM ranked r JOIN cells c ON c.centroid_id = r.centroid_id
+    WHERE r.rn <= {_CBS_PER_CELL}
+    """,
+    tags=("similarity", "curation", "sampling", "diversity"),
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space diversity downsampling: cap every coarse-quantizer
+    cell at {_CBS_PER_CELL} vectors, chosen by a deterministic salted-md5
+    order within the cell — the cluster-balanced subsampling step of
+    SemDeDup-style curation pipelines (dedup removes near-identical
+    points; this flattens the remaining DENSITY, so one over-crawled
+    topic cannot dominate the training mix).  Contrast with
+    q_balanced_downsample, which balances on a metadata attribute (lang):
+    this balances on the learned representation itself — it needs no
+    labels and catches redundancy metadata can't see.
+
+    Scale shape: the same shuffle-free closure-codebook assignment pass
+    as every IVF spec, then ONE window partitioned by centroid_id —
+    WindowGroupLimit prunes each cell to {_CBS_PER_CELL} rows BEFORE the
+    exchange, so the shuffle carries O(cells x budget), not the corpus;
+    the per-cell population join is against the {_IVF_K}-row cell-count
+    aggregate (broadcast).  Keys are the {_IVF_K} centroid ids — bounded
+    and near-uniform by construction of the quantizer (hot cells are
+    exactly what q_ivf_cell_stats flags for re-training).  The in-cell
+    order is md5 of the vector id (salted), so the sample is stable
+    across runs, engines, and partitionings — reproducibility is part of
+    the curation contract."""
+    emb = _ivf_valid_emb(spark, sf_dir)
+    centroid_rows = _ivf_centroid_rows(emb)
+    asn = _ivf_assignment(emb, centroid_rows).select(
+        "vec_id", "label", "centroid_id"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.md5(F.concat(F.lit(_CBS_SALT), F.col("vec_id").cast("string"))),
+        F.col("vec_id"),
+    )
+    cells = asn.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_n")
+    )
+    return (
+        asn.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CBS_PER_CELL)
+        .join(F.broadcast(cells), "centroid_id")
+        .select(
+            "vec_id",
+            "label",
+            "centroid_id",
+            "cell_n",
+            F.col("rn").cast("int").alias("sample_rank"),
+        )
+    )

@@ -2606,3 +2606,132 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_word"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail per language)
+# --------------------------------------------------------------------------
+
+_PPL_BUCKETS = 3  # CCNet's head/middle/tail split
+_PPL_QKEY_SCALE = 1_000_000  # integer mean-surprisal key: (1e6*sum_bits) div n
+
+
+@register(
+    "q_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens()}) AS term FROM documents
+    ),
+    cnts AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+    tsurp AS (
+        SELECT term, CAST(length(bin(total // cnt)) - 1 AS BIGINT) AS bits
+        FROM cnts CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(s.bits) AS BIGINT) AS sum_bits
+        FROM toks t JOIN tsurp s ON s.term = t.term
+        GROUP BY t.doc_id
+    ),
+    keyed AS (
+        SELECT d.lang, p.doc_id, p.n_tokens, p.sum_bits,
+               ({_PPL_QKEY_SCALE} * p.sum_bits) // p.n_tokens AS surp_q
+        FROM documents d JOIN per_doc p ON p.doc_id = d.doc_id
+    ),
+    bucketed AS (
+        SELECT *, NTILE({_PPL_BUCKETS}) OVER (
+                      PARTITION BY lang ORDER BY surp_q, doc_id) AS tert
+        FROM keyed
+    )
+    SELECT lang,
+           CASE tert WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(sum_bits) AS BIGINT) AS sum_bits,
+           CAST(CAST(SUM(sum_bits) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(n_tokens) AS BIGINT) AS mean_bits,
+           CAST(MIN(surp_q) AS BIGINT) AS min_surp_q,
+           CAST(MAX(surp_q) AS BIGINT) AS max_surp_q
+    FROM bucketed GROUP BY 1, 2
+    """,
+    tags=("text", "quality", "curation", "perplexity", "ccnet"),
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+    language, rank documents by mean per-token surprisal against the
+    corpus unigram model and split them into head / middle / tail
+    tertiles — the standard quality stratification a web-scale pipeline
+    applies before mixing (train mostly on head+middle, hold tail for
+    targeted filtering), reported here as the per-(lang, bucket) census a
+    curator signs off on: doc/token/bit mass plus the exact integer
+    surprisal cutoffs each bucket spans.
+
+    The per-doc score reuses q_doc_surprisal's exact-BIGINT unigram model
+    (integer log2 via length(bin(total // cnt)) - 1); the ranking key is
+    the cleared-denominator integer ({_PPL_QKEY_SCALE} * sum_bits) div
+    n_tokens — mean surprisal at 1e-6 resolution with NO double division
+    anywhere near the order (the FLOAT_QUALS Class-A pattern), ties broken
+    by doc_id, so the NTILE boundary is deterministic cross-engine.
+
+    Scale shape: the unigram model is the Zipf-bounded vocabulary relation
+    (metadata-sized), the per-doc rollup one term-keyed annotate join —
+    both inherited from q_doc_surprisal.  The NTILE is ONE ranking per
+    language over an integer key: at 100 TB that is the distributed
+    two-phase rank q_customer_rfm already carries (partition-wise
+    pre-rank + boundary merge on the bounded lang key); in production the
+    tertile CUTOFFS are computed once on a sample and re-applied as
+    stateless comparisons — this spec IS the exact-census anchor such a
+    sampled path is validated against.  Output is |langs| x {_PPL_BUCKETS}
+    rows at any corpus size."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens()).alias("term")
+    )
+    docs = spread(docs, spark, "doc_id")
+    cnts = docs.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    bits = (F.length(F.bin(F.expr("total div cnt"))) - 1).cast("long")
+    tsurp = cnts.crossJoin(F.broadcast(tot)).select("term", bits.alias("bits"))
+    per_doc = (
+        docs.join(tsurp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+        )
+    )
+    keyed = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .join(per_doc, "doc_id")
+        .withColumn(
+            "surp_q",
+            F.expr(f"({_PPL_QKEY_SCALE} * sum_bits) div n_tokens"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("surp_q", "doc_id")
+    bucketed = keyed.withColumn("tert", F.ntile(_PPL_BUCKETS).over(w))
+    return (
+        bucketed.groupBy(
+            "lang",
+            F.when(F.col("tert") == 1, "head")
+            .when(F.col("tert") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("sum_bits").cast("long").alias("sum_bits"),
+            (
+                F.sum("sum_bits").cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("mean_bits"),
+            F.min("surp_q").cast("long").alias("min_surp_q"),
+            F.max("surp_q").cast("long").alias("max_surp_q"),
+        )
+    )

@@ -258,6 +258,21 @@ def register(
 # q_regr_stats) and q_topk_per_group (driver-green r1-r7; windows keep
 # q_window_range_frame + q_window_distribution plus the ranking-family
 # q_customer_rfm).
+# Third late-r8 batch (same precedent — the round's additions carry driver
+# evidence in their own round): q_mmr_diversify (greedy MMR
+# diversification, unrolled static Catalyst plan + recursive-CTE oracle),
+# q_knn_graph_stats (mutual-kNN graph hubness/reciprocity/homophily
+# report), q_cluster_balanced_sample (embedding-cell diversity
+# downsampling), and q_perplexity_buckets (CCNet head/middle/tail
+# tertiles on the integer surprisal key).  Displaced, every family
+# keeping >=1 rep: q_semantic_dedup (driver-green r6-r7; the family's
+# banding stays scored via q_semantic_dedup_curve and the incremental
+# twin stays in full artifacts), dedup_edit_distance (driver-green r7
+# with its per-pair cost curve pinned in SCALING.md; dedup keeps 8 reps),
+# q_customer_rfm (driver-green r1-r7; the two-phase ranking machinery
+# stays exercised by q_perplexity_buckets' per-lang NTILE and analytics
+# keeps triangles + pagerank), and text_quality_score (driver-green
+# r1-r7; text keeps 7 reps incl. the new perplexity census).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -282,7 +297,6 @@ _PRIORITY: tuple[str, ...] = (
     # subqueries
     "q_lateral_topn",
     # extended analytics + reports
-    "q_customer_rfm",
     "q_copurchase_triangles",
     "q_part_pagerank",
     # event-time + event-sequence analytics
@@ -293,8 +307,6 @@ _PRIORITY: tuple[str, ...] = (
     # deduplication
     "q_semantic_dedup_curve",
     "dedup_prefix_filter",
-    "dedup_edit_distance",
-    "q_semantic_dedup",
     "q_minhash_jaccard_estimate",
     "dedup_containment",
     "q_dedup_cluster_stats",
@@ -304,7 +316,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_bm25_mlt_topk",
     "q_doc_length_histogram",
     "q_cross_lingual_overlap",
-    "text_quality_score",
+    "q_perplexity_buckets",
     "q_contamination_check",
     "q_tokenizer_fertility",
     "q_doc_repetition",
@@ -315,6 +327,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_ivfpq_recall",
     "sim_range_search",
     "q_ivf_cell_stats",
+    "q_mmr_diversify",
+    "q_knn_graph_stats",
+    "q_cluster_balanced_sample",
     # multimodal
     "mm_binary_stats",
     "mm_frame_sample",

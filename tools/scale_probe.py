@@ -135,6 +135,16 @@ PROBE_QUERIES = (
     # collapse to catalog-keyed rollups after one scan)
     "q_tokenizer_fertility",
     "q_epoch_allocation",
+    # third late-r8 batch: MMR diversification (corpus-scale part is only
+    # the candidate scan; the greedy runs on metadata-sized persisted
+    # relations), mutual-kNN graph report (cell-restricted pair stage —
+    # the semdedup growth mode), cluster-balanced sample (one window on
+    # the bounded centroid key), CCNet perplexity tertiles (the surprisal
+    # annotate join + a per-lang NTILE over integer keys)
+    "q_mmr_diversify",
+    "q_knn_graph_stats",
+    "q_cluster_balanced_sample",
+    "q_perplexity_buckets",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
