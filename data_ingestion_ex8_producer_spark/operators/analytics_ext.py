@@ -1211,3 +1211,120 @@ _registry._REGISTRY["q_part_pagerank"] = _registry.QuerySpec(
     bench=_spec.bench,
     doc=_spec.doc,
 )
+
+
+# --------------------------------------------------------------------------
+# Item-to-item PMI similarity (co-purchase lexicon)
+# --------------------------------------------------------------------------
+
+_PMI_SCALE = 1000  # milli-units of the cleared-denominator PMI ratio
+_PMI_MIN_PAIRS = 2  # minimum co-purchase support
+_PMI_TOPK = 50
+
+
+@register(
+    "q_item_pmi_similarity",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem WHERE l_partkey IS NOT NULL
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM op),
+    cp AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+           FROM op GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p.p1, p.p2, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+           CAST((p.c_ab * n.n_orders * {_PMI_SCALE}) // (ca.c * cb.c)
+                AS BIGINT) AS pmi_scaled
+    FROM pairs p
+    JOIN cp ca ON ca.l_partkey = p.p1
+    JOIN cp cb ON cb.l_partkey = p.p2
+    CROSS JOIN n
+    WHERE p.c_ab >= {_PMI_MIN_PAIRS}
+      AND (p.c_ab * n.n_orders * {_PMI_SCALE}) // (ca.c * cb.c)
+          > {_PMI_SCALE}
+    ORDER BY pmi_scaled DESC, p1, p2
+    LIMIT {_PMI_TOPK}
+    """,
+    tags=("analytics", "graph", "pmi", "recsys"),
+)
+def q_item_pmi_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item pointwise-mutual-information similarity over the
+    co-purchase graph — the item2vec-era association lexicon (Church &
+    Hanks 1990 PMI, applied to baskets): for part pairs bought in the
+    same order at least twice, score lift = P(a,b)/(P(a)P(b)) and keep
+    the top-{_PMI_TOPK} positively-associated pairs.  The text twin is
+    q_collocations; this is the same doctrine on the transaction graph.
+
+    Exactness: the lift ratio is never computed in floats — the score is
+    the cleared-denominator integer ``(c_ab * N * {_PMI_SCALE}) div
+    (c_a * c_b)`` (floor division on positive operands, where both
+    engines agree), the PMI>0 gate compares that integer to
+    {_PMI_SCALE}, and the top-k order (score DESC, p1, p2) is total, so
+    the LIMIT set is identical on both engines.  Overflow bound:
+    c_ab * N * {_PMI_SCALE} needs c_ab * N < 9.2e15 — at 1.5e9 orders
+    (100 TB TPC-H) that caps c_ab at ~6e6 co-purchases per pair; beyond
+    that, widen to DECIMAL(38,0) (same note as q_daily_autocorr).
+
+    Scale shape: pair generation is the q_copurchase_pairs co-partitioned
+    self-join on l_orderkey (per-order fan-out is bounded by basket
+    size, a constant); the support-filtered, aggregated pair relation is
+    then annotated by two joins against the per-part counts — the count
+    relation is SF-proportional (|parts| grows with the catalog), so no
+    broadcast hint is forced: AQE picks broadcast at bench scale and a
+    shuffle join when the catalog outgrows the threshold — plus the
+    1-row N broadcast; the final top-k is a TakeOrderedAndProject heap.
+    No all-pairs stage anywhere."""
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = op.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    cp = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_PAIRS)
+    )
+    scored = (
+        pairs.join(
+            cp.select(F.col("l_partkey").alias("p1"),
+                      F.col("c").alias("c_a")),
+            "p1",
+        )
+        .join(
+            cp.select(F.col("l_partkey").alias("p2"),
+                      F.col("c").alias("c_b")),
+            "p2",
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi_scaled",
+            F.expr(
+                f"(c_ab * n_orders * {_PMI_SCALE}) div (c_a * c_b)"
+            ).cast("long"),
+        )
+        .filter(F.col("pmi_scaled") > _PMI_SCALE)
+    )
+    return (
+        scored.select("p1", "p2", "c_ab", "c_a", "c_b", "pmi_scaled")
+        .orderBy(F.desc("pmi_scaled"), "p1", "p2")
+        .limit(_PMI_TOPK)
+    )

@@ -1710,3 +1710,193 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection over the daily event-rate series
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_events) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily
+    ),
+    c AS (
+        SELECT day, n_events,
+               CAST(SUM(n_events * (SELECT n_days FROM tot)
+                        - (SELECT total FROM tot))
+                    OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cusum_scaled
+        FROM daily
+    ),
+    m AS (SELECT MAX(abs(cusum_scaled)) AS peak FROM c)
+    SELECT c.day, c.n_events, c.cusum_scaled,
+           CAST(CASE WHEN abs(c.cusum_scaled) = m.peak THEN 1 ELSE 0 END
+                AS BIGINT) AS is_changepoint
+    FROM c CROSS JOIN m
+    """,
+    tags=("events", "timeseries", "changepoint", "cusum"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan over the daily event-count series: the
+    classic cumulative-sum-of-residuals statistic (Page 1954) whose peak
+    locates the most likely mean-shift day — the first dial an ingest
+    monitor reads when a source's volume regime changes.  To stay exact,
+    residuals are cleared of the division: with D observed days and N
+    total events, the residual is ``n_d * D - N`` (BIGINT, sums to zero),
+    so the CUSUM trace and its peak are pure integer arithmetic and the
+    flagged argmax needs no tolerance (ties flag every peak day,
+    deterministically on both engines).
+
+    Scale shape: corpus volume is reduced by the map-side-combinable
+    per-day groupBy; everything after — the running sum, the 1-row total
+    and peak broadcasts — runs on the calendar-sized daily relation
+    (thousands of rows at ANY corpus size), so the unpartitioned window
+    is a deliberate, bounded single-task step, the same doctrine as the
+    other daily rollups.  At 100 TB the plan is one aggregate shuffle
+    plus metadata."""
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    tot = daily.agg(
+        F.sum("n_events").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cusum_scaled",
+            F.sum(F.col("n_events") * F.col("n_days") - F.col("total"))
+            .over(w)
+            .cast("long"),
+        )
+        .select("day", "n_events", "cusum_scaled")
+    )
+    m = c.agg(F.max(F.abs(F.col("cusum_scaled"))).alias("peak"))
+    return c.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n_events",
+        "cusum_scaled",
+        F.when(F.abs(F.col("cusum_scaled")) == F.col("peak"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_changepoint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Daily-rate autocorrelation (lag 1..7)
+# --------------------------------------------------------------------------
+
+_AC_MAX_LAG = 7
+
+
+@register(
+    "q_daily_autocorr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, {_AC_MAX_LAG + 1})) AS lag),
+    pair AS (
+        SELECT l.lag, a.c AS x, b.c AS y
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+    ),
+    s AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pair GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS var_x,
+           CAST(n * syy - sy * sy AS BIGINT) AS var_y,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                END AS r
+    FROM s
+    """,
+    tags=("events", "timeseries", "autocorrelation"),
+)
+def q_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 Pearson autocorrelation of the daily event-count series —
+    the weekly-seasonality fingerprint (a lag-7 spike says "weekday
+    pattern") read before configuring seasonal baselines like
+    q_seasonal_hourly_anomaly.  Only observed-day pairs enter each lag
+    (gap days drop out of the equi-join on day+lag, identically on both
+    engines).
+
+    Exactness: every moment (sx, sxx, sxy, ...) is a BIGINT sum over
+    integer daily counts; the Pearson numerator/denominators are exact
+    cleared-denominator BIGINTs, and the final r is a deterministic
+    double expression of those integers (sqrt is correctly rounded in
+    IEEE-754, so both engines compute bit-identical doubles from
+    identical integers — FLOAT_QUALS Class A).  Overflow bound: sxx sums
+    D * c_max^2; BIGINT holds daily counts up to ~10^6 over ~10^4 days
+    with 10^3 headroom — a 100 TB deployment whose daily counts exceed
+    that pre-scales counts (e.g. to thousands) or widens to
+    DECIMAL(38,0), same doctrine as q_item_pmi_similarity.
+
+    Scale shape: corpus volume dies at the per-day groupBy; the lag
+    cross-product and self-join run on the calendar-sized daily relation
+    (7 x days rows), broadcast-joinable at any corpus size."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lags = spark.range(1, _AC_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = daily.crossJoin(lags).select(
+        "lag", F.expr("date_add(day, CAST(lag AS INT))").alias("jday"), F.col("c").alias("x")
+    )
+    b = daily.select(F.col("day").alias("jday"), F.col("c").alias("y"))
+    pair = a.join(b, "jday").select("lag", "x", "y")
+    s = pair.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        cov.cast("long").alias("cov_num"),
+        var_x.cast("long").alias("var_x"),
+        var_y.cast("long").alias("var_y"),
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            cov.cast("double")
+            / (F.sqrt(var_x.cast("double")) * F.sqrt(var_y.cast("double"))),
+        ).alias("r"),
+    )

@@ -329,3 +329,106 @@ def q_event_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_us_b") - F.col("t_us_a")).cast("long").alias("dt_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout cells — the multi-dimensional clustering key
+# --------------------------------------------------------------------------
+
+_Z_BITS = 16  # bits kept per dimension
+_Z_CELL_SHIFT = 16  # keep the top 16 bits of the 32-bit Morton key
+
+
+def _sql_morton(x: str, y: str) -> str:
+    """DuckDB expression interleaving the low 16 bits of x (even bit
+    positions) and y (odd positions) into a 32-bit Morton key."""
+    terms = []
+    # CAST to BIGINT: DuckDB's << on INTEGER overflows at shift 31.
+    for i in range(_Z_BITS):
+        terms.append(f"(((CAST({x} AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((CAST({y} AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _morton(x, y):
+    """Spark twin of :func:`_sql_morton` (same unrolled arithmetic)."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(
+            F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i
+        )
+        z = z + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1
+        )
+    return z
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH k AS (
+        SELECT (o_custkey & 65535) AS x,
+               (date_diff('day', DATE '1992-01-01', o_orderdate) & 65535)
+                 AS y
+        FROM orders
+    ),
+    z AS (
+        SELECT x, y,
+               {_sql_morton('x', 'y')} >> {_Z_CELL_SHIFT} AS zcell
+        FROM k
+    )
+    SELECT CAST(zcell AS BIGINT) AS zcell,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(x) AS BIGINT) AS min_cust,
+           CAST(MAX(x) AS BIGINT) AS max_cust,
+           CAST(MIN(y) AS BIGINT) AS min_day,
+           CAST(MAX(y) AS BIGINT) AS max_day,
+           CAST(MAX(x) - MIN(x) + 1 AS BIGINT) AS cust_span,
+           CAST(MAX(y) - MIN(y) + 1 AS BIGINT) AS day_span
+    FROM z GROUP BY zcell
+    """,
+    tags=("layout", "zorder", "clustering", "pruning"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering cells over orders(custkey, orderdate) —
+    the multi-dimensional data-layout key behind Delta/Iceberg OPTIMIZE
+    ZORDER (Morton 1966): interleaving the two dimensions' bits makes
+    z-contiguous cells compact in BOTH dimensions at once, so per-file
+    min/max indexes prune selective filters on EITHER column.  The report
+    is exactly what a table optimizer reads: per 16-bit z-cell (a 256 x 256-wide
+    macro-grid over custkey x order-day), the row count and both
+    dimensions' min/max spans — narrow spans = effective file skipping.
+    A date-linear layout would show day_span ~ 1 but cust_span ~ the whole
+    customer domain; z-cells bound both.
+
+    Exactness: the Morton key is 32 unrolled shift/mask/add terms,
+    generated from ONE Python loop into both engines' expressions —
+    pure BIGINT, no float anywhere (FLOAT_QUALS Class A by
+    construction).
+
+    Scale shape: a scan-stage integer projection (whole-stage codegen,
+    no join, no explode) into a map-side-combinable groupBy on a <= 65536
+    key domain.  At 100 TB this same key feeds
+    ``repartitionByRange(zcell, zkey)`` before the write — the layout
+    pass is one shuffle; THIS report stays a single metadata-sized
+    aggregate at any corpus size."""
+    k = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").bitwiseAND(F.lit(65535)).alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .bitwiseAND(F.lit(65535))
+        .alias("y"),
+    )
+    z = k.select(
+        "x",
+        "y",
+        F.shiftright(_morton(F.col("x"), F.col("y")), _Z_CELL_SHIFT).alias("zcell"),
+    )
+    return z.groupBy("zcell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("x").cast("long").alias("min_cust"),
+        F.max("x").cast("long").alias("max_cust"),
+        F.min("y").cast("long").alias("min_day"),
+        F.max("y").cast("long").alias("max_day"),
+        (F.max("x") - F.min("x") + 1).cast("long").alias("cust_span"),
+        (F.max("y") - F.min("y") + 1).cast("long").alias("day_span"),
+    )

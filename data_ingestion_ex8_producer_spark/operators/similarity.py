@@ -4077,7 +4077,16 @@ def q_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     each combinable, each on bounded keys.  The oracle builds the SAME
     cell-restricted graph, so the match is exact, not an approximation
     gap.  Ordering is the cosine double derived from exact _QSCALE BIGINT
-    dots (bit-identical cross-engine; ties break on neighbor id)."""
+    dots (bit-identical cross-engine; ties break on neighbor id).
+
+    Measured caveat (SCALING.md, 27.2x at 10x): with the codebook FIXED at
+    K=64 cells, growing the corpus grows every cell's occupancy, and
+    Σ|cell|² grows quadratically — the replication probe measures exactly
+    this regime because identical replicas concentrate into the same
+    cells.  At production scale the codebook is retrained as the corpus
+    grows (nlist ≈ √n keeps the pair stage ~n^1.5; occupancy-capped cells
+    make it ~n) and the graph runs on the POST-dedup corpus, which removes
+    duplicate concentration by construction."""
     from ._util import persist_tracked
 
     emb = _ivf_valid_emb(spark, sf_dir)

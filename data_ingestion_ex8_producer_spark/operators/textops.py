@@ -2735,3 +2735,198 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("surp_q").cast("long").alias("max_surp_q"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality-rule battery (per-source census)
+# --------------------------------------------------------------------------
+
+# The "at least 2 of these must appear" stop-list from the Gopher rules
+# (Rae et al. 2021, "Scaling Language Models: ... Gopher", Appendix A1.1).
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# Published word-count gate [50, 100k]; this corpus's docs span 10-99 words,
+# so the lower bound discriminates (the census is not a constant column).
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+
+
+@register(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH feat AS (
+        SELECT source,
+               len({sql_tokens()}) AS n_words,
+               CAST(list_sum(list_transform({sql_tokens()},
+                    w -> length(w))) AS BIGINT) AS word_chars,
+               len(list_filter({sql_tokens()},
+                    w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+               len(list_filter({sql_tokens()},
+                    w -> list_contains({list(_GOPHER_STOPS)}, lower(w))))
+                 AS n_stop,
+               (length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) // 3
+                 AS n_symbols
+        FROM documents
+    ),
+    rules AS (
+        SELECT source,
+               CASE WHEN n_words BETWEEN {_GOPHER_MIN_WORDS} AND
+                         {_GOPHER_MAX_WORDS} THEN 0 ELSE 1 END AS f_wordcount,
+               CASE WHEN 3 * n_words <= word_chars
+                     AND word_chars <= 10 * n_words THEN 0 ELSE 1
+                 END AS f_meanlen,
+               CASE WHEN 5 * n_alpha >= 4 * n_words THEN 0 ELSE 1
+                 END AS f_alpha,
+               CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END AS f_stopword,
+               CASE WHEN 10 * n_symbols <= n_words THEN 0 ELSE 1
+                 END AS f_symbol
+        FROM feat
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_wordcount) AS BIGINT) AS fail_wordcount,
+           CAST(SUM(f_meanlen) AS BIGINT) AS fail_meanlen,
+           CAST(SUM(f_alpha) AS BIGINT) AS fail_alpha,
+           CAST(SUM(f_stopword) AS BIGINT) AS fail_stopword,
+           CAST(SUM(f_symbol) AS BIGINT) AS fail_symbol,
+           CAST(SUM(CASE WHEN f_wordcount + f_meanlen + f_alpha
+                              + f_stopword + f_symbol = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+    FROM rules GROUP BY source
+    """,
+    tags=("text", "quality", "gopher", "census"),
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source census of the Gopher quality-rule battery (Rae et al.
+    2021, Appendix A1.1, adapted to this corpus's scale): word count in
+    [{_GOPHER_MIN_WORDS}, {_GOPHER_MAX_WORDS}], mean word length in [3, 10],
+    >= 80% of words containing an alphabetic character, >= 2 hits from the
+    canonical 8-word stop list, and a <= 0.1 symbol-to-word ratio
+    ('#' + '...').  Output: per-rule fail counts plus the pass-all count —
+    the per-source report a curation run reads before choosing which rules
+    to tighten.
+
+    Unlike text_quality_score (a per-doc soft score), every qualification
+    here is exact integer arithmetic: mean-word-length and ratio bounds are
+    cross-multiplied (3*n <= chars <= 10*n; 5*alpha >= 4*n; 10*sym <= n),
+    so no Class-B/C float boundary exists anywhere (FLOAT_QUALS.md
+    doctrine).
+
+    Scale shape: one scan-stage projection computing five integers per
+    document (array HOFs inside whole-stage codegen, no explode — the
+    token relation never materializes), then one map-side-combinable
+    groupBy on the |sources| catalog key.  Nothing downstream of the scan
+    touches corpus volume; at 100 TB this is a single pass."""
+    ts = tokens()
+    stop_arr = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+    n_words = F.size(ts)
+    word_chars = F.aggregate(
+        F.transform(ts, lambda w: F.length(w)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(ts, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(F.filter(ts, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    n_symbols = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ) + (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."))))
+        / F.lit(3)
+    ).cast("long")
+    feat = t(spark, sf_dir, "documents").select(
+        "source",
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+        n_symbols.alias("n_symbols"),
+    )
+    fail = lambda cond: F.when(cond, 0).otherwise(1)  # noqa: E731
+    rules = feat.select(
+        "source",
+        fail(
+            F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        ).alias("f_wordcount"),
+        fail(
+            (3 * F.col("n_words") <= F.col("word_chars"))
+            & (F.col("word_chars") <= 10 * F.col("n_words"))
+        ).alias("f_meanlen"),
+        fail(5 * F.col("n_alpha") >= 4 * F.col("n_words")).alias("f_alpha"),
+        fail(F.col("n_stop") >= 2).alias("f_stopword"),
+        fail(10 * F.col("n_symbols") <= F.col("n_words")).alias("f_symbol"),
+    )
+    all_pass = (
+        F.col("f_wordcount") + F.col("f_meanlen") + F.col("f_alpha")
+        + F.col("f_stopword") + F.col("f_symbol")
+        == 0
+    )
+    return rules.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("f_wordcount").cast("long").alias("fail_wordcount"),
+        F.sum("f_meanlen").cast("long").alias("fail_meanlen"),
+        F.sum("f_alpha").cast("long").alias("fail_alpha"),
+        F.sum("f_stopword").cast("long").alias("fail_stopword"),
+        F.sum("f_symbol").cast("long").alias("fail_symbol"),
+        F.sum(F.when(all_pass, 1).otherwise(0)).cast("long").alias("n_pass_all"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lexical diversity (micro-averaged TTR by length bucket)
+# --------------------------------------------------------------------------
+
+_TTR_BUCKET_W = 20  # tokens per length bucket
+_TTR_MAX_BUCKET = 9
+
+
+@register(
+    "q_lexical_diversity",
+    oracle=f"""
+    WITH d AS (
+        SELECT least(len({sql_tokens()}) // {_TTR_BUCKET_W},
+                     {_TTR_MAX_BUCKET}) AS bucket,
+               CAST(len({sql_tokens()}) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct({sql_tokens()})) AS BIGINT) AS n_uniq
+        FROM documents
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_uniq) AS BIGINT) AS sum_distinct,
+           CAST(SUM(n_uniq) AS DOUBLE) / SUM(n_tok) AS ttr_micro
+    FROM d GROUP BY bucket
+    """,
+    tags=("text", "diversity", "ttr", "census"),
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-averaged type-token ratio by document-length bucket — the
+    lexical-diversity curve a curation run reads to spot template/boiler
+    plate strata (low TTR at a given length) and to calibrate length-
+    normalized diversity filters; TTR falls with length by Heaps' law, so
+    a single corpus-wide TTR is meaningless — this is the per-stratum
+    version.  Buckets are {_TTR_BUCKET_W}-token-wide, capped at bucket
+    {_TTR_MAX_BUCKET}; micro-averaged = SUM(distinct)/SUM(tokens) per
+    bucket (exact BIGINT sums; one deterministic double division at the
+    end), not a mean of per-doc ratios, so the aggregation is
+    map-side-combinable and order-free.
+
+    Scale shape: scan-stage array HOFs (size + array_distinct, no
+    explode), one groupBy on a 10-key bucket domain.  Single pass at any
+    corpus size."""
+    ts = tokens()
+    n_tok = F.size(ts).cast("long")
+    n_uniq = F.size(F.array_distinct(ts)).cast("long")
+    d = t(spark, sf_dir, "documents").select(
+        F.least(
+            (F.size(ts) / F.lit(_TTR_BUCKET_W)).cast("long"),
+            F.lit(_TTR_MAX_BUCKET).cast("long"),
+        ).alias("bucket"),
+        n_tok.alias("n_tok"),
+        n_uniq.alias("n_uniq"),
+    )
+    return d.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.sum("n_uniq").cast("long").alias("sum_distinct"),
+        (F.sum("n_uniq").cast("double") / F.sum("n_tok")).alias("ttr_micro"),
+    )

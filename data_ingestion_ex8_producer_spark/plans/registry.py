@@ -273,6 +273,24 @@ def register(
 # stays exercised by q_perplexity_buckets' per-lang NTILE and analytics
 # keeps triangles + pagerank), and text_quality_score (driver-green
 # r1-r7; text keeps 7 reps incl. the new perplexity census).
+# Fourth late-r8 batch (same precedent): the six new oracled ops join —
+# q_zorder_layout (Morton-cell layout report, the first data-layout
+# family member), q_gopher_rules (the published quality-rule battery
+# census), q_cusum_changepoint + q_daily_autocorr (daily-rate regime
+# analytics), q_item_pmi_similarity (co-purchase PMI lexicon), and
+# q_lexical_diversity (bucketed micro-TTR census).  Displaced, every
+# family keeping >=1 rep: q_emb_top_component + q_emb_remove_top_component
+# (driver-green r7; the exact-Gram/power-iteration machinery stays
+# pytest- and full-artifact-pinned, and the embedding family keeps the
+# IVF-PQ pair + range search + cell stats + MMR + kNN-graph),
+# q_seasonal_hourly_anomaly (driver-green r6-r7; events keep retention +
+# dynamic sessions + proximity pairs + the two new regime ops),
+# q_copurchase_triangles (driver-green r6-r7; the graph family keeps
+# pagerank + the new PMI lexicon over the same co-purchase join),
+# q_bm25_mlt_topk (driver-green r6-r7; text keeps 8 reps and the
+# df/posting machinery still runs inside the staying hybrid fusion), and
+# q_key_skew_profile (driver-green r6-r7; the skew-surveillance story
+# stays via the salted twins in full artifacts).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -297,10 +315,11 @@ _PRIORITY: tuple[str, ...] = (
     # subqueries
     "q_lateral_topn",
     # extended analytics + reports
-    "q_copurchase_triangles",
+    "q_item_pmi_similarity",
     "q_part_pagerank",
     # event-time + event-sequence analytics
-    "q_seasonal_hourly_anomaly",
+    "q_cusum_changepoint",
+    "q_daily_autocorr",
     "q_retention_cohorts",
     "q_session_window_dynamic",
     "q_event_proximity_pairs",
@@ -313,7 +332,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_embedding_neardup",
     "q_doc_prefix_dup",
     # text analysis + tokenizer signals + lexical retrieval
-    "q_bm25_mlt_topk",
+    "q_gopher_rules",
     "q_doc_length_histogram",
     "q_cross_lingual_overlap",
     "q_perplexity_buckets",
@@ -337,9 +356,8 @@ _PRIORITY: tuple[str, ...] = (
     "udaf_minmax_normalize",
     "udtf_bigrams",
     # curation / pipeline
-    "q_emb_top_component",
-    "q_emb_remove_top_component",
-    "q_key_skew_profile",
+    "q_lexical_diversity",
+    "q_zorder_layout",
     "q_dsir_importance",
     "q_token_budget_sample",
     "q_epoch_allocation",

@@ -145,6 +145,16 @@ PROBE_QUERIES = (
     "q_knn_graph_stats",
     "q_cluster_balanced_sample",
     "q_perplexity_buckets",
+    # fourth late-r8 batch: layout cells + rule battery (both scan-stage
+    # integer maps into bounded-key groupBys), the two daily-series regime
+    # ops (volume dies at the per-day aggregate), and the co-purchase PMI
+    # lexicon (the q_copurchase_pairs join shape + count annotates)
+    "q_zorder_layout",
+    "q_gopher_rules",
+    "q_lexical_diversity",
+    "q_cusum_changepoint",
+    "q_daily_autocorr",
+    "q_item_pmi_similarity",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
