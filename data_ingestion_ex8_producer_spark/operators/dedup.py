@@ -1862,3 +1862,65 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash hamming-radius curve (the release-threshold dial)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_simhash_hamming_curve",
+    oracle=None,  # attached below (wraps the generated dedup_simhash SQL)
+    tags=("dedup", "simhash", "curve"),
+)
+def q_simhash_hamming_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts by exact hamming radius 0..3 over the 48-bit
+    SimHash fingerprints, with the cumulative count per radius — the
+    threshold dial read before fixing a simhash release radius, exactly
+    as q_dedup_threshold_curve reads the minhash Jaccard sweep: radius 0
+    pairs are (modulo hash collisions) exact dups, each +1 admits
+    fuzzier matches, and the marginal pairs-per-radius slope tells an
+    operator where precision falls off.  COMPOSES the registered
+    dedup_simhash builder (one pipeline definition per engine — this
+    module's banded join with its pigeonhole recall guarantee); the
+    oracle wraps dedup_simhash's generated SQL as a subquery, so no
+    fingerprint definition exists twice.
+
+    Scale shape: everything is dedup_simhash's plan (banded O(n x bands)
+    shuffle, no all-pairs stage) plus a 4-key combinable groupBy and a
+    4-row running sum — metadata after the pair stage at any corpus
+    size."""
+    from pyspark.sql import Window
+
+    pairs = dedup_simhash(spark, sf_dir)
+    per_radius = pairs.groupBy(F.col("hamming").cast("long").alias("hamming")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    w = Window.orderBy("hamming").rowsBetween(Window.unboundedPreceding, 0)
+    return per_radius.withColumn(
+        "cum_pairs", F.sum("n_pairs").over(w).cast("long")
+    )
+
+
+_curve_spec = _registry._REGISTRY["q_simhash_hamming_curve"]
+_registry._REGISTRY["q_simhash_hamming_curve"] = _registry.QuerySpec(
+    name=_curve_spec.name,
+    builder=_curve_spec.builder,
+    oracle=f"""
+    WITH pairs AS ({_simhash_oracle()})
+    , per_radius AS (
+        SELECT CAST(hamming AS BIGINT) AS hamming,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1
+    )
+    SELECT hamming, n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY hamming
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_pairs
+    FROM per_radius
+    """,
+    tags=_curve_spec.tags,
+    bench=_curve_spec.bench,
+    doc=_curve_spec.doc,
+)

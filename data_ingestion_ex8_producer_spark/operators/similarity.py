@@ -4262,3 +4262,231 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("sample_rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-integer k-means: three unrolled Lloyd iterations
+# --------------------------------------------------------------------------
+
+_KMI_K = 8  # centroids
+_KMI_ITERS = 3
+_KMI_OFF = 1 << 20  # shift-to-nonnegative offset for cross-engine floor div
+_KMI_SALT = "kmi:"
+
+
+def _sql_sqdiff(a: str, b: str) -> str:
+    """Exact BIGINT squared L2 distance between two quantized arrays."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, {_DIM + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+def _kmi_oracle() -> str:
+    iters = []
+    for it in range(1, _KMI_ITERS + 1):
+        prev = f"cents{it - 1}"
+        iters.append(f"""
+    a{it} AS (
+        SELECT q.vec_id, q.eq, c.cid,
+               q.dq - 2 * {_sql_qdot('q.eq', 'c.cq')}
+                    + {_sql_qdot('c.cq', 'c.cq')} AS dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY q.dq - 2 * {_sql_qdot('q.eq', 'c.cq')}
+                            + {_sql_qdot('c.cq', 'c.cq')}, c.cid
+               ) AS rn
+        FROM quantized q CROSS JOIN {prev} c
+    ),
+    asn{it} AS (SELECT vec_id, eq, cid, dist FROM a{it} WHERE rn = 1),
+    upd{it} AS (
+        SELECT cid, p.pos,
+               ((SUM(eq[p.pos]) + {_KMI_OFF} * COUNT(*)) // COUNT(*))
+                 - {_KMI_OFF} AS cx
+        FROM asn{it}
+        CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS pos) p
+        GROUP BY cid, p.pos
+    ),
+    cents{it} AS (
+        SELECT cid, list(cx ORDER BY pos) AS cq FROM upd{it} GROUP BY cid
+    ),
+    stats{it} AS (
+        SELECT CAST({it} AS BIGINT) AS iteration,
+               CAST(s.cid AS BIGINT) AS cid,
+               CAST(s.n AS BIGINT) AS n_assigned,
+               CAST(s.inertia AS BIGINT) AS inertia_q,
+               {_sql_sqdiff('n.cq', 'o.cq')} AS shift_q
+        FROM (SELECT cid, COUNT(*) AS n, SUM(dist) AS inertia
+              FROM asn{it} GROUP BY cid) s
+        JOIN cents{it} n ON n.cid = s.cid
+        JOIN {prev} o ON o.cid = s.cid
+    )""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM stats{i}" for i in range(1, _KMI_ITERS + 1)
+    )
+    return f"""
+    WITH quantized AS (
+        SELECT vec_id, eq, {_sql_qdot('eq', 'eq')} AS dq FROM (
+            SELECT vec_id, {_sql_quant('embedding')} AS eq FROM embeddings
+        ) WHERE {_sql_qdot('eq', 'eq')} > 0
+    ),
+    cents0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, eq AS cq
+        FROM (SELECT vec_id, eq FROM quantized
+              ORDER BY md5('{_KMI_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT {_KMI_K})
+    ),{','.join(iters)}
+    {union}
+    """
+
+
+@register(
+    "q_kmeans_iterations",
+    oracle=None,  # attached below (generated per-iteration CTE blocks)
+    tags=("similarity", "kmeans", "iterative", "training"),
+)
+def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three unrolled Lloyd (k-means) iterations over the quantized
+    embedding corpus, k={_KMI_K}, ENTIRELY in exact BIGINT — per
+    iteration and centroid: membership count, inertia (sum of squared L2
+    distances, the objective a training driver watches), and the squared
+    centroid displacement (the convergence signal).  Where
+    q_emb_kmeans_step runs ONE spherical step with quantized-mean
+    reporting, this is the iterative TRAINING LOOP as a registered,
+    exactly-oracled query — the kin of q_part_pagerank's fixed-point
+    family, proving the unrolled-iteration pattern holds for ML training
+    plans too, with assignment argmaxes that are exact integer argmins
+    (the escalation path FLOAT_QUALS.md names for the Class-C IVF
+    assignment, implemented): distances are
+    ``dq - 2*dot + cc`` over _QSCALE-quantized BIGINT vectors, so no
+    float exists anywhere and ties break on centroid id identically in
+    both engines.
+
+    Cross-engine floor division: centroid means must floor identically
+    for NEGATIVE sums (Spark ``div`` truncates toward zero, DuckDB ``//``
+    floors), so the mean is computed as
+    ``((sum + OFF*n) div n) - OFF`` with OFF = 2^20 making the numerator
+    positive — floor semantics for all signs, identical on both engines.
+
+    Initialization: the {_KMI_K} vectors first in salted-md5 order (the
+    deterministic stand-in for k-means++ sampling), cid assigned in
+    vec_id order.
+
+    Scale shape: per iteration, assignment is a broadcast join of the
+    corpus against {_KMI_K} centroid rows (no shuffle), the argmin a
+    per-vec_id min_by on a unique (dist, cid) key, and the update ONE
+    map-side-combinable shuffle on (cid, pos) — K x {_DIM} = 512 keys of
+    BIGINT partials, kilobytes per map task at any corpus size; the
+    centroid relations persist at 8 rows each.  A 100 TB training run
+    loops exactly this plan shape (with k and iterations as dials).
+    Overflow: |eq| <= ~2^13 per component, dists <= ~2^32, inertia sums
+    <= n*2^32 — BIGINT headroom to ~2^31 vectors."""
+    from pyspark.sql import Window
+
+    from ._util import persist_tracked
+
+    members = persist_tracked(
+        _ivf_valid_emb(spark, sf_dir)
+        .select("vec_id", _quant(F.col("ed")).alias("eq"))
+        .withColumn("dq", _qdot(F.col("eq"), F.col("eq")))
+        .filter(F.col("dq") > 0)
+    )
+    w_init = Window.orderBy("vec_id")
+    cents = persist_tracked(
+        members.select(
+            "vec_id",
+            "eq",
+            F.md5(
+                F.concat(F.lit(_KMI_SALT), F.col("vec_id").cast("string"))
+            ).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(_KMI_K)
+        .withColumn("cid", F.row_number().over(w_init).cast("long"))
+        .select("cid", F.col("eq").alias("cq"))
+    )
+    stats_frames = []
+    for it in range(1, _KMI_ITERS + 1):
+        joined = members.crossJoin(F.broadcast(cents)).withColumn(
+            "dist",
+            F.col("dq")
+            - 2 * _qdot(F.col("eq"), F.col("cq"))
+            + _qdot(F.col("cq"), F.col("cq")),
+        )
+        asn = persist_tracked(
+            joined.groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cid", "eq", "dist"),
+                    F.struct("dist", "cid"),
+                ).alias("b")
+            )
+            .select(
+                "vec_id",
+                F.col("b.cid").alias("cid"),
+                F.col("b.eq").alias("eq"),
+                F.col("b.dist").alias("dist"),
+            )
+        )
+        new_cents = persist_tracked(
+            asn.select("cid", F.posexplode("eq").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("ssum"), F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "cx",
+                F.expr(f"((ssum + {_KMI_OFF} * n) div n) - {_KMI_OFF}").cast(
+                    "long"
+                ),
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                    lambda s: s.cx,
+                ).alias("cq")
+            )
+        )
+        shift = new_cents.join(
+            cents.select("cid", F.col("cq").alias("cq_old")), "cid"
+        ).select(
+            "cid",
+            F.aggregate(
+                F.zip_with(
+                    F.col("cq"), F.col("cq_old"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("shift_q"),
+        )
+        stats = (
+            asn.groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_assigned"),
+                F.sum("dist").cast("long").alias("inertia_q"),
+            )
+            .join(shift, "cid")
+            .select(
+                F.lit(it).cast("long").alias("iteration"),
+                F.col("cid").cast("long").alias("cid"),
+                "n_assigned",
+                "inertia_q",
+                F.col("shift_q").cast("long").alias("shift_q"),
+            )
+        )
+        stats_frames.append(stats)
+        cents = new_cents
+    out = stats_frames[0]
+    for f in stats_frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+_kmi_spec = _registry._REGISTRY["q_kmeans_iterations"]
+_registry._REGISTRY["q_kmeans_iterations"] = _registry.QuerySpec(
+    name=_kmi_spec.name,
+    builder=_kmi_spec.builder,
+    oracle=_kmi_oracle(),
+    tags=_kmi_spec.tags,
+    bench=_kmi_spec.bench,
+    doc=_kmi_spec.doc,
+)

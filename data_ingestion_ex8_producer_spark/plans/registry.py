@@ -291,6 +291,16 @@ def register(
 # df/posting machinery still runs inside the staying hybrid fusion), and
 # q_key_skew_profile (driver-green r6-r7; the skew-surveillance story
 # stays via the salted twins in full artifacts).
+# Fifth late-r8 batch: q_simhash_hamming_curve (the simhash release-radius
+# dial, composing the registered dedup_simhash pipeline) displaced
+# dedup_prefix_filter (driver-green r7; its lossless PPJoin machinery
+# stays full-artifact-pinned and the set-similarity story keeps
+# dedup_containment + the jaccard estimate in-window), and
+# q_kmeans_iterations (three unrolled exact-integer Lloyd iterations —
+# the ML-training fixed-point family member, with the FLOAT_QUALS
+# escalation-path integer argmin implemented) displaced q_hybrid_rrf_ivfpq
+# (driver-green r7; similarity keeps the IVF-PQ pair + range search +
+# cell stats + MMR + kNN graph).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -325,7 +335,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_event_proximity_pairs",
     # deduplication
     "q_semantic_dedup_curve",
-    "dedup_prefix_filter",
+    "q_simhash_hamming_curve",
     "q_minhash_jaccard_estimate",
     "dedup_containment",
     "q_dedup_cluster_stats",
@@ -341,7 +351,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_doc_repetition",
     "q_zipf_profile",
     # similarity search + ANN evaluation + hybrid
-    "q_hybrid_rrf_ivfpq",
+    "q_kmeans_iterations",
     "sim_ivfpq_topk",
     "q_ivfpq_recall",
     "sim_range_search",

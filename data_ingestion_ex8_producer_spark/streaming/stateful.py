@@ -1108,3 +1108,120 @@ def token_budget_gate_stream(docs: DataFrame, budget_tokens: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming CUSUM regime monitor (the q_cusum_changepoint twin, per type)
+# --------------------------------------------------------------------------
+
+CUSUM_SCHEMA = (
+    "event_type string, n_days bigint, n_events bigint, peak_day date,"
+    " peak_abs_cusum bigint, n_peak_days bigint"
+)
+_CU_STATE_SCHEMA = "days array<long>, counts array<long>"
+_CU_MAX_DAYS = 100_000  # ~270 years of daily cells per type — a config
+# error, not data, if exceeded; fail fast rather than grow state silently
+# (the _RO_MAX_BINS doctrine).
+_DAY_US_CU = 86_400_000_000
+
+
+def _cusum_trace(pairs: list[tuple[int, int]]) -> tuple[int, int, int]:
+    """(peak day, peak |cusum|, n peak days) of the exact-integer CUSUM
+    over (epoch-day, count) pairs — residual n_d*D - N cleared of the
+    mean division, the batch twin's arithmetic verbatim.  Only OBSERVED
+    days enter the trace (the batch twin's daily relation has no
+    zero-count spine), so the statistic is over the observed series."""
+    pairs = sorted(pairs)
+    n_days = len(pairs)
+    total = sum(c for _, c in pairs)
+    cum = 0
+    best = (-1, -1)  # (abs cusum, ) with first-day tiebreak via scan order
+    n_best = 0
+    for d, c in pairs:
+        cum += c * n_days - total
+        a = abs(cum)
+        if a > best[0]:
+            best = (a, d)
+            n_best = 1
+        elif a == best[0]:
+            n_best += 1
+    return best[1], best[0], n_best
+
+
+def _update_cusum(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type volume-regime monitor across micro-batches: state is
+    the DAY-COUNT histogram — calendar-bounded (not stream-length-
+    bounded) and exactly associative, so the final emission after any
+    batch split equals the single-batch emission, the robust-monitor
+    doctrine applied to the time axis.  Each touched type re-emits its
+    current CUSUM summary (update mode): the day where the cumulative
+    residual peaks is the most likely mean-shift point of that type's
+    daily volume series so far."""
+    if state.exists:
+        hist = dict(zip(list(state.get[0]), list(state.get[1])))
+    else:
+        hist = {}
+    touched = False
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        days = (pdf["ts_us"].astype("int64") // _DAY_US_CU).astype("int64")
+        for d, c in days.value_counts().items():
+            hist[int(d)] = hist.get(int(d), 0) + int(c)
+        touched = True
+    if len(hist) > _CU_MAX_DAYS:
+        raise ValueError(
+            f"cusum monitor for {key[0]!r} exceeds {_CU_MAX_DAYS} day "
+            "cells; the stream is feeding implausible timestamps"
+        )
+    state.update((sorted(hist), [hist[d] for d in sorted(hist)]))
+    if not touched or not hist:
+        yield pd.DataFrame(columns=[c.split()[0] for c in CUSUM_SCHEMA.split(", ")])
+        return
+    peak_day, peak_abs, n_peak = _cusum_trace(list(hist.items()))
+    yield pd.DataFrame(
+        [
+            (
+                key[0],
+                len(hist),
+                int(sum(hist.values())),
+                pd.Timestamp(peak_day * 86_400, unit="s").date(),
+                peak_abs,
+                n_peak,
+            )
+        ],
+        columns=[
+            "event_type", "n_days", "n_events", "peak_day",
+            "peak_abs_cusum", "n_peak_days",
+        ],
+    )
+
+
+def cusum_regime_stream(events: DataFrame) -> DataFrame:
+    """Streaming CUSUM change-point monitor keyed by event_type — the
+    online deployment shape of the batch q_cusum_changepoint
+    (operators/events.py): state per type is the associative day-count
+    histogram, the emission is the current most-likely mean-shift day
+    with its exact-integer peak statistic.  tests/
+    test_streaming_stateful.py pins a single availableNow batch against
+    an independent SQL recomputation, the exact split-batch
+    associativity of the day histogram, and the fail-fast state bound."""
+    return (
+        events.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_cusum,
+            outputStructType=CUSUM_SCHEMA,
+            stateStructType=_CU_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

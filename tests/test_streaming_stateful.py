@@ -1479,3 +1479,115 @@ def test_token_budget_state_split_batches_sum_exactly() -> None:
     # every emission is internally consistent: kept == (cum <= budget)
     for out in (out_a, out_b, out_single):
         assert ((out["cum_tokens"] <= 100).astype("int64") == out["kept"]).all()
+
+
+# --------------------------------------------------------------------------
+# Streaming CUSUM regime monitor (q_cusum_changepoint's per-type twin)
+# --------------------------------------------------------------------------
+
+
+def test_streaming_cusum_matches_sql_reference(spark, tmp_path: Path) -> None:
+    """Single availableNow batch: each type's emitted CUSUM summary must
+    equal an independent SQL recomputation of the per-type exact-integer
+    trace (earliest peak day, peak |cusum|, peak-day count)."""
+    import duckdb
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        cusum_regime_stream,
+    )
+
+    events = stream_events_fixture(spark, SF, str(tmp_path / "cusum"))
+    _run(cusum_regime_stream(events), "stream_cusum", "update")
+    got = {
+        r.event_type: (r.n_days, r.n_events, r.peak_day, r.peak_abs_cusum,
+                       r.n_peak_days)
+        for r in spark.sql("SELECT * FROM stream_cusum").collect()
+    }
+    ref = duckdb.sql(f"""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT event_type, SUM(c) AS total, COUNT(*) AS nd
+            FROM daily GROUP BY 1
+        ),
+        tr AS (
+            SELECT d.event_type, d.day,
+                   SUM(d.c * t.nd - t.total) OVER (
+                       PARTITION BY d.event_type ORDER BY d.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cs
+            FROM daily d JOIN t ON t.event_type = d.event_type
+        ),
+        pk AS (
+            SELECT event_type, MAX(abs(cs)) AS peak FROM tr GROUP BY 1
+        )
+        SELECT tr.event_type,
+               CAST(t.nd AS BIGINT) AS n_days,
+               CAST(t.total AS BIGINT) AS n_events,
+               MIN(tr.day) FILTER (WHERE abs(tr.cs) = pk.peak) AS peak_day,
+               CAST(pk.peak AS BIGINT) AS peak_abs,
+               CAST(COUNT(*) FILTER (WHERE abs(tr.cs) = pk.peak) AS BIGINT)
+                 AS n_peak
+        FROM tr
+        JOIN pk ON pk.event_type = tr.event_type
+        JOIN t ON t.event_type = tr.event_type
+        GROUP BY tr.event_type, t.nd, t.total, pk.peak
+    """).fetchall()
+    want = {r[0]: (r[1], r[2], r[3], r[4], r[5]) for r in ref}
+    assert got == want and len(got) > 0
+
+
+def test_cusum_state_split_batches_are_exactly_associative() -> None:
+    """The day histogram is the sufficient statistic: any batch split
+    yields identical state and final emission as one batch."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        _update_cusum,
+    )
+
+    def _b(day_counts):
+        us = []
+        for d, c in day_counts.items():
+            us.extend(d * 86_400_000_000 + i for i in range(c))
+        return pd.DataFrame({"ts_us": pd.Series(us, dtype="int64")})
+
+    a = {19000: 3, 19001: 3, 19002: 3}
+    b = {19003: 9, 19004: 10, 19001: 1}
+    split = _FakeState()
+    list(_update_cusum(("buy",), iter([_b(a)]), split))
+    out_split = pd.concat(_update_cusum(("buy",), iter([_b(b)]), split))
+    single = _FakeState()
+    out_single = pd.concat(_update_cusum(("buy",), iter([_b({
+        k: a.get(k, 0) + b.get(k, 0) for k in {**a, **b}
+    })]), single))
+    assert split.get == single.get
+    assert out_split.to_dict("records") == out_single.to_dict("records")
+    row = out_single.iloc[0]
+    # series 3,4,3,9,10 over 5 days: residuals *5 - 29 -> trace peaks
+    # (abs) at day 19002 before the regime shift.
+    assert row["n_days"] == 5 and row["n_events"] == 29
+    assert str(row["peak_day"]) == "2022-01-10"
+
+
+def test_cusum_state_day_cap_fails_fast() -> None:
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_ingestion_ex8_producer_spark.streaming import stateful as _st
+
+    old = _st._CU_MAX_DAYS
+    _st._CU_MAX_DAYS = 2
+    try:
+        st = _FakeState()
+        b = pd.DataFrame({"ts_us": pd.Series(
+            [0, 86_400_000_000, 2 * 86_400_000_000], dtype="int64")})
+        with _pytest.raises(ValueError, match="day"):
+            list(_st._update_cusum(("buy",), iter([b]), st))
+    finally:
+        _st._CU_MAX_DAYS = old

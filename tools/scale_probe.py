@@ -155,6 +155,11 @@ PROBE_QUERIES = (
     "q_cusum_changepoint",
     "q_daily_autocorr",
     "q_item_pmi_similarity",
+    # fifth late-r8 batch: the simhash radius curve (the banded pair stage
+    # + a 4-key rollup) and the unrolled integer Lloyd loop (3 broadcast
+    # assignment passes + 3 (cid,pos)-keyed metadata shuffles)
+    "q_simhash_hamming_curve",
+    "q_kmeans_iterations",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
