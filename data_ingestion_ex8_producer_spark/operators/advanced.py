@@ -490,3 +490,200 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hi_cust.join(
         big_orders, hi_cust.c_custkey == big_orders.o_custkey, "full_outer"
     ).select("c_custkey", "c_name", "o_custkey", "n_big", "big_total")
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (2-D skyline) via the two-phase distributed prefix max
+# --------------------------------------------------------------------------
+
+_SKY_BKT_W = 1 << 20  # price-cents per bucket (~$10k): value-domain bound
+
+
+@register(
+    "q_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey,
+               CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS price_c,
+               CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                    AS BIGINT) AS day
+        FROM orders
+    ),
+    grp AS (SELECT price_c, MAX(day) AS gmax FROM pts GROUP BY price_c),
+    g2 AS (
+        SELECT price_c, gmax,
+               COALESCE(MAX(gmax) OVER (
+                   ORDER BY price_c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), -1) AS smax
+        FROM grp
+    )
+    SELECT p.o_orderkey, p.price_c, p.day
+    FROM pts p JOIN g2 ON g2.price_c = p.price_c
+    WHERE g2.smax < p.day AND g2.gmax <= p.day
+    """,
+    tags=("advanced", "skyline", "pareto", "scale-pattern"),
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (2-D skyline) of orders under (minimize price,
+    maximize recency) — the classic SKYLINE operator (Borzsonyi et al.
+    ICDE 2001): an order survives iff no other order is at most as
+    expensive AND at least as recent with one strict.  Duplicated
+    (price, day) points co-survive (no strict part), matching the
+    standard definition.  Price is floor(p*100 + 0.5) integer cents, so
+    membership is Class-A integer arithmetic end-to-end.
+
+    The naive plan is the O(n^2) inequality anti-join (measured: 4.7 s
+    at sf0.01 in DuckDB, minutes at sf0.1 — the quadratic the operator
+    exists to avoid).  For a 2-D skyline the sort-based identity
+    dominates: b survives iff max(day | price < price_b) < day_b AND
+    max(day | price = price_b) <= day_b, which needs only per-price-group
+    maxima and a strict-prefix running max over the price order.  Here
+    that prefix max is the repo's two-phase distributed shape (the
+    q_concat_chunk_packing doctrine, applied to max instead of sum):
+    phase 1 per-price maxima (combinable groupBy), bucketed by the
+    value-domain-bounded price range; a metadata-sized per-bucket prefix
+    relation broadcasts back; phase 2 runs the within-bucket window at
+    parallelism = bucket count.  No pair join exists anywhere; corpus
+    volume touches one groupBy and one broadcast-annotated filter scan.
+    The oracle states the same identity with DuckDB's single global
+    window (single-node, no two-phase needed) — the semantics, not the
+    mechanics."""
+    pts = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("day"),
+    )
+    grp = pts.groupBy("price_c").agg(F.max("day").alias("gmax"))
+    grp = grp.withColumn("bkt", F.expr(f"price_c div {_SKY_BKT_W}"))
+    # phase 1: per-bucket max; metadata-sized strict-prefix over buckets
+    bstats = grp.groupBy("bkt").agg(F.max("gmax").alias("bmax"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bstats.select(
+        "bkt", F.coalesce(F.max("bmax").over(w_b), F.lit(-1)).alias("pmax")
+    )
+    # phase 2: within-bucket strict-prefix running max, offset by pmax
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g2 = (
+        grp.join(F.broadcast(prefix), "bkt")
+        .withColumn(
+            "smax",
+            F.greatest(
+                F.coalesce(F.max("gmax").over(w_in), F.lit(-1)),
+                F.col("pmax"),
+            ),
+        )
+        .select("price_c", "gmax", "smax")
+    )
+    return (
+        pts.join(g2, "price_c")
+        .filter((F.col("smax") < F.col("day")) & (F.col("gmax") <= F.col("day")))
+        .select("o_orderkey", "price_c", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANALYZE-style column statistics profile (the CBO inputs, as a query)
+# --------------------------------------------------------------------------
+
+_STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "q_table_stats_profile",
+    oracle=f"""
+    WITH long_form AS (
+        {" UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, CAST({c} AS DOUBLE) AS value "
+            "FROM lineitem" for c in _STATS_COLS
+        )}
+    ),
+    base AS (
+        SELECT column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(value) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM long_form GROUP BY column_name
+    ),
+    mcv AS (
+        SELECT column_name, value AS mcv_value,
+               CAST(cnt AS BIGINT) AS mcv_count
+        FROM (
+            SELECT column_name, value, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY column_name
+                       ORDER BY COUNT(*) DESC, value
+                   ) AS rn
+            FROM long_form WHERE value IS NOT NULL
+            GROUP BY column_name, value
+        ) WHERE rn = 1
+    )
+    SELECT b.column_name, b.n_rows, b.n_nulls, b.n_distinct,
+           b.min_value, b.max_value, m.mcv_value, m.mcv_count
+    FROM base b JOIN mcv m ON m.column_name = b.column_name
+    """,
+    tags=("advanced", "statistics", "profiling"),
+)
+def q_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE as a registered query: per numeric lineitem column,
+    the statistics triple a cost-based optimizer (and every data-quality
+    monitor) feeds on — row/null counts, exact NDV, min/max, and the
+    most-common-value with its frequency (deterministic under the
+    (count DESC, value ASC) tie-break).  Grouping doubles by exact bit
+    equality is cross-engine-safe: both engines read the identical
+    parquet doubles and never re-derive them.
+
+    Scale shape: the melt is a scan-stage unpivot (rows x 4, no join);
+    counts/min/max are one combinable groupBy on a 4-key domain; exact
+    NDV and the MCV ride one (column, value) groupBy whose key domain is
+    the columns' VALUE domains (quantity: 50, discount/tax: ~10 each —
+    catalog-bounded; extendedprice: price-grid-bounded), then a top-1
+    WindowGroupLimit per column.  At 100 TB the only volume-scale stage
+    is the map-side combine; production engines swap exact NDV for HLL
+    (registered separately as q_approx_distinct) when the value domain
+    itself grows with the corpus."""
+    li = t(spark, sf_dir, "lineitem")
+    long_form = li.select(
+        F.expr(
+            "stack({}, {})".format(
+                len(_STATS_COLS),
+                ", ".join(
+                    f"'{c}', CAST({c} AS DOUBLE)" for c in _STATS_COLS
+                ),
+            )
+        ).alias("column_name", "value")
+    )
+    base = long_form.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).cast("long").alias("n_nulls"),
+        F.countDistinct("value").cast("long").alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    w = Window.partitionBy("column_name").orderBy(
+        F.col("cnt").desc(), F.col("value")
+    )
+    mcv = (
+        long_form.filter(F.col("value").isNotNull())
+        .groupBy("column_name", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "column_name",
+            F.col("value").alias("mcv_value"),
+            F.col("cnt").cast("long").alias("mcv_count"),
+        )
+    )
+    return base.join(mcv, "column_name")

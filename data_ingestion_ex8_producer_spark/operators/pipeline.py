@@ -2168,3 +2168,249 @@ def q_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("budget_leftover"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view delta identity)
+# --------------------------------------------------------------------------
+
+_MV_CUT = "1997-01-01"
+
+
+@register(
+    "q_incremental_agg_maintenance",
+    oracle=f"""
+    WITH old AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_old,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+                 AS total_old
+        FROM orders WHERE o_orderdate < DATE '{_MV_CUT}'
+        GROUP BY o_orderpriority
+    ),
+    delta AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_delta,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+                 AS total_delta
+        FROM orders WHERE o_orderdate >= DATE '{_MV_CUT}'
+        GROUP BY o_orderpriority
+    ),
+    fresh AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_new,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+                 AS total_new
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT f.o_orderpriority,
+           COALESCE(o.n_old, 0) AS n_old,
+           COALESCE(d.n_delta, 0) AS n_delta,
+           f.n_new,
+           COALESCE(o.total_old, 0.0) AS total_old,
+           COALESCE(d.total_delta, 0.0) AS total_delta,
+           f.total_new
+    FROM fresh f
+    LEFT JOIN old o ON o.o_orderpriority = f.o_orderpriority
+    LEFT JOIN delta d ON d.o_orderpriority = f.o_orderpriority
+    """,
+    tags=("pipeline", "incremental", "materialized-view"),
+)
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view delta maintenance as a verifiable identity: the
+    per-priority order-count/revenue rollup is maintained INCREMENTALLY —
+    the pre-{_MV_CUT} base aggregate plus the delta batch's partial
+    aggregate, merged by key — and emitted alongside both inputs; the
+    ORACLE computes the fresh full recompute independently, so the
+    driver's hash equality IS the proof that merge(old, delta) ==
+    recompute(all), the contract every incremental pipeline (and every
+    streaming sink in update mode) rests on.  Aggregates must be
+    decomposable for this to hold: count merges by +, and the revenue
+    sums are exact DECIMAL(12,4) (associative — the one property raw
+    double sums lack, which is exactly why the engine's doctrine
+    quantizes before summing).
+
+    Scale shape: at 100 TB the base aggregate is the stored MV (catalog-
+    keyed, metadata-sized) and only the DELTA scan touches new data —
+    this query's old/delta branches read disjoint partitions of one scan
+    (Catalyst splits the filters), then two broadcast-sized key merges."""
+    o = t(spark, sf_dir, "orders")
+    cut = F.lit(_MV_CUT).cast("date")
+    old = (
+        o.filter(F.col("o_orderdate") < cut)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_old"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,4)")).alias("t_old"),
+        )
+    )
+    delta = (
+        o.filter(F.col("o_orderdate") >= cut)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_delta"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,4)")).alias("t_delta"),
+        )
+    )
+    merged = (
+        old.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce(F.col("n_delta"), F.lit(0)).cast("long").alias("n_delta"),
+            F.coalesce(F.col("t_old"), F.lit(0).cast("decimal(12,4)")).alias(
+                "t_old"
+            ),
+            F.coalesce(F.col("t_delta"), F.lit(0).cast("decimal(12,4)")).alias(
+                "t_delta"
+            ),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_old",
+        "n_delta",
+        (F.col("n_old") + F.col("n_delta")).cast("long").alias("n_new"),
+        F.col("t_old").cast("double").alias("total_old"),
+        F.col("t_delta").cast("double").alias("total_delta"),
+        (F.col("t_old") + F.col("t_delta")).cast("double").alias("total_new"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC MERGE (upsert) semantics with per-action accounting
+# --------------------------------------------------------------------------
+
+_MERGE_CUT = "2024-01-30"
+
+
+@register(
+    "q_cdc_merge_apply",
+    oracle=f"""
+    WITH target AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+        FROM events
+        WHERE ts < TIMESTAMP '{_MERGE_CUT}' AND user_id IS NOT NULL
+          AND user_id % 10 != 0
+        GROUP BY user_id
+    ),
+    source AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+        FROM events
+        WHERE ts >= TIMESTAMP '{_MERGE_CUT}' AND user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    merged AS (
+        SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+               CASE WHEN t.user_id IS NULL THEN 'insert'
+                    WHEN s.user_id IS NULL THEN 'unchanged'
+                    ELSE 'update' END AS action,
+               COALESCE(t.n_events, 0) + COALESCE(s.n_events, 0) AS n_events,
+               GREATEST(COALESCE(t.last_us, -1), COALESCE(s.last_us, -1))
+                 AS last_us
+        FROM target t FULL OUTER JOIN source s ON s.user_id = t.user_id
+    )
+    SELECT action,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(CAST('0x' || substr(md5(
+                    CAST(user_id AS VARCHAR) || ':' ||
+                    CAST(n_events AS VARCHAR) || ':' ||
+                    CAST(last_us AS VARCHAR)), 1, 12) AS BIGINT))
+                AS BIGINT) AS state_checksum
+    FROM merged GROUP BY action
+    """,
+    tags=("pipeline", "cdc", "merge", "upsert"),
+)
+def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) semantics on plain tables, with per-action
+    accounting AND a content checksum of the post-merge state: the
+    pre-{_MERGE_CUT} per-user profile is the target (minus the 10% of
+    users with user_id % 10 == 0, the not-yet-onboarded cohort that makes
+    the INSERT branch non-empty at every scale factor), the post-cut
+    activity the CDC source; matched keys take the merge update
+    (counts add, last-seen takes the max), source-only keys insert,
+    target-only rows carry over unchanged — exactly the three branches
+    of the SQL MERGE statement, expressed as the full-outer-join +
+    branch-classification plan Spark executes for MERGE under Delta/
+    Iceberg.  The emitted rows are the action-level audit (row counts
+    per branch) plus an order-insensitive BIGINT checksum (sum of
+    48-bit md5 prefixes of the canonical row rendering), so the oracle
+    equality certifies the entire merged STATE, not just its
+    cardinality — the audit a CDC pipeline publishes per applied batch.
+
+    Scale shape: both sides reduce to per-key partial aggregates before
+    the single full-outer shuffle on the join key (AQE handles skew);
+    the checksum is an associative integer sum — no ordering, no
+    collect.  At 100 TB the target side is the stored table's
+    (metadata-backed) profile relation and only the CDC batch is
+    scanned fresh."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cut = F.lit(_MERGE_CUT).cast("timestamp")
+
+    def _profile(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(F.unix_micros(F.col("ts"))).cast("long").alias("last_us"),
+        )
+
+    target = _profile(
+        ev.filter((F.col("ts") < cut) & (F.col("user_id") % 10 != 0))
+    )
+    source = _profile(ev.filter(F.col("ts") >= cut))
+    tcol = target.select(
+        F.col("user_id").alias("t_uid"),
+        F.col("n_events").alias("t_n"),
+        F.col("last_us").alias("t_last"),
+    )
+    scol = source.select(
+        F.col("user_id").alias("s_uid"),
+        F.col("n_events").alias("s_n"),
+        F.col("last_us").alias("s_last"),
+    )
+    merged = tcol.join(
+        scol, tcol.t_uid == scol.s_uid, "full_outer"
+    ).select(
+        F.coalesce(F.col("t_uid"), F.col("s_uid")).alias("user_id"),
+        F.when(F.col("t_uid").isNull(), "insert")
+        .when(F.col("s_uid").isNull(), "unchanged")
+        .otherwise("update")
+        .alias("action"),
+        (
+            F.coalesce(F.col("t_n"), F.lit(0))
+            + F.coalesce(F.col("s_n"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_events"),
+        F.greatest(
+            F.coalesce(F.col("t_last"), F.lit(-1)),
+            F.coalesce(F.col("s_last"), F.lit(-1)),
+        )
+        .cast("long")
+        .alias("last_us"),
+    )
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("user_id").cast("string"),
+                    F.col("n_events").cast("string"),
+                    F.col("last_us").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum(row_hash).cast("long").alias("state_checksum"),
+    )

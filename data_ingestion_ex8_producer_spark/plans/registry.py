@@ -301,6 +301,20 @@ def register(
 # escalation-path integer argmin implemented) displaced q_hybrid_rrf_ivfpq
 # (driver-green r7; similarity keeps the IVF-PQ pair + range search +
 # cell stats + MMR + kNN graph).
+# Sixth late-r8 batch (warehouse-lifecycle ops): q_pareto_frontier (the
+# SKYLINE operator via the two-phase distributed prefix MAX — no pair
+# join anywhere; the naive quadratic is measured in the docstring)
+# displaced udaf_minmax_normalize (driver-green r1-r7; the UDF family
+# keeps udtf_bigrams in-window and the UDAF surface stays pytest- and
+# full-artifact-pinned), and q_cdc_merge_apply (MERGE INTO semantics
+# with per-action accounting + an order-insensitive state checksum)
+# displaced mm_binary_stats (driver-green r6-r7; multimodal keeps
+# mm_frame_sample).  The batch's other two — q_table_stats_profile
+# (ANALYZE-style CBO stats) and q_incremental_agg_maintenance (the MV
+# delta-maintenance identity, whose oracle recomputes the fresh rollup
+# independently so hash equality PROVES merge(old,delta)==recompute) —
+# stay full-artifact-only this round and rotate in next round per the
+# r5->r6 precedent.
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -360,10 +374,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_knn_graph_stats",
     "q_cluster_balanced_sample",
     # multimodal
-    "mm_binary_stats",
+    "q_cdc_merge_apply",
     "mm_frame_sample",
     # Python UDF / UDAF / UDTF
-    "udaf_minmax_normalize",
+    "q_pareto_frontier",
     "udtf_bigrams",
     # curation / pipeline
     "q_lexical_diversity",

@@ -151,3 +151,64 @@ def test_no_python_udf_in_plan(spark, name: str) -> None:
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# Warehouse-lifecycle batch (r8): skyline / stats / MV identity / MERGE
+# --------------------------------------------------------------------------
+
+
+def test_pareto_frontier_equals_bruteforce(spark) -> None:
+    """The two-phase prefix-max skyline must equal the naive quadratic
+    NOT EXISTS at the small scale where the quadratic is feasible."""
+    import duckdb
+
+    got = sorted(
+        (r.o_orderkey, r.price_c, r.day)
+        for r in all_specs()["q_pareto_frontier"].builder(spark, SF).collect()
+    )
+    want = sorted(
+        duckdb.sql(f"""
+        WITH pts AS (
+            SELECT o_orderkey,
+                   CAST(floor(CAST(o_totalprice AS DOUBLE)*100 + 0.5)
+                        AS BIGINT) AS pc,
+                   CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                        AS BIGINT) AS day
+            FROM '{SF}/orders.parquet')
+        SELECT o_orderkey, pc, day FROM pts b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts a
+            WHERE a.pc <= b.pc AND a.day >= b.day
+              AND (a.pc < b.pc OR a.day > b.day))
+        """).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_cdc_merge_branches_all_nonempty(spark) -> None:
+    rows = {r.action: r for r in
+            all_specs()["q_cdc_merge_apply"].builder(spark, SF).collect()}
+    assert set(rows) == {"insert", "update", "unchanged"}
+    for r in rows.values():
+        assert r.n_users > 0 and r.n_events >= r.n_users
+
+
+def test_incremental_maintenance_identity(spark) -> None:
+    """new == old + delta per key, in counts and exact-decimal totals."""
+    rows = all_specs()["q_incremental_agg_maintenance"].builder(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_new == r.n_old + r.n_delta
+        assert abs(r.total_new - (r.total_old + r.total_delta)) == 0.0
+
+
+def test_table_stats_profile_sanity(spark) -> None:
+    rows = {r.column_name: r for r in
+            all_specs()["q_table_stats_profile"].builder(spark, SF).collect()}
+    assert set(rows) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    for r in rows.values():
+        assert r.n_distinct <= r.n_rows - r.n_nulls
+        assert r.min_value <= r.mcv_value <= r.max_value
+        assert 1 <= r.mcv_count <= r.n_rows
+    assert rows["l_quantity"].n_distinct == 50  # TPC-H quantity domain 1..50

@@ -160,6 +160,15 @@ PROBE_QUERIES = (
     # assignment passes + 3 (cid,pos)-keyed metadata shuffles)
     "q_simhash_hamming_curve",
     "q_kmeans_iterations",
+    # sixth late-r8 batch (warehouse lifecycle): skyline via two-phase
+    # prefix max (one groupBy + broadcast-annotated filter scan), the
+    # ANALYZE stats profile (melt + bounded-key groupBys), the MV delta
+    # identity (two disjoint-partition aggregates + key merges), and the
+    # CDC MERGE audit (two partial aggregates + one full-outer shuffle)
+    "q_pareto_frontier",
+    "q_table_stats_profile",
+    "q_incremental_agg_maintenance",
+    "q_cdc_merge_apply",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
