@@ -523,7 +523,8 @@ _SKY_BKT_W = 1 << 20  # price-cents per bucket (~$10k): value-domain bound
     FROM pts p JOIN g2 ON g2.price_c = p.price_c
     WHERE g2.smax < p.day AND g2.gmax <= p.day
     """,
-    tags=("advanced", "skyline", "pareto", "scale-pattern"),
+    tags=("advanced", "skyline", "pareto", "scale-pattern", "bench"),
+    bench=True,
 )
 def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier (2-D skyline) of orders under (minimize price,

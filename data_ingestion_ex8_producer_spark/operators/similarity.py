@@ -4343,7 +4343,8 @@ def _kmi_oracle() -> str:
 @register(
     "q_kmeans_iterations",
     oracle=None,  # attached below (generated per-iteration CTE blocks)
-    tags=("similarity", "kmeans", "iterative", "training"),
+    tags=("similarity", "kmeans", "iterative", "training", "bench"),
+    bench=True,
 )
 def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three unrolled Lloyd (k-means) iterations over the quantized
@@ -4447,7 +4448,8 @@ def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         shift = new_cents.join(
-            cents.select("cid", F.col("cq").alias("cq_old")), "cid"
+            F.broadcast(cents.select("cid", F.col("cq").alias("cq_old"))),
+            "cid",
         ).select(
             "cid",
             F.aggregate(
@@ -4464,7 +4466,7 @@ def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("long").alias("n_assigned"),
                 F.sum("dist").cast("long").alias("inertia_q"),
             )
-            .join(shift, "cid")
+            .join(F.broadcast(shift), "cid")
             .select(
                 F.lit(it).cast("long").alias("iteration"),
                 F.col("cid").cast("long").alias("cid"),
