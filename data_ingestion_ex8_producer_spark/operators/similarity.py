@@ -4492,3 +4492,143 @@ _registry._REGISTRY["q_kmeans_iterations"] = _registry.QuerySpec(
     bench=_kmi_spec.bench,
     doc=_kmi_spec.doc,
 )
+
+
+# --------------------------------------------------------------------------
+# SQ8 scalar quantization: the third index family (flat int8 codes)
+# --------------------------------------------------------------------------
+#
+# PQ compresses 64 floats to M=8 codebook ids; SQ8 ("scalar quantization",
+# the faiss IndexScalarQuantizer / Milvus SQ8 recipe) keeps all 64
+# dimensions but stores each as ONE signed byte of the L2-NORMALIZED
+# vector: code_i = floor(127 * x_i / ||x||).  Because every stored vector
+# shares the single global scale 1/127, the integer code dot product is an
+# exactly MONOTONE surrogate of the quantized cosine — ranking needs no
+# float reconstruction at all, so the whole search path after the one-time
+# encode is BIGINT arithmetic (FLOAT_QUALS Class A: the only float stage,
+# normalize-then-floor, is the same deterministic IEEE expression replayed
+# on both engines).
+#
+# Scale story: 64 bytes/vector = 4 GB per billion vectors (vs 256 GB raw
+# float32) — the codes relation broadcasts or bucket-joins where the raw
+# embeddings cannot; the scan stays a zip_with integer kernel inside
+# whole-stage codegen.  Recall is structurally higher than PQ at the same
+# budget on near-uniform corpora (no codebook assignment error, only
+# per-component rounding) — q_sq8_recall vs q_pq_recall measures exactly
+# that trade on this corpus.
+
+_SQ8_LEVELS = 127
+
+
+def _sq8_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, embedding) -> (vec_id, label, code: array<long>).
+
+    Normalize by the left-fold double L2 norm, then floor to the signed
+    8-bit grid.  floor (not round) keeps the expression one IEEE op per
+    component; the uniform -0.5 code bias cancels in ranking because every
+    stored vector shares it."""
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") / norm * _SQ8_LEVELS).cast("long"),
+        ).alias("code"),
+    )
+
+
+def _sql_sq8_codes() -> str:
+    nrm = f"sqrt({_sql_dot('embedding', 'embedding')})"
+    return f"""
+    SELECT vec_id, label,
+           list_transform(range(1, {_DIM + 1}), i ->
+             CAST(floor(CAST(embedding[i] AS DOUBLE) / {nrm}
+                        * {_SQ8_LEVELS}) AS BIGINT)) AS code
+    FROM embeddings
+    """
+
+
+def _sq8_oracle() -> str:
+    return f"""
+    WITH codes AS ({_sql_sq8_codes()}),
+    scored AS (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               c.label  AS neighbor_label,
+               {_sql_qdot('q.code', 'c.code')} AS dot8
+        FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dot8 DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label,
+           CAST(dot8 AS BIGINT) AS dot8, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {_TOP_K}
+    """
+
+
+@register(
+    "sim_sq8_topk",
+    oracle=_sq8_oracle(),
+    tags=("similarity", "sq8", "ann", "quantization"),
+)
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors per query over SQ8 codes (faiss
+    IndexScalarQuantizer recipe): encode once (normalize -> floor to
+    signed-byte grid), broadcast the 8 query code rows, scan the corpus
+    codes with a pure-BIGINT zip_with dot, rank with WindowGroupLimit.
+
+    Same plan skeleton as sim_bruteforce_topk but the scanned relation is
+    64 B/vector instead of 256 B and the score kernel is integer — at
+    100 TB the codes table is the thing that still broadcasts/buckets.
+    Ranking is exact integer DESC with neighbor_id tie-break: Class A, no
+    float compare anywhere after encode."""
+    codes = _sq8_codes(t(spark, sf_dir, "embeddings"))
+    queries = F.broadcast(
+        codes.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("code").alias("q_code")
+        )
+    )
+    corpus = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("code").alias("c_code"),
+    )
+    scored = queries.join(
+        corpus, F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        _qdot(F.col("q_code"), F.col("c_code")).alias("dot8"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot8").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "dot8", "rk")
+    )
+
+
+@register(
+    "q_sq8_recall",
+    oracle=_ann_recall_oracle(_sq8_oracle()),
+    tags=("similarity", "sq8", "ann", "evaluation"),
+)
+def q_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SQ8 integer-code ranking vs the exact cosine truth
+    set — the third index family's quality measurement, directly comparable
+    to q_pq_recall (same truth set, same denominator contract).  SQ8 keeps
+    per-dimension resolution and drops only ~1/254 of each component to
+    rounding, so its recall bounds what any 64-byte-budget index can do on
+    this corpus; the gap PQ shows below it is codebook assignment error,
+    not storage budget."""
+    return _ann_recall_frame(spark, sf_dir, sim_sq8_topk(spark, sf_dir))

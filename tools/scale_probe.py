@@ -169,6 +169,15 @@ PROBE_QUERIES = (
     "q_table_stats_profile",
     "q_incremental_agg_maintenance",
     "q_cdc_merge_apply",
+    # seventh late-r8 batch: the SQ8 flat-code index (the broadcast-scan
+    # shape over a 4x narrower relation — the ratio should match
+    # sim_bruteforce's) and the zone-map layout evaluator (four window
+    # sorts + four combinable file_id groupBys — the only probe rows that
+    # pay a full-relation sort, priced here on purpose: it is the same
+    # shuffle OPTIMIZE itself pays once per layout decision)
+    "sim_sq8_topk",
+    "q_sq8_recall",
+    "q_zonemap_skipping",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
