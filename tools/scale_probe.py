@@ -178,6 +178,12 @@ PROBE_QUERIES = (
     "sim_sq8_topk",
     "q_sq8_recall",
     "q_zonemap_skipping",
+    # eighth late-r8 batch: KMV sketch algebra (volume dies at the distinct
+    # (source, shingle) groupBy; everything after is K x catalog metadata)
+    # and the Bloom prefilter (two broadcast semi-join probes riding the
+    # lineitem scan + one-row aggregates)
+    "q_kmv_sketch_setops",
+    "q_bloom_join_prefilter",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
