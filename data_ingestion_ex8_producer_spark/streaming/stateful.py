@@ -1225,3 +1225,83 @@ def cusum_regime_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming KMV distinct-count sketch (the q_kmv_sketch_setops twin)
+# --------------------------------------------------------------------------
+
+KMV_SCHEMA = "source string, n_sketch bigint, h_k bigint, d_hat bigint"
+_KMV_STATE_SCHEMA = "sk array<long>"
+_KMV_K = 128  # must match operators/dedup.py:_KMV_K (guardrail-asserted)
+_KMV_SCALE = (_KMV_K - 1) * (1 << 48)
+
+
+def _update_kmv(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-source bottom-K shingle-hash sketch across micro-batches.
+
+    State is the K smallest distinct hash48 values seen — bottom-k is
+    closed under union (bottomK(A ∪ B) == bottomK(bottomK(A) ∪ B)), so the
+    merge is exactly associative, the state is <= K BIGINTs per source BY
+    CONSTRUCTION (the hardest-bounded state of all the twins: no grid, no
+    retention window, no prune counter), and the final emission after any
+    batch split equals the single-batch emission.  A single availableNow
+    batch therefore reproduces the batch spec's per-source d_hat exactly
+    (pinned in tests/test_streaming_stateful.py).
+
+    This is the online face of the KMV set algebra: each source's live
+    sketch supports the same distinct estimate emitted here, and any two
+    sources' sketches merge downstream for union/jaccard — yesterday's
+    corpus never gets re-read."""
+    sk = set(state.get[0]) if state.exists else set()
+    touched = False
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        sk.update(int(h) for h in pdf["h"])
+        touched = True
+    sk_sorted = sorted(sk)[:_KMV_K]
+    state.update((sk_sorted,))
+    if not touched or not sk_sorted:
+        yield pd.DataFrame(
+            columns=[c.split()[0] for c in KMV_SCHEMA.split(", ")]
+        )
+        return
+    n = len(sk_sorted)
+    hk = sk_sorted[-1]
+    d_hat = n if n < _KMV_K else _KMV_SCALE // hk
+    yield pd.DataFrame(
+        [(key[0], n, hk, d_hat)],
+        columns=["source", "n_sketch", "h_k", "d_hat"],
+    )
+
+
+def kmv_sketch_stream(docs: DataFrame) -> DataFrame:
+    """Streaming per-source KMV distinct-shingle estimator: the shingle +
+    hash48 projection runs as the SAME Catalyst expressions the batch spec
+    uses (tokenization fidelity by construction, not by reimplementation),
+    then applyInPandasWithState merges bottom-K per source."""
+    from ..functions.text import hash48, with_shingles
+
+    _SHINGLE_K = 3  # operators/dedup.py:_SHINGLE_K
+    sh = (
+        with_shingles(
+            docs.filter(
+                F.col("source").isNotNull() & F.col("text").isNotNull()
+            ),
+            _SHINGLE_K,
+        )
+        .select("source", F.explode("shingle_set").alias("shingle"))
+        .select("source", hash48(F.col("shingle")).alias("h"))
+    )
+    return sh.groupBy("source").applyInPandasWithState(
+        _update_kmv,
+        outputStructType=KMV_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

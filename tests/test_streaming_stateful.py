@@ -1591,3 +1591,150 @@ def test_cusum_state_day_cap_fails_fast() -> None:
             list(_st._update_cusum(("buy",), iter([b]), st))
     finally:
         _st._CU_MAX_DAYS = old
+
+
+# --------------------------------------------------------------------------
+# Streaming KMV sketch twin (q_kmv_sketch_setops's per-source estimator)
+# --------------------------------------------------------------------------
+
+
+def _batch_kmv_dhat(spark) -> dict[str, int]:
+    """Expected per-source d_hat from the REGISTERED batch spec: every
+    source appears on some pair row, so the union of (source_a, d_hat_a)
+    and (source_b, d_hat_b) covers the catalog."""
+    from data_ingestion_ex8_producer_spark.operators.dedup import (
+        q_kmv_sketch_setops,
+    )
+
+    out: dict[str, int] = {}
+    for r in q_kmv_sketch_setops(spark, SF).collect():
+        out[r["source_a"]] = r["d_hat_a"]
+        out[r["source_b"]] = r["d_hat_b"]
+    return out
+
+
+@pytest.mark.slow
+def test_streaming_kmv_matches_batch(spark, tmp_path: Path) -> None:
+    """Single availableNow batch: the stateful bottom-K sketch must emit
+    exactly the batch spec's per-source distinct estimates."""
+    from data_ingestion_ex8_producer_spark.streaming.events import (
+        stream_documents_fixture,
+    )
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        kmv_sketch_stream,
+    )
+
+    docs = stream_documents_fixture(spark, SF, str(tmp_path / "kmv"))
+    _run(kmv_sketch_stream(docs), "stream_kmv", "update")
+    got = {
+        r["source"]: r["d_hat"]
+        for r in spark.sql("SELECT * FROM stream_kmv").collect()
+    }
+    assert got == _batch_kmv_dhat(spark)
+
+
+def test_kmv_state_split_batches_are_exactly_associative() -> None:
+    """bottom-K is closed under union, so the final state and emission
+    after any batch split equal the single-batch run exactly."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        _KMV_K,
+        _update_kmv,
+    )
+
+    def _h(vs):
+        return pd.DataFrame({"h": pd.Series(vs, dtype="int64")})
+
+    a = [5000 + 7 * i for i in range(90)]   # 90 values
+    b = [1000 + 13 * i for i in range(90)]  # 90 smaller values, overlapping none
+    split = _FakeState()
+    list(_update_kmv(("web",), iter([_h(a)]), split))
+    out_split = pd.concat(_update_kmv(("web",), iter([_h(b)]), split))
+    single = _FakeState()
+    out_single = pd.concat(_update_kmv(("web",), iter([_h(a + b)]), single))
+    assert split.get == single.get
+    assert len(split.get[0]) == _KMV_K  # 180 distinct -> truncated to K
+    assert out_split.to_dict("records") == out_single.to_dict("records")
+    row = out_single.iloc[0]
+    assert row["n_sketch"] == _KMV_K
+    # 128 smallest of the union: all 90 b-values + the 38 smallest a-values.
+    assert row["h_k"] == sorted(a + b)[_KMV_K - 1]
+
+
+def test_kmv_constants_match_batch_spec() -> None:
+    """The twin's K and scale must equal the batch spec's (the pin above
+    would catch a drift, but only via a wrong estimate — assert directly)."""
+    from data_ingestion_ex8_producer_spark.operators import dedup as _d
+    from data_ingestion_ex8_producer_spark.streaming import stateful as _st
+
+    assert _st._KMV_K == _d._KMV_K
+    assert _st._KMV_SCALE == _d._KMV_SCALE
+
+
+@pytest.mark.slow
+def test_streaming_kmv_checkpoint_restart(spark, tmp_path: Path) -> None:
+    """Two-run checkpoint restart: the sketch survives a stream restart and
+    the latest emission per source over both runs equals the batch
+    estimate over the full corpus — exact, because bottom-K state is the
+    sufficient statistic."""
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        kmv_sketch_stream,
+    )
+
+    staging = tmp_path / "kmv_staging"
+    staging.mkdir()
+    ckpt = str(tmp_path / "kmv_ckpt")
+    out = str(tmp_path / "kmv_emissions")
+
+    docs = load_table(spark, SF, "documents")
+    half1 = str(tmp_path / "kmv_half1")
+    half2 = str(tmp_path / "kmv_half2")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(half1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(half2)
+    schema = docs.schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(str(staging))
+
+        def sink(batch_df, epoch_id: int) -> None:
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            kmv_sketch_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    import shutil
+
+    shutil.copy(f"{half1}/{_one_parquet(half1)}", staging / "a.parquet")
+    run_once()
+    shutil.copy(f"{half2}/{_one_parquet(half2)}", staging / "b.parquet")
+    run_once()
+
+    emitted = spark.read.parquet(out)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("epoch").desc())
+    latest = (
+        emitted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("source", "d_hat")
+    )
+    got = {r["source"]: r["d_hat"] for r in latest.collect()}
+    assert got == _batch_kmv_dhat(spark)
+
+
+def _one_parquet(d: str) -> str:
+    import os
+
+    return next(f for f in os.listdir(d) if f.endswith(".parquet"))
