@@ -1900,3 +1900,157 @@ def q_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(var_x.cast("double")) * F.sqrt(var_y.cast("double"))),
         ).alias("r"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift monitor (total-variation distance between time slices)
+# --------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "2024-01-15"  # ref = events before, cur = events at/after
+# drift flag: TVD >= 0.05, tested as the integer cross-multiplication
+# 10 * tvd_num >= N_ref * N_cur (tvd = num / (2 * N_ref * N_cur)).
+_DRIFT_FLAG_X10 = 10
+
+_SQL_DRIFT_FEATURES = (
+    ("event_type", "event_type"),
+    ("hour_of_day", "CAST(EXTRACT(hour FROM ts) AS VARCHAR)"),
+    (
+        "value_log2_centi",
+        "CAST(length(bin(CAST(floor(value * 100) AS BIGINT))) - 1 AS VARCHAR)",
+    ),
+)
+
+
+def _drift_oracle() -> str:
+    selects = "\n        UNION ALL\n        ".join(
+        f"SELECT '{name}' AS feature, {expr} AS bucket,\n"
+        f"               CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}'"
+        f" THEN 1 ELSE 0 END AS is_cur FROM events"
+        for name, expr in _SQL_DRIFT_FEATURES
+    )
+    return f"""
+    WITH b AS (
+        {selects}
+    ),
+    per_bucket AS (
+        SELECT feature, bucket,
+               SUM(1 - is_cur) AS nr, SUM(is_cur) AS nc
+        FROM b GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT feature, SUM(nr) AS n_ref, SUM(nc) AS n_cur
+        FROM per_bucket GROUP BY 1
+    )
+    SELECT p.feature,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(t.n_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(t.n_cur) AS BIGINT) AS n_cur,
+           CAST(SUM(ABS(p.nr * t.n_cur - p.nc * t.n_ref)) AS BIGINT)
+             AS tvd_num,
+           CAST((1000000 * SUM(ABS(p.nr * t.n_cur - p.nc * t.n_ref)))
+                // (2 * MAX(t.n_ref) * MAX(t.n_cur)) AS BIGINT) AS tvd_ppm,
+           CAST(CASE WHEN {_DRIFT_FLAG_X10}
+                          * SUM(ABS(p.nr * t.n_cur - p.nc * t.n_ref))
+                     >= MAX(t.n_ref) * MAX(t.n_cur)
+                     THEN 1 ELSE 0 END AS INTEGER) AS drift_flag,
+           CAST(SUM(ABS(p.nr * t.n_cur - p.nc * t.n_ref)) AS DOUBLE)
+             / (2 * MAX(t.n_ref) * MAX(t.n_cur)) AS tvd
+    FROM per_bucket p JOIN totals t ON t.feature = p.feature
+    GROUP BY p.feature
+    """
+
+
+@register(
+    "q_distribution_drift",
+    oracle=_drift_oracle(),
+    tags=("events", "drift", "mlops", "monitoring"),
+)
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-distribution drift between two time slices — the data-drift
+    monitor in front of every production model and curation pipeline: for
+    three event features (type, hour-of-day, integer-log2 value bucket),
+    the total-variation distance between the reference window (before
+    2024-01-15) and the current window, with a >= 0.05 drift flag.
+
+    TVD instead of the usual PSI/KL on purpose: PSI needs ln(p/q), a
+    transcendental no cross-engine contract covers, while TVD =
+    1/2 * sum |p_i - q_i| clears denominators into the exact BIGINT
+    cross-multiplication |nr_i * N_cur - nc_i * N_ref| — the flag and the
+    ppm value are Class A integers, and TVD bounds every f-divergence-
+    based alarm anyway (Pinsker's inequality).  The one DOUBLE is a single
+    division of exact integers (Class B, reported only).
+
+    Shape: one scan emits (feature, bucket, is_cur) rows (a 3-arm
+    projection union — still scan-stage, no join); buckets are bounded
+    domains (catalog / 24 hours / ~16 log2 decades), so the groupBy is
+    map-side-combinable into a metadata-sized relation and everything
+    after is arithmetic on <= ~50 rows.  At 100 TB the cross-multiplied
+    BIGINT form holds while slice counts stay < ~3e9 (the product must fit
+    int64); beyond that the same identity runs in DECIMAL(38,0) — still
+    exact — or on per-million-scaled counts."""
+    ev = t(spark, sf_dir, "events")
+    is_cur = F.when(
+        F.col("ts") >= F.lit(_DRIFT_SPLIT).cast("timestamp"), 1
+    ).otherwise(0)
+    arms = [
+        ev.select(
+            F.lit("event_type").alias("feature"),
+            F.col("event_type").alias("bucket"),
+            is_cur.alias("is_cur"),
+        ),
+        ev.select(
+            F.lit("hour_of_day").alias("feature"),
+            F.hour("ts").cast("string").alias("bucket"),
+            is_cur.alias("is_cur"),
+        ),
+        ev.select(
+            F.lit("value_log2_centi").alias("feature"),
+            (
+                F.length(F.bin(F.floor(F.col("value") * 100).cast("long"))) - 1
+            )
+            .cast("string")
+            .alias("bucket"),
+            is_cur.alias("is_cur"),
+        ),
+    ]
+    b = arms[0].unionByName(arms[1]).unionByName(arms[2])
+    per_bucket = b.groupBy("feature", "bucket").agg(
+        F.sum(F.lit(1) - F.col("is_cur")).alias("nr"),
+        F.sum("is_cur").alias("nc"),
+    )
+    totals = per_bucket.groupBy("feature").agg(
+        F.sum("nr").alias("n_ref"), F.sum("nc").alias("n_cur")
+    )
+    j = per_bucket.join(F.broadcast(totals), "feature")
+    dev = F.abs(F.col("nr") * F.col("n_cur") - F.col("nc") * F.col("n_ref"))
+    return (
+        j.groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("n_ref").cast("long").alias("n_ref"),
+            F.max("n_cur").cast("long").alias("n_cur"),
+            F.sum(dev).cast("long").alias("tvd_num"),
+        )
+        .select(
+            "feature",
+            "n_buckets",
+            "n_ref",
+            "n_cur",
+            "tvd_num",
+            F.expr(
+                "(1000000 * tvd_num) div (2 * n_ref * n_cur)"
+            ).cast("long").alias("tvd_ppm"),
+            F.when(
+                _DRIFT_FLAG_X10 * F.col("tvd_num")
+                >= F.col("n_ref") * F.col("n_cur"),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("drift_flag"),
+            (
+                F.col("tvd_num").cast("double")
+                / (F.lit(2) * F.col("n_ref") * F.col("n_cur"))
+            ).alias("tvd"),
+        )
+    )

@@ -553,13 +553,19 @@ def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     total orders are unique tuples — Class A end-to-end (the one DOUBLE,
     scan_fraction, is a single division of two exact integers).
 
-    Scale shape: each layout is one window pass (a range-partitioned sort
-    at cluster scale — exactly the shuffle OPTIMIZE itself would pay) into
-    a map-side-combinable file_id groupBy, then a 2-row metadata aggregate;
-    files-per-corpus grows linearly but the report stays 6 rows.  At
-    100 TB you run this ONCE on a sample to pick the layout before paying
-    for the full rewrite — the measurement is the deliverable."""
+    Scale shape: every global rank here — the oracle's plain ROW_NUMBER —
+    runs as the two-phase distributed form (_rfm_rank_two_phase: bucket
+    counts -> broadcast cumulative offsets -> within-bucket row_number),
+    with the bucket a coarse prefix of each layout's own sort key (the
+    ship-day for the date sort, the Morton key's top bits for the
+    z-orders), so no layout ever moves the relation to one partition; the
+    file_id groupBy is map-side-combinable and the report is a 2-row
+    aggregate per layout.  At 100 TB you run this ONCE on a sample to pick
+    the layout before paying for the full rewrite — the measurement is
+    the deliverable."""
     from pyspark.sql import Window
+
+    from .analytics_ext import _rfm_rank_two_phase
 
     base0 = t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"),
@@ -569,30 +575,52 @@ def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .bitwiseAND(F.lit(65535))
         .alias("d"),
     )
-    base = base0.withColumn(
-        "db",
-        F.expr(
-            "((row_number() OVER (ORDER BY d, okey, lnum) - 1) * 256)"
-            " div (count(*) OVER ())"
-        ),
+    # db = 256-bucket rank of d — the oracle's single ROW_NUMBER over
+    # (d, okey, lnum), built two-phase: d is the bucket (calendar-bounded
+    # domain), the global rank is offset + within-day row_number.
+    n_total = base0.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    base = (
+        _rfm_rank_two_phase(
+            base0, "d", False, [F.col("okey"), F.col("lnum")], "_drank"
+        )
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("db", F.expr("((_drank - 1) * 256) div _n"))
+        .drop("_drank", "_n")
     )
-    orders = {
-        "natural": [F.col("okey"), F.col("lnum")],
-        "shipdate_sorted": [F.col("d"), F.col("okey"), F.col("lnum")],
-        "zorder": [_morton(F.col("sk"), F.col("d")), F.col("okey"), F.col("lnum")],
-        "zorder_ranked": [
-            _morton(F.col("sk"), F.col("db")),
-            F.col("okey"),
-            F.col("lnum"),
-        ],
+    # (bucket expression, within-bucket order) per layout; bucket coarsens
+    # the layout's own leading sort key so cross-bucket order == total order.
+    layouts = {
+        "natural": (
+            F.shiftright(F.col("okey"), 8),
+            [F.col("okey"), F.col("lnum")],
+        ),
+        "shipdate_sorted": (F.col("d"), [F.col("okey"), F.col("lnum")]),
+        "zorder": (
+            F.shiftright(_morton(F.col("sk"), F.col("d")), 12),
+            [
+                _morton(F.col("sk"), F.col("d")),
+                F.col("okey"),
+                F.col("lnum"),
+            ],
+        ),
+        "zorder_ranked": (
+            F.shiftright(_morton(F.col("sk"), F.col("db")), 12),
+            [
+                _morton(F.col("sk"), F.col("db")),
+                F.col("okey"),
+                F.col("lnum"),
+            ],
+        ),
     }
     out = None
     for name, _sql_order in _ZM_LAYOUTS:
-        w = Window.orderBy(*orders[name])
+        bucket_expr, within = layouts[name]
+        ranked = _rfm_rank_two_phase(
+            base.withColumn("_bk", bucket_expr), "_bk", False, within, "_rank"
+        )
         files = (
-            base.withColumn(
-                "file_id",
-                ((F.row_number().over(w) - 1) / _ZM_FILE_ROWS).cast("long"),
+            ranked.withColumn(
+                "file_id", F.expr(f"(_rank - 1) div {_ZM_FILE_ROWS}")
             )
             .groupBy("file_id")
             .agg(
@@ -779,4 +807,133 @@ def q_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_probe") - F.col("n_pass")).cast("double")
             / F.col("n_probe")
         ).alias("reduction"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planner (OPTIMIZE bin-packing, per partition)
+# --------------------------------------------------------------------------
+#
+# The small-files problem is the other half of the layout story
+# (q_zonemap_skipping measures WHAT to sort; this measures WHEN to
+# compact): a daily-ingested partition accumulates one small file per day,
+# and every query pays per-file open/footer/scheduling overhead.  The
+# planner implements what Delta/Iceberg OPTIMIZE (without ZORDER) does —
+# coalesce ADJACENT files within a partition into target-size outputs,
+# never across partition boundaries — and reports the before/after file
+# census per partition, which is exactly the signal a table-maintenance
+# scheduler thresholds on.
+
+_CP_TARGET_ROWS = 512
+_CP_SMALL = _CP_TARGET_ROWS // 2  # a file under half target is "small"
+
+
+@register(
+    "q_compaction_plan",
+    oracle=f"""
+    WITH days AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+               CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT *, SUM(n_rows) OVER (PARTITION BY month ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM days
+    ),
+    bins AS (
+        SELECT month, ((cum - n_rows) // {_CP_TARGET_ROWS}) AS bin,
+               SUM(n_rows) AS bin_rows
+        FROM cum GROUP BY 1, 2
+    ),
+    before AS (
+        SELECT month, COUNT(*) AS n_files_before,
+               SUM(CASE WHEN n_rows < {_CP_SMALL} THEN 1 ELSE 0 END)
+                 AS small_before,
+               SUM(n_rows) AS n_rows
+        FROM days GROUP BY 1
+    ),
+    after AS (
+        SELECT month, COUNT(*) AS n_files_after,
+               SUM(CASE WHEN bin_rows < {_CP_SMALL} THEN 1 ELSE 0 END)
+                 AS small_after
+        FROM bins GROUP BY 1
+    )
+    SELECT b.month,
+           CAST(b.n_rows AS BIGINT) AS n_rows,
+           CAST(b.n_files_before AS BIGINT) AS n_files_before,
+           CAST(a.n_files_after AS BIGINT) AS n_files_after,
+           CAST(b.small_before AS BIGINT) AS small_before,
+           CAST(a.small_after AS BIGINT) AS small_after,
+           CAST(a.n_files_after AS DOUBLE) / b.n_files_before
+             AS file_ratio
+    FROM before b JOIN after a ON a.month = b.month
+    """,
+    tags=("layout", "compaction", "maintenance"),
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition small-file compaction plan (see module comment):
+    month-partitioned daily files coalesced into 512-row (target)
+    outputs by the within-partition prefix-sum bin rule; reports the
+    before/after file and small-file census per month.
+
+    Exactness: file sizes, cumulative sums, bin ids, and censuses are all
+    BIGINT; the day ordering within a month is unique — Class A (the one
+    DOUBLE is a single division of exact counts).
+
+    Shape: the file catalog (one row per (month, day)) comes from one
+    map-side-combinable groupBy; the prefix sum runs per month — windows
+    over PARTITION BY month are the already-parallel two-phase shape, no
+    global sort anywhere; the report is two bounded rollups.  At 100 TB
+    the catalog is the Delta/Iceberg metadata table (files, not row
+    groups) — millions of rows, not corpus-sized — and the SAME plan
+    assigns the rewrite's output file ids."""
+    li = t(spark, sf_dir, "lineitem")
+    days = (
+        li.select(
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias("month"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .groupBy("month", "day")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("month")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = days.withColumn("cum", F.sum("n_rows").over(w))
+    bins = (
+        cum.withColumn(
+            "bin", F.expr(f"(cum - n_rows) div {_CP_TARGET_ROWS}")
+        )
+        .groupBy("month", "bin")
+        .agg(F.sum("n_rows").alias("bin_rows"))
+    )
+    before = days.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files_before"),
+        F.sum(F.when(F.col("n_rows") < _CP_SMALL, 1).otherwise(0))
+        .cast("long")
+        .alias("small_before"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    )
+    after = bins.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files_after"),
+        F.sum(F.when(F.col("bin_rows") < _CP_SMALL, 1).otherwise(0))
+        .cast("long")
+        .alias("small_after"),
+    )
+    return before.join(after, "month").select(
+        "month",
+        "n_rows",
+        "n_files_before",
+        "n_files_after",
+        "small_before",
+        "small_after",
+        (
+            F.col("n_files_after").cast("double") / F.col("n_files_before")
+        ).alias("file_ratio"),
     )

@@ -71,6 +71,17 @@ DEEP_QUERIES = (
     "q_zorder_layout",
     "q_gopher_rules",
     "q_item_pmi_similarity",
+    # final r8: the sketch story's 100x answer (the KMV set algebra should
+    # flatten toward the distinct-groupBy scan — everything past it is
+    # K x catalog metadata), the SQ8 flat-code index (the broadcast-scan
+    # family's first 100x point: one narrow integer-kernel pass, expected
+    # ~linear), and the zone-map layout evaluator (prices the four
+    # two-phase distributed ranks at 100x — the same shuffle an OPTIMIZE
+    # pays, and the row that proves the r8 single-partition-window fix
+    # holds at depth).
+    "q_kmv_sketch_setops",
+    "sim_sq8_topk",
+    "q_zonemap_skipping",
 )
 
 

@@ -184,6 +184,11 @@ PROBE_QUERIES = (
     # lineitem scan + one-row aggregates)
     "q_kmv_sketch_setops",
     "q_bloom_join_prefilter",
+    # ninth late-r8 batch: the drift monitor (3-arm scan projection into
+    # bounded-domain groupBys) and the compaction planner (file-catalog
+    # groupBy + per-month prefix sums — metadata-sized at any corpus)
+    "q_distribution_drift",
+    "q_compaction_plan",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
@@ -568,7 +573,7 @@ def main() -> None:
         "near-uniform dfs -> weak prefixes): the replicated corpus adds "
         "documents, not vocabulary skew, so candidate growth stays "
         "~linear; its exact verify equals dedup_ngram_jaccard_exact's "
-        "answers by construction, checked by the shared oracle.  The last pair: q_activity_islands is flat (1.0x — its windows ride calendar-bounded hourly cells, the same fixed key domain as the EWMA/seasonal rollups); q_incremental_semantic_dedup probes 7.4x, the steepest new curve, because the replica construction grows BOTH sides of its one-sided join (batch 10x AND archive 10x, with exact-copy vectors, so per-cell pair counts grow ~100x/K) — the operator's own contract is the fixed-batch regime, where cost grows with archive/K only, and the remedy is the same K-raising rule every cell-restricted operator documents.  The r7 curation/analysis rows (ratios vary ~±1 run-to-run at these sub-5s absolute costs; every run has landed them at or below the 10x data ratio): q_robust_outliers is near-flat (~1.5x — both order statistics come from per-type value HISTOGRAMS whose key domain is the 1e-2 grid, so volume only deepens the map-side combine), as is mm_shard_manifest (~1.3x — the same two-phase prefix sum the token packer uses, with a shard-cardinality manifest as output); q_leakage_safe_split (~2.7x) pays the dedup_clusters iterations plus one left join, both riding the capped pair relation; q_quality_gate (~2.9x) is the sum of its three annotate-pipeline inputs plus two doc-keyed joins; q_hard_negatives (~3.1x) is the broadcast-scan shape — corpus enters one scan and one pruned window; q_source_similarity (~4.1x) grows the distinct (source, shingle) relation ~linearly while its pair space stays catalog-bounded; q_collocations (~4.4x) and q_doc_bigram_lm (~5.5x) track the distinct-bigram relation, Zipf-sublinear under the suffix-token replica construction; q_pii_redact (~4.3x at a 0.2 s base) is a pure scan-stage map whose ratio is fixed-overhead arithmetic, not plan growth; and q_temperature_mixture is flat (~1.1x — catalog-keyed metadata arithmetic at any corpus size).  The r8 curation rows: q_dsir_importance (~1.8x) is the annotate-join + two-phase-ranking shape — both count relations live on the Zipf-bounded vocabulary; q_token_budget_sample (~2.7x) and q_doc_prefix_dup (~3.0x) are one two-phase prefix sum / one combiner groupBy riding the scan; q_ivf_cell_stats (~2.3x) is the shuffle-free assignment pass into a K-key rollup; q_zipf_profile (~3.2x) pays only the vocabulary groupBy (the decade rollup is metadata); q_doc_repetition (~7.0x) is the steepest r8 curve and the honest shape of its contract: the trigram+bigram explodes roughly triple the exploded-token volume, ALL of it inside per-doc combinable groupBys — cost is linear in corpus tokens with a constant gram-order factor, and nothing cross-document exists to bend it quadratic.",
+        "answers by construction, checked by the shared oracle.  The last pair: q_activity_islands is flat (1.0x — its windows ride calendar-bounded hourly cells, the same fixed key domain as the EWMA/seasonal rollups); q_incremental_semantic_dedup probes 7.4x, the steepest new curve, because the replica construction grows BOTH sides of its one-sided join (batch 10x AND archive 10x, with exact-copy vectors, so per-cell pair counts grow ~100x/K) — the operator's own contract is the fixed-batch regime, where cost grows with archive/K only, and the remedy is the same K-raising rule every cell-restricted operator documents.  The r7 curation/analysis rows (ratios vary ~±1 run-to-run at these sub-5s absolute costs; every run has landed them at or below the 10x data ratio): q_robust_outliers is near-flat (~1.5x — both order statistics come from per-type value HISTOGRAMS whose key domain is the 1e-2 grid, so volume only deepens the map-side combine), as is mm_shard_manifest (~1.3x — the same two-phase prefix sum the token packer uses, with a shard-cardinality manifest as output); q_leakage_safe_split (~2.7x) pays the dedup_clusters iterations plus one left join, both riding the capped pair relation; q_quality_gate (~2.9x) is the sum of its three annotate-pipeline inputs plus two doc-keyed joins; q_hard_negatives (~3.1x) is the broadcast-scan shape — corpus enters one scan and one pruned window; q_source_similarity (~4.1x) grows the distinct (source, shingle) relation ~linearly while its pair space stays catalog-bounded; q_collocations (~4.4x) and q_doc_bigram_lm (~5.5x) track the distinct-bigram relation, Zipf-sublinear under the suffix-token replica construction; q_pii_redact (~4.3x at a 0.2 s base) is a pure scan-stage map whose ratio is fixed-overhead arithmetic, not plan growth; and q_temperature_mixture is flat (~1.1x — catalog-keyed metadata arithmetic at any corpus size).  The r8 curation rows: q_dsir_importance (~1.8x) is the annotate-join + two-phase-ranking shape — both count relations live on the Zipf-bounded vocabulary; q_token_budget_sample (~2.7x) and q_doc_prefix_dup (~3.0x) are one two-phase prefix sum / one combiner groupBy riding the scan; q_ivf_cell_stats (~2.3x) is the shuffle-free assignment pass into a K-key rollup; q_zipf_profile (~3.2x) pays only the vocabulary groupBy (the decade rollup is metadata); q_doc_repetition (~7.0x) is the steepest r8 curve and the honest shape of its contract: the trigram+bigram explodes roughly triple the exploded-token volume, ALL of it inside per-doc combinable groupBys — cost is linear in corpus tokens with a constant gram-order factor, and nothing cross-document exists to bend it quadratic.  q_event_proximity_pairs (~1.7-3.3x across runs) is the band-join payoff measured: the theta predicate only ever meets candidates from adjacent 5-minute cells, so 10x events grow candidates ~10x per cell, not 100x per user.  q_tokenizer_fertility (~3.0-4.7x) and q_epoch_allocation (~1.5-2.2x) both collapse to catalog-keyed rollups after one scan — the regexp projection dominates the former, and the latter's arithmetic never touches corpus volume at all.  The late-r8 batches: q_mmr_diversify (~1.2x) spends its base cost on the candidate scan and runs the greedy on metadata-sized persisted relations, so growth barely registers; q_cluster_balanced_sample (~2.7x) is one window over the bounded centroid key; q_perplexity_buckets (~4.0x) rides the surprisal annotate join plus a per-lang NTILE on integer keys; q_zorder_layout, q_cusum_changepoint, q_daily_autocorr, q_incremental_agg_maintenance, and q_cdc_merge_apply (~1.1-1.3x) all die into calendar- or key-domain-bounded aggregates; q_pareto_frontier (~1.5x) and q_table_stats_profile (~1.4x) are scan + bounded rollups; q_gopher_rules (~6.1x) and q_lexical_diversity (~3.4x) are scan-stage HOF batteries whose sub-second bases make the ratio mostly fixed-overhead arithmetic; q_simhash_hamming_curve (~4.1x) tracks the banded pair stage like its parent dedup_simhash; q_kmeans_iterations (~2.2x) is three broadcast assignment passes whose shuffles carry only (cid, pos) metadata.  q_knn_graph_stats is the one super-linear row (~20-27x, run-dependent) and the probe CONSTRUCTION explains it, not the plan: embeddings replicate as EXACT COPIES, so every IVF cell's population grows 10x and its within-cell pair count ~100x/K — the identical artifact q_incremental_semantic_dedup's contract-regime probe isolates; on real growth (new vectors, K raised with corpus size per the cell-restricted family's standing rule) the pair stage tracks corpus size, and the remedy dial is the same K.  The seventh/eighth batches: sim_sq8_topk and q_sq8_recall (~6.4x) are the broadcast-scan shape over the 4x narrower code relation — same curve family as sim_bruteforce; q_zonemap_skipping (~4.9x) pays four two-phase distributed ranks (the same shuffle OPTIMIZE itself would pay, priced on purpose) and stays sub-linear; q_kmv_sketch_setops (~2.0x) dies at the distinct (source, shingle) groupBy — everything after is K x catalog metadata; q_bloom_join_prefilter and q_distribution_drift (~1.0x) are scan-riding probes into one-row/bounded aggregates; q_compaction_plan (~1.5x) runs entirely on the file catalog.",
     ]
     # r7 (VERDICT r6 #5): graduate the edit-distance scale explanation from
     # prose to measurement — seconds per MILLION LSH candidate pairs at 1x
