@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import sql_hash48
 from ..plans.registry import register
-from ._util import t
+from ._util import persist_tracked, t
 
 _SALT_BUCKETS = 16
 
@@ -587,6 +587,10 @@ def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("db", F.expr("((_drank - 1) * 256) div _n"))
         .drop("_drank", "_n")
     )
+    # The 8 output rows each trigger their own action; persist the narrow
+    # 4-int projection (and each layout's bounded file-stats relation
+    # below) so the scan + rank-bucket pipeline runs once, not 8x.
+    base = persist_tracked(base)
     # (bucket expression, within-bucket order) per layout; bucket coarsens
     # the layout's own leading sort key so cross-bucket order == total order.
     layouts = {
@@ -618,7 +622,7 @@ def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked = _rfm_rank_two_phase(
             base.withColumn("_bk", bucket_expr), "_bk", False, within, "_rank"
         )
-        files = (
+        files = persist_tracked(
             ranked.withColumn(
                 "file_id", F.expr(f"(_rank - 1) div {_ZM_FILE_ROWS}")
             )

@@ -208,6 +208,14 @@ _R4_GUARDED = (
     "q_emb_remove_top_component",
     "q_hybrid_rrf_ivfpq",
     "q_hybrid_agreement",
+    # late round-8 additions outside the bench set
+    "sim_sq8_topk",
+    "q_sq8_recall",
+    "q_zonemap_skipping",
+    "q_kmv_sketch_setops",
+    "q_bloom_join_prefilter",
+    "q_distribution_drift",
+    "q_compaction_plan",
 )
 
 
@@ -263,3 +271,36 @@ def test_runtime_bloom_filter_fires_on_selective_dim_filter(spark) -> None:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+_R8_BROADCAST_SHAPES = ("sim_sq8_topk", "q_sq8_recall", "q_bloom_join_prefilter")
+
+
+@pytest.mark.parametrize("name", _R8_BROADCAST_SHAPES)
+def test_r8_broadcast_shapes_no_smj(spark, specs, name) -> None:
+    """The SQ8 scan and the Bloom prefilter are broadcast shapes by
+    contract: queries/bits broadcast, the corpus/probe side is scanned in
+    place.  A SortMergeJoin or ShuffledHashJoin in the static plan means a
+    size estimate went missing and the probe relation would shuffle at any
+    scale."""
+    plan = _plan(spark, specs[name].builder(spark, SF))
+    assert "SortMergeJoin" not in plan, f"{name} sort-merge-joins"
+    assert "ShuffledHashJoin" not in plan, f"{name} shuffle-hash-joins"
+
+
+def test_zonemap_windows_ride_two_phase_rank(spark, specs) -> None:
+    """q_zonemap_skipping's fact-scale ranks must stay two-phase (the r8
+    fix): every Window node's sort distribution must be a hash-partitioned
+    bucket key, so the ONLY single-partition exchanges in the plan feed
+    metadata-sized relations: the bucket-offset windows and the one-row
+    final aggregates (14 in the current two-phase plan — the persisted
+    base/files relations collapse the per-output-row replans to
+    InMemoryTableScan reuse).  A fact-scale global window regressing back
+    adds a SinglePartition exchange + Sort + Window per layout (4-8 more),
+    pushing the count past the bound."""
+    plan = _plan(spark, specs["q_zonemap_skipping"].builder(spark, SF))
+    n_single = plan.count("Arguments: SinglePartition")
+    assert n_single <= 20, (
+        f"q_zonemap_skipping has {n_single} SinglePartition exchanges - "
+        "a fact-scale global window may have regressed"
+    )

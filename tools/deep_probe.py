@@ -185,6 +185,21 @@ def main() -> None:
         "per-order fan-out is bounded by basket size, the pair relation",
         "by the catalog squared, so the 100x point should track the",
         "basket aggregation like the other co-purchase family members.",
+        "The KMV set algebra is the sketch doctrine's 100x proof: corpus",
+        "volume dies at the DISTINCT (source, shingle) groupBy, the",
+        "bottom-K windows run on per-source partitions, and every",
+        "pairwise statistic touches only K x catalog sketch rows — past",
+        "scan dominance the curve should flatten like the",
+        "source-similarity matrix it replaces at scale.  The SQ8 index",
+        "is the broadcast-scan family's 100x point: one narrow",
+        "integer-kernel pass over the 64 B/vector code relation, linear",
+        "by construction, and the first direct evidence the flat-scan",
+        "ANN baseline itself survives depth.  The zone-map evaluator",
+        "prices four two-phase distributed ranks (bucket counts ->",
+        "broadcast offsets -> within-bucket row_number) at 100x — the",
+        "same shuffle an OPTIMIZE rewrite pays per layout, and the row",
+        "that proves the r8 single-partition-window fix holds at depth",
+        "(its cost should track the sort shuffles, ~linear).",
     ]
     with open("/root/repo/SCALING_100X.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
