@@ -1328,3 +1328,115 @@ def q_item_pmi_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_scaled"), "p1", "p2")
         .limit(_PMI_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise column-correlation matrix (the multi-column CBO statistic)
+# --------------------------------------------------------------------------
+#
+# q_table_stats_profile carries the per-column ANALYZE statistics; join
+# selectivity mis-estimates, though, come from CROSS-column dependence,
+# which is why engines grew multi-column stats (Spark CBO column groups,
+# DuckDB/Postgres extended statistics).  This spec is that report: the
+# full Pearson correlation matrix over lineitem's four numeric measures,
+# from ONE map-combinable pass accumulating exact decimal sums (n, the 4
+# sums, the 4 sums of squares, the 6 cross sums = 15 numbers total, the
+# q_regr_stats doctrine applied to all pairs at once).
+
+_CORR_COLS = (
+    ("l_quantity", "DECIMAL(10,0)"),
+    ("l_extendedprice", "DECIMAL(14,2)"),
+    ("l_discount", "DECIMAL(12,2)"),
+    ("l_tax", "DECIMAL(12,2)"),
+)
+
+
+def _corr_matrix_oracle() -> str:
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n_rows",
+            "CAST(COUNT(*) AS DOUBLE) AS n"]
+    for name, dec in _CORR_COLS:
+        sums.append(f"CAST(SUM(CAST({name} AS {dec})) AS DOUBLE) AS s_{name}")
+        sums.append(
+            f"CAST(SUM(CAST({name} AS {dec}) * CAST({name} AS {dec}))"
+            f" AS DOUBLE) AS ss_{name}"
+        )
+    arms = []
+    for i, (a, da) in enumerate(_CORR_COLS):
+        for b, db in _CORR_COLS[i + 1:]:
+            sums.append(
+                f"CAST(SUM(CAST({a} AS {da}) * CAST({b} AS {db}))"
+                f" AS DOUBLE) AS sx_{a}_{b}"
+            )
+            arms.append(f"""
+        SELECT '{a}' AS col_x, '{b}' AS col_y, n_rows,
+               (n * sx_{a}_{b} - s_{a} * s_{b}) / n / n AS cov_pop,
+               (n * sx_{a}_{b} - s_{a} * s_{b})
+                 / sqrt((n * ss_{a} - s_{a} * s_{a})
+                        * (n * ss_{b} - s_{b} * s_{b})) AS corr
+        FROM s""")
+    return f"""
+    WITH s AS (
+        SELECT {', '.join(sums)} FROM lineitem
+    )
+    {' UNION ALL '.join(arms)}
+    """
+
+
+@register(
+    "q_column_correlation_matrix",
+    oracle=_corr_matrix_oracle(),
+    tags=("agg", "statistics", "cbo", "correlation"),
+)
+def q_column_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation + population covariance over the four
+    lineitem numeric measures (see block comment): the cross-column
+    dependence report a cost-based optimizer's multi-column statistics
+    need, and a feature-redundancy screen for ML feature sets.
+
+    Exactness: all 15 accumulated moments are exact DECIMAL sums (the
+    q_regr_stats doctrine — associative, partition-order-independent);
+    the finishing corr/cov arithmetic is an identical IEEE expression
+    tree on both engines from those identical doubles (Class B reported
+    values, nothing thresholded).
+
+    Shape: ONE full-scan aggregate producing 15 numbers — map-side
+    combine does all the work, the 6 output rows are arithmetic over a
+    broadcast 1-row relation.  At 100 TB this is a single pass over the
+    column group regardless of pair count (d columns = d(d-1)/2 pairs
+    but still one scan, 2d + C(d,2) + 1 accumulators)."""
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ]
+    dec = {name: F.col(name).cast(d.lower()) for name, d in _CORR_COLS}
+    for name, _ in _CORR_COLS:
+        aggs.append(F.sum(dec[name]).cast("double").alias(f"s_{name}"))
+        aggs.append(
+            F.sum(dec[name] * dec[name]).cast("double").alias(f"ss_{name}")
+        )
+    pairs = []
+    for i, (a, _) in enumerate(_CORR_COLS):
+        for b, _ in _CORR_COLS[i + 1:]:
+            pairs.append((a, b))
+            aggs.append(
+                F.sum(dec[a] * dec[b]).cast("double").alias(f"sx_{a}_{b}")
+            )
+    s = t(spark, sf_dir, "lineitem").agg(*aggs)
+    out = None
+    n = F.col("n")
+    for a, b in pairs:
+        sa, sb = F.col(f"s_{a}"), F.col(f"s_{b}")
+        ssa, ssb = F.col(f"ss_{a}"), F.col(f"ss_{b}")
+        sxy = F.col(f"sx_{a}_{b}")
+        row = s.select(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.col("n_rows"),
+            ((n * sxy - sa * sb) / n / n).alias("cov_pop"),
+            (
+                (n * sxy - sa * sb)
+                / F.sqrt((n * ssa - sa * sa) * (n * ssb - sb * sb))
+            ).alias("corr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -330,7 +330,12 @@ def register(
 # q_item_pmi_similarity in-window and pagerank stays a bench headline);
 # and q_bloom_join_prefilter (the runtime-filter measurement) displaced
 # q3_shipping_priority (driver-green r1-r7, stays in the bench set; joins
-# keep the band join + the bloom probe in-window).
+# keep the band join + the bloom probe in-window).  The final r8
+# additions — q_distribution_drift, q_compaction_plan, and
+# q_column_correlation_matrix — stay full-artifact-only this round and
+# rotate in next round alongside q_table_stats_profile and
+# q_incremental_agg_maintenance (the standing r5->r6 precedent for
+# end-of-round additions).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order

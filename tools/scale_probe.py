@@ -189,6 +189,9 @@ PROBE_QUERIES = (
     # groupBy + per-month prefix sums — metadata-sized at any corpus)
     "q_distribution_drift",
     "q_compaction_plan",
+    # tenth late-r8: the correlation matrix (one full-scan aggregate of 15
+    # decimal moments; the 6 output rows are broadcast arithmetic)
+    "q_column_correlation_matrix",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
