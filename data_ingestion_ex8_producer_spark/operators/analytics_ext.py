@@ -1369,10 +1369,10 @@ def _corr_matrix_oracle() -> str:
             )
             arms.append(f"""
         SELECT '{a}' AS col_x, '{b}' AS col_y, n_rows,
-               (n * sx_{a}_{b} - s_{a} * s_{b}) / n / n AS cov_pop,
-               (n * sx_{a}_{b} - s_{a} * s_{b})
+               round((n * sx_{a}_{b} - s_{a} * s_{b}) / n / n, 9) AS cov_pop,
+               round((n * sx_{a}_{b} - s_{a} * s_{b})
                  / sqrt((n * ss_{a} - s_{a} * s_{a})
-                        * (n * ss_{b} - s_{b} * s_{b})) AS corr
+                        * (n * ss_{b} - s_{b} * s_{b})), 9) AS corr
         FROM s""")
     return f"""
     WITH s AS (
@@ -1394,10 +1394,15 @@ def q_column_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     need, and a feature-redundancy screen for ML feature sets.
 
     Exactness: all 15 accumulated moments are exact DECIMAL sums (the
-    q_regr_stats doctrine — associative, partition-order-independent);
-    the finishing corr/cov arithmetic is an identical IEEE expression
-    tree on both engines from those identical doubles (Class B reported
-    values, nothing thresholded).
+    q_regr_stats doctrine — associative, partition-order-independent).
+    The reported corr/cov are rounded to 9 decimals on BOTH engines
+    because one moment here exceeds 17 significant digits at sf0.1
+    (ss_extendedprice ~ 2.2e15 at scale 4) and DuckDB's DECIMAL->DOUBLE
+    cast double-rounds (int128 -> double, then / 10^scale) where Spark
+    rounds once — a 1-ulp divergence in the 17th digit that the identical
+    round() collapses; the statistics themselves shift by ~1e-16
+    relative, far inside the rounding (Class B reported values, nothing
+    thresholded).
 
     Shape: ONE full-scan aggregate producing 15 numbers — map-side
     combine does all the work, the 6 output rows are arithmetic over a
@@ -1432,10 +1437,11 @@ def q_column_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(a).alias("col_x"),
             F.lit(b).alias("col_y"),
             F.col("n_rows"),
-            ((n * sxy - sa * sb) / n / n).alias("cov_pop"),
-            (
+            F.round((n * sxy - sa * sb) / n / n, 9).alias("cov_pop"),
+            F.round(
                 (n * sxy - sa * sb)
-                / F.sqrt((n * ssa - sa * sa) * (n * ssb - sb * sb))
+                / F.sqrt((n * ssa - sa * sa) * (n * ssb - sb * sb)),
+                9,
             ).alias("corr"),
         )
         out = row if out is None else out.unionByName(row)
