@@ -1305,3 +1305,130 @@ def kmv_sketch_stream(docs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming distribution-drift monitor (the q_distribution_drift twin)
+# --------------------------------------------------------------------------
+
+DRIFT_SCHEMA = (
+    "feature string, n_buckets bigint, n_ref bigint, n_cur bigint,"
+    " tvd_num bigint, tvd_ppm bigint, drift_flag int, tvd double"
+)
+_DRIFT_STATE_SCHEMA = "buckets array<string>, nr array<long>, nc array<long>"
+_DRIFT_MAX_BUCKETS = 100_000  # fail-fast bound (the _RO_MAX_BINS doctrine):
+# feature bucket domains are bounded (catalog / 24 hours / log2 decades);
+# exceeding this means a mis-bucketed feature, not data.
+_DRIFT_FLAG_X10 = 10  # must match operators/events.py (guardrail-asserted)
+
+
+def _update_drift(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-feature reference/current bucket histograms across micro-batches.
+
+    State is the pair of count histograms over the feature's bounded
+    bucket domain — the sufficient statistic of the TVD, exactly
+    associative under batch splits, so the final emission after any split
+    equals the single-batch emission and a single availableNow batch
+    reproduces q_distribution_drift row-for-row (pinned in
+    tests/test_streaming_stateful.py).  Each touched feature re-emits its
+    full drift verdict (update mode: latest wins downstream) — the live
+    dashboard row a data-quality monitor tails."""
+    if state.exists:
+        b, nr, nc = state.get
+        hist = {k: [r, c] for k, r, c in zip(list(b), list(nr), list(nc))}
+    else:
+        hist = {}
+    touched = False
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        grp = pdf.groupby("bucket")["is_cur"].agg(["count", "sum"])
+        for bucket, row in grp.iterrows():
+            cur = int(row["sum"])
+            ref = int(row["count"]) - cur
+            cell = hist.setdefault(str(bucket), [0, 0])
+            cell[0] += ref
+            cell[1] += cur
+        touched = True
+    if len(hist) > _DRIFT_MAX_BUCKETS:
+        raise ValueError(
+            f"drift monitor for {key[0]!r} exceeds {_DRIFT_MAX_BUCKETS} "
+            "buckets; the feature is mis-bucketed (unbounded domain)"
+        )
+    ks = sorted(hist)
+    state.update((ks, [hist[k][0] for k in ks], [hist[k][1] for k in ks]))
+    if not touched or not hist:
+        yield pd.DataFrame(columns=[c.split()[0] for c in DRIFT_SCHEMA.split(", ")])
+        return
+    n_ref = sum(v[0] for v in hist.values())
+    n_cur = sum(v[1] for v in hist.values())
+    if n_ref == 0 or n_cur == 0:
+        # One side empty: TVD is undefined (division by zero) — emit the
+        # counts with a NULL verdict so the dashboard shows the monitor is
+        # alive but not yet comparable.
+        yield pd.DataFrame(
+            [(key[0], len(hist), n_ref, n_cur, None, None, None, None)],
+            columns=[c.split()[0] for c in DRIFT_SCHEMA.split(", ")],
+        )
+        return
+    tvd_num = sum(abs(r * n_cur - c * n_ref) for r, c in hist.values())
+    yield pd.DataFrame(
+        [
+            (
+                key[0],
+                len(hist),
+                n_ref,
+                n_cur,
+                tvd_num,
+                (1_000_000 * tvd_num) // (2 * n_ref * n_cur),
+                1 if _DRIFT_FLAG_X10 * tvd_num >= n_ref * n_cur else 0,
+                tvd_num / (2 * n_ref * n_cur),
+            )
+        ],
+        columns=[c.split()[0] for c in DRIFT_SCHEMA.split(", ")],
+    )
+
+
+def drift_monitor_stream(events: DataFrame) -> DataFrame:
+    """Streaming feature-distribution drift monitor: the same 3-arm
+    (feature, bucket, is_cur) projection as the batch q_distribution_drift
+    (built from the registered builder's expressions so bucketing fidelity
+    holds by construction), then applyInPandasWithState per feature."""
+    from ..operators.events import _DRIFT_SPLIT
+
+    is_cur = F.when(
+        F.col("ts") >= F.lit(_DRIFT_SPLIT).cast("timestamp"), 1
+    ).otherwise(0)
+    arms = [
+        events.select(
+            F.lit("event_type").alias("feature"),
+            F.col("event_type").alias("bucket"),
+            is_cur.alias("is_cur"),
+        ),
+        events.select(
+            F.lit("hour_of_day").alias("feature"),
+            F.hour("ts").cast("string").alias("bucket"),
+            is_cur.alias("is_cur"),
+        ),
+        events.select(
+            F.lit("value_log2_centi").alias("feature"),
+            (
+                F.length(F.bin(F.floor(F.col("value") * 100).cast("long"))) - 1
+            )
+            .cast("string")
+            .alias("bucket"),
+            is_cur.alias("is_cur"),
+        ),
+    ]
+    b = arms[0].unionByName(arms[1]).unionByName(arms[2])
+    return b.groupBy("feature").applyInPandasWithState(
+        _update_drift,
+        outputStructType=DRIFT_SCHEMA,
+        stateStructType=_DRIFT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1738,3 +1738,96 @@ def _one_parquet(d: str) -> str:
     import os
 
     return next(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+# --------------------------------------------------------------------------
+# Streaming drift-monitor twin (q_distribution_drift's online face)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_streaming_drift_matches_batch(spark, tmp_path: Path) -> None:
+    """Single availableNow batch: the stateful drift monitor must emit
+    exactly the batch q_distribution_drift rows."""
+    from data_ingestion_ex8_producer_spark.operators.events import (
+        q_distribution_drift,
+    )
+    from data_ingestion_ex8_producer_spark.streaming.events import (
+        stream_events_fixture,
+    )
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        drift_monitor_stream,
+    )
+
+    events = stream_events_fixture(spark, SF, str(tmp_path / "drift"))
+    _run(drift_monitor_stream(events), "stream_drift", "update")
+    got = {
+        r["feature"]: (
+            r["n_buckets"], r["n_ref"], r["n_cur"],
+            r["tvd_num"], r["tvd_ppm"], r["drift_flag"], r["tvd"],
+        )
+        for r in spark.sql("SELECT * FROM stream_drift").collect()
+    }
+    want = {
+        r["feature"]: (
+            r["n_buckets"], r["n_ref"], r["n_cur"],
+            r["tvd_num"], r["tvd_ppm"], r["drift_flag"], r["tvd"],
+        )
+        for r in q_distribution_drift(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_drift_state_split_batches_are_exactly_associative() -> None:
+    """The bucket histograms are the sufficient statistic, so the final
+    state and emission after any batch split equal the single-batch run."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        _update_drift,
+    )
+
+    def _b(buckets, is_cur):
+        return pd.DataFrame({"bucket": buckets, "is_cur": is_cur})
+
+    a = _b(["x", "x", "y"], [0, 1, 0])
+    b = _b(["y", "z", "x"], [1, 1, 0])
+    split = _FakeState()
+    list(_update_drift(("f",), iter([a]), split))
+    out_split = pd.concat(_update_drift(("f",), iter([b]), split))
+    single = _FakeState()
+    ab = pd.concat([a, b], ignore_index=True)
+    out_single = pd.concat(_update_drift(("f",), iter([ab]), single))
+    assert split.get == single.get
+    assert out_split.to_dict("records") == out_single.to_dict("records")
+    row = out_single.iloc[0]
+    # ref: x=2, y=1, z=0 (N=3); cur: x=1, y=1, z=1 (N=3)
+    # tvd_num = |2*3-1*3| + |1*3-1*3| + |0*3-1*3| = 3 + 0 + 3 = 6
+    assert row["tvd_num"] == 6
+    assert row["tvd"] == 6 / (2 * 3 * 3)
+    assert row["drift_flag"] == 1  # 10*6 >= 9
+
+
+def test_drift_one_sided_slice_emits_null_verdict() -> None:
+    """Before the current window opens (or with an empty reference) the
+    TVD is undefined: the monitor emits counts with NULL verdict columns
+    instead of a divide-by-zero or a fake 0."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        _update_drift,
+    )
+
+    st = _FakeState()
+    ref_only = pd.DataFrame({"bucket": ["x", "y"], "is_cur": [0, 0]})
+    out = pd.concat(_update_drift(("f",), iter([ref_only]), st))
+    row = out.iloc[0]
+    assert row["n_ref"] == 2 and row["n_cur"] == 0
+    assert pd.isna(row["tvd_num"]) and pd.isna(row["drift_flag"])
+
+
+def test_drift_constants_match_batch_spec() -> None:
+    from data_ingestion_ex8_producer_spark.operators import events as _e
+    from data_ingestion_ex8_producer_spark.streaming import stateful as _st
+
+    assert _st._DRIFT_FLAG_X10 == _e._DRIFT_FLAG_X10
