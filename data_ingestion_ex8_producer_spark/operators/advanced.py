@@ -688,3 +688,185 @@ def q_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return base.join(mcv, "column_name")
+
+
+# --------------------------------------------------------------------------
+# Data-quality audits: referential integrity and id-sequence integrity
+# --------------------------------------------------------------------------
+#
+# The warehouse-lifecycle family's validation arm: before a table feeds
+# joins (or a training pipeline trusts its keys), two audits run on every
+# load — do the foreign keys resolve, and is the surrogate-key space
+# contiguous?  Both are census reports, not row dumps: the output is
+# bounded by the schema graph / the bucket grid, never by violation count.
+
+_FK_EDGES = (
+    # child table, child key, parent table, parent key
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _ri_oracle() -> str:
+    arms = []
+    for ct, ck, pt, pk in _FK_EDGES:
+        arms.append(f"""
+        SELECT '{ct}.{ck} -> {pt}.{pk}' AS fk_edge,
+               CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+               CAST(SUM(CASE WHEN {ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null_keys,
+               CAST(SUM(CASE WHEN {ck} IS NOT NULL AND {ck} NOT IN
+                        (SELECT {pk} FROM {pt}) THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_orphans
+        FROM {ct}""")
+    return " UNION ALL ".join(arms)
+
+
+@register(
+    "q_referential_integrity",
+    oracle=_ri_oracle(),
+    tags=("dq", "join", "audit", "warehouse"),
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity census over the star schema's six FK edges:
+    per edge, the child row count, NULL-key count, and orphan count
+    (non-null child keys with no parent).  The audit every load runs
+    before the table graph is trusted — and the one that explains a
+    downstream inner join silently dropping rows.
+
+    Shape: each edge is one left-anti join (broadcast for dimension
+    parents, shuffle equi-join for the orders parent — exactly the join
+    the workload itself would run) collapsed to a one-row count; output
+    is |schema edges| rows at any corpus size.  All counts BIGINT
+    (Class A; no float anywhere)."""
+    out = None
+    for ct, ck, pt, pk in _FK_EDGES:
+        child = t(spark, sf_dir, ct)
+        parent = t(spark, sf_dir, pt).select(pk)
+        nn = child.filter(F.col(ck).isNotNull())
+        orphans = nn.join(
+            parent, nn[ck] == parent[pk], "left_anti"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        row = (
+            child.agg(
+                F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+                F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null_keys"),
+            )
+            .crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(f"{ct}.{ck} -> {pt}.{pk}").alias("fk_edge"),
+                "n_child_rows",
+                "n_null_keys",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_GAP_BUCKET = 1024
+
+
+@register(
+    "q_id_gap_audit",
+    oracle=f"""
+    WITH b AS (
+        SELECT (o_orderkey // {_GAP_BUCKET}) AS bucket,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(lo AS BIGINT) AS lo,
+           CAST(hi AS BIGINT) AS hi,
+           CAST(hi - lo + 1 - n_distinct AS BIGINT) AS n_missing,
+           CAST(n_rows - n_distinct AS BIGINT) AS n_duplicated
+    FROM b
+    WHERE hi - lo + 1 - n_distinct > 0 OR n_rows - n_distinct > 0
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT),
+           CAST(SUM(n_rows) AS BIGINT),
+           CAST(SUM(n_distinct) AS BIGINT),
+           CAST(MIN(lo) AS BIGINT),
+           CAST(MAX(hi) AS BIGINT),
+           CAST(MAX(hi) - MIN(lo) + 1 - SUM(n_distinct) AS BIGINT),
+           CAST(SUM(n_rows) - SUM(n_distinct) AS BIGINT)
+    FROM b
+    """,
+    tags=("dq", "audit", "sequence", "warehouse"),
+)
+def q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key sequence integrity WITHOUT a global sort: bucket the
+    id space into {1024}-wide cells, and per cell compare span (hi-lo+1)
+    against distinct count — the difference is exactly the number of
+    missing ids inside the cell, and rows-minus-distinct the duplicated
+    ids.  Only defective buckets are emitted, so a healthy 100 TB table
+    reports zero rows while a botched backfill pinpoints its id range to
+    the bucket.  (Cross-bucket gaps surface in the NEXT bucket's lo or as
+    absent buckets — the report is a screen, the bucket id the drill-down
+    key.)
+
+    A bucket=-1 summary row (global totals, span, missing, duplicated) is
+    always emitted so a healthy table still pins its census in the hash —
+    the global n_missing uses the global span, so it ALSO counts ids lost
+    in wholly-absent buckets, which per-bucket rows cannot see.
+
+    Shape: one map-side-combinable groupBy on the integer-divided key;
+    no window, no sort, no join.  All integers (Class A).  The summary
+    aggregate runs over the bucket relation (|id-space|/1024 rows), not
+    the table."""
+    b = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.expr(f"o_orderkey div {_GAP_BUCKET}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_distinct"),
+            F.min("o_orderkey").cast("long").alias("lo"),
+            F.max("o_orderkey").cast("long").alias("hi"),
+        )
+    )
+    return (
+        b.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_rows",
+            "n_distinct",
+            "lo",
+            "hi",
+            (F.col("hi") - F.col("lo") + 1 - F.col("n_distinct"))
+            .cast("long")
+            .alias("n_missing"),
+            (F.col("n_rows") - F.col("n_distinct"))
+            .cast("long")
+            .alias("n_duplicated"),
+        )
+        .filter((F.col("n_missing") > 0) | (F.col("n_duplicated") > 0))
+        .unionByName(
+            b.agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("n_distinct").cast("long").alias("n_distinct"),
+                F.min("lo").cast("long").alias("lo"),
+                F.max("hi").cast("long").alias("hi"),
+            ).select(
+                F.lit(-1).cast("long").alias("bucket"),
+                "n_rows",
+                "n_distinct",
+                "lo",
+                "hi",
+                (F.col("hi") - F.col("lo") + 1 - F.col("n_distinct"))
+                .cast("long")
+                .alias("n_missing"),
+                (F.col("n_rows") - F.col("n_distinct"))
+                .cast("long")
+                .alias("n_duplicated"),
+            )
+        )
+    )

@@ -192,6 +192,10 @@ PROBE_QUERIES = (
     # tenth late-r8: the correlation matrix (one full-scan aggregate of 15
     # decimal moments; the 6 output rows are broadcast arithmetic)
     "q_column_correlation_matrix",
+    # eleventh late-r8: the DQ audits (six anti-join censuses over the
+    # workload's own join edges; one combinable groupBy for the id grid)
+    "q_referential_integrity",
+    "q_id_gap_audit",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
