@@ -870,3 +870,82 @@ def q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Join-size estimation validation (the CBO's uniform assumption, audited)
+# --------------------------------------------------------------------------
+
+_JSE_KEYS = (
+    ("l_suppkey", "lineitem"),
+    ("l_partkey", "lineitem"),
+    ("o_custkey", "orders"),
+)
+
+
+def _jse_oracle() -> str:
+    arms = []
+    for key, tbl in _JSE_KEYS:
+        arms.append(f"""
+        SELECT '{tbl}.{key}' AS join_key,
+               CAST(n AS BIGINT) AS n_rows,
+               CAST(ndv AS BIGINT) AS ndv,
+               CAST((n * n) // ndv AS BIGINT) AS est_join_rows,
+               CAST(sum_c2 AS BIGINT) AS actual_join_rows,
+               CAST(sum_c2 AS DOUBLE) / ((n * n) // ndv) AS amplification
+        FROM (
+            SELECT SUM(c) AS n, COUNT(*) AS ndv, SUM(c * c) AS sum_c2
+            FROM (SELECT COUNT(*) AS c FROM {tbl}
+                  WHERE {key} IS NOT NULL GROUP BY {key})
+        )""")
+    return " UNION ALL ".join(arms)
+
+
+@register(
+    "q_join_size_estimation",
+    oracle=_jse_oracle(),
+    tags=("dq", "join", "cbo", "skew", "estimation"),
+)
+def q_join_size_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost-based optimizer's uniform-key assumption, audited against
+    ground truth WITHOUT executing any join: for each candidate equi-join
+    key, the self-join size the independence estimate predicts
+    (n^2 / ndv) beside the EXACT size (sum of squared per-key counts,
+    from the same one-pass count relation).  The amplification ratio is
+    the number that explains a blown-up shuffle: >> 1 means the key is
+    skewed and the optimizer's estimate — and your executor sizing — is
+    wrong by exactly that factor.  This is the measure-first dial in
+    front of the salting family (q_salted_join / q_key_skew_profile):
+    salt when amplification says so, not after the OOM.
+
+    Shape: one map-side-combinable groupBy per key into a three-number
+    aggregate — the audit costs one scan per key, never the join it
+    predicts.  Counts/NDVs/sums BIGINT with integer-division estimates
+    (Class A); amplification is one division of exact integers."""
+    out = None
+    for key, tbl in _JSE_KEYS:
+        c = (
+            t(spark, sf_dir, tbl)
+            .filter(F.col(key).isNotNull())
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        row = c.agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("ndv"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("actual_join_rows"),
+        ).select(
+            F.lit(f"{tbl}.{key}").alias("join_key"),
+            "n_rows",
+            "ndv",
+            F.expr("(n_rows * n_rows) div ndv").cast("long").alias(
+                "est_join_rows"
+            ),
+            "actual_join_rows",
+            (
+                F.col("actual_join_rows").cast("double")
+                / F.expr("(n_rows * n_rows) div ndv")
+            ).alias("amplification"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

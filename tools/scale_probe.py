@@ -196,6 +196,7 @@ PROBE_QUERIES = (
     # workload's own join edges; one combinable groupBy for the id grid)
     "q_referential_integrity",
     "q_id_gap_audit",
+    "q_join_size_estimation",
 )
 
 # r6 deep point for the three steepest text curves (7.1x / 5.8x / 4.9x at
