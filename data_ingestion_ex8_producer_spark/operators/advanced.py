@@ -720,7 +720,8 @@ def _ri_oracle() -> str:
                CAST(SUM(CASE WHEN {ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_null_keys,
                CAST(SUM(CASE WHEN {ck} IS NOT NULL AND {ck} NOT IN
-                        (SELECT {pk} FROM {pt}) THEN 1 ELSE 0 END) AS BIGINT)
+                        (SELECT {pk} FROM {pt} WHERE {pk} IS NOT NULL)
+                        THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_orphans
         FROM {ct}""")
     return " UNION ALL ".join(arms)

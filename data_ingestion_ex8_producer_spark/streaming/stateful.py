@@ -1346,11 +1346,16 @@ def _update_drift(
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        grp = pdf.groupby("bucket")["is_cur"].agg(["count", "sum"])
+        # dropna=False: a NULL bucket is a bucket (the batch
+        # q_distribution_drift and its DuckDB oracle both keep the NULL
+        # group), mapped to a sentinel no real bucket label can collide
+        # with so the histograms stay aligned row-for-row.
+        grp = pdf.groupby("bucket", dropna=False)["is_cur"].agg(["count", "sum"])
         for bucket, row in grp.iterrows():
             cur = int(row["sum"])
             ref = int(row["count"]) - cur
-            cell = hist.setdefault(str(bucket), [0, 0])
+            b_key = "\x00null" if pd.isna(bucket) else str(bucket)
+            cell = hist.setdefault(b_key, [0, 0])
             cell[0] += ref
             cell[1] += cur
         touched = True

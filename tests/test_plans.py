@@ -300,7 +300,10 @@ def test_zonemap_windows_ride_two_phase_rank(spark, specs) -> None:
     pushing the count past the bound."""
     plan = _plan(spark, specs["q_zonemap_skipping"].builder(spark, SF))
     n_single = plan.count("Arguments: SinglePartition")
-    assert n_single <= 20, (
+    # Measured count in the two-phase plan is 14; a single layout's global
+    # window regressing adds >= 4, so <= 15 trips on even one regression
+    # while tolerating one metadata-sized exchange of drift.
+    assert n_single <= 15, (
         f"q_zonemap_skipping has {n_single} SinglePartition exchanges - "
-        "a fact-scale global window may have regressed"
+        "a fact-scale global window may have regressed (two-phase plan has 14)"
     )

@@ -1808,6 +1808,35 @@ def test_drift_state_split_batches_are_exactly_associative() -> None:
     assert row["drift_flag"] == 1  # 10*6 >= 9
 
 
+def test_drift_null_bucket_counts_as_a_bucket() -> None:
+    """A NULL bucket is a bucket: the batch q_distribution_drift (Spark
+    groupBy keeps the NULL group) and its DuckDB oracle both count it, so
+    the streaming twin must too (dropna=False + sentinel key).  Before the
+    r9 fix, pandas' default dropna=True silently dropped NULL-bucket rows
+    and the row-for-row parity claim was latent-broken."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        _update_drift,
+    )
+
+    pdf = pd.DataFrame(
+        {"bucket": ["x", None, None, "x"], "is_cur": [0, 0, 1, 1]}
+    )
+    st = _FakeState()
+    out = pd.concat(_update_drift(("f",), iter([pdf]), st))
+    row = out.iloc[0]
+    # Two buckets: x (ref 1, cur 1) and NULL (ref 1, cur 1) — all four
+    # rows counted, none dropped.
+    assert row["n_buckets"] == 2
+    assert row["n_ref"] == 2 and row["n_cur"] == 2
+    assert row["tvd_num"] == 0 and row["drift_flag"] == 0
+    # The sentinel cannot collide with a real bucket label and the NULL
+    # group accumulates across batches like any other bucket.
+    buckets, nr, nc = st.get
+    assert "\x00null" in list(buckets)
+
+
 def test_drift_one_sided_slice_emits_null_verdict() -> None:
     """Before the current window opens (or with an empty reference) the
     TVD is undefined: the monitor emits counts with NULL verdict columns
