@@ -336,6 +336,23 @@ def register(
 # rotate in next round alongside q_table_stats_profile and
 # q_incremental_agg_maintenance (the standing r5->r6 precedent for
 # end-of-round additions).
+# Round 9 rotation (the standing cadence): rotate IN the eight specs the
+# r8 verdict lists as never driver-scored — the data-quality audit trio
+# that postdated the last artifact refresh (q_referential_integrity,
+# q_id_gap_audit, q_join_size_estimation) and the five end-of-r8
+# warehouse/stats additions that stayed full-artifact-only per the
+# r5->r6 precedent (q_table_stats_profile, q_incremental_agg_maintenance,
+# q_distribution_drift, q_compaction_plan, q_column_correlation_matrix).
+# Rotated OUT, all driver-green in CORRECTNESS_r08 with every family
+# keeping >=1 rep: q_json_extract + q_try_funcs (scalars keep
+# q_variant_json, which exercises the same JSON path machinery plus
+# VARIANT); q_doc_length_histogram + q_cross_lingual_overlap (text keeps
+# 6 reps incl. the Gopher battery and both tokenizer signals);
+# q_minhash_jaccard_estimate + q_dedup_cluster_stats (dedup keeps 6 reps
+# incl. both release curves, whose banding chains execute the signature
+# machinery end-to-end); sim_range_search + q_cluster_balanced_sample
+# (similarity keeps 6 reps incl. the SQ8 pair, cell stats, MMR, and the
+# kNN graph).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -354,9 +371,16 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_range_frame",
     "q_window_distribution",
     # scalar functions
-    "q_json_extract",
-    "q_try_funcs",
     "q_variant_json",
+    # warehouse lifecycle: CBO stats, MV maintenance, layout advisors
+    "q_table_stats_profile",
+    "q_incremental_agg_maintenance",
+    "q_compaction_plan",
+    "q_column_correlation_matrix",
+    # data-quality audits
+    "q_referential_integrity",
+    "q_id_gap_audit",
+    "q_join_size_estimation",
     # subqueries
     "q_lateral_topn",
     # extended analytics + reports
@@ -367,19 +391,16 @@ _PRIORITY: tuple[str, ...] = (
     "q_retention_cohorts",
     "q_session_window_dynamic",
     "q_event_proximity_pairs",
+    "q_distribution_drift",
     # deduplication
     "q_semantic_dedup_curve",
     "q_simhash_hamming_curve",
-    "q_minhash_jaccard_estimate",
     "dedup_containment",
-    "q_dedup_cluster_stats",
     "dedup_embedding_neardup",
     "q_doc_prefix_dup",
     "q_kmv_sketch_setops",
     # text analysis + tokenizer signals + lexical retrieval
     "q_gopher_rules",
-    "q_doc_length_histogram",
-    "q_cross_lingual_overlap",
     "q_perplexity_buckets",
     "q_contamination_check",
     "q_tokenizer_fertility",
@@ -389,11 +410,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_kmeans_iterations",
     "sim_sq8_topk",
     "q_sq8_recall",
-    "sim_range_search",
     "q_ivf_cell_stats",
     "q_mmr_diversify",
     "q_knn_graph_stats",
-    "q_cluster_balanced_sample",
     # multimodal
     "q_cdc_merge_apply",
     "mm_frame_sample",
