@@ -476,13 +476,31 @@ _ZM_LAYOUTS = (
 )
 
 
-def _zm_oracle() -> str:
+_ZM_SAMPLE_TARGET = 8192  # the sampled advisor holds ~this many rows ...
+_ZM_SAMPLE_FILE_ROWS = 64  # ... in small files, at ANY corpus size:
+# mod = max(1, n div TARGET) is exact on both engines, so the sample —
+# and every rank/sort/groupBy past the scan — is constant-size while
+# only the hash-filter scan itself stays linear in the data.
+
+
+def _zm_oracle(sampled: bool = False, file_rows: int = _ZM_FILE_ROWS) -> str:
+    sample_where = ""
+    if sampled:
+        h = sql_hash48(
+            "('zs:' || CAST(l_orderkey AS VARCHAR) || ':'"
+            " || CAST(l_linenumber AS VARCHAR))"
+        )
+        mod = (
+            "GREATEST(1, (SELECT COUNT(*) FROM lineitem)"
+            f" // {_ZM_SAMPLE_TARGET})"
+        )
+        sample_where = f"WHERE ({h} % {mod}) = 0"
     per_layout = []
     for name, order in _ZM_LAYOUTS:
         per_layout.append(f"""
     f_{name} AS (
         SELECT ((ROW_NUMBER() OVER (ORDER BY {order}) - 1)
-                  // {_ZM_FILE_ROWS}) AS file_id,
+                  // {file_rows}) AS file_id,
                sk, d
         FROM base
     ),
@@ -521,6 +539,7 @@ def _zm_oracle() -> str:
                (l_suppkey & 65535) AS sk,
                (date_diff('day', DATE '{_ZM_EPOCH}', l_shipdate) & 65535) AS d
         FROM lineitem
+        {sample_where}
     ),
     base AS (
         SELECT *, ((ROW_NUMBER() OVER (ORDER BY d, okey, lnum) - 1) * 256
@@ -537,37 +556,21 @@ def _zm_oracle() -> str:
     """
 
 
-@register(
-    "q_zonemap_skipping",
-    oracle=_zm_oracle(),
-    tags=("layout", "zonemap", "pruning", "zorder"),
-)
-def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zone-map file-skipping effectiveness under four physical layouts
-    (see module comment — incl. the raw-vs-rank-bucketed z-order lesson):
-    per (layout, predicate), how many 512-row files the parquet min/max
-    rule scans and how many rows those files hold.
-
-    Exactness: day offsets and supplier keys are BIGINT; the Morton key is
-    the same unrolled integer expression as q_zorder_layout; ROW_NUMBER
-    total orders are unique tuples — Class A end-to-end (the one DOUBLE,
-    scan_fraction, is a single division of two exact integers).
-
-    Scale shape: every global rank here — the oracle's plain ROW_NUMBER —
-    runs as the two-phase distributed form (_rfm_rank_two_phase: bucket
-    counts -> broadcast cumulative offsets -> within-bucket row_number),
-    with the bucket a coarse prefix of each layout's own sort key (the
-    ship-day for the date sort, the Morton key's top bits for the
-    z-orders), so no layout ever moves the relation to one partition; the
-    file_id groupBy is map-side-combinable and the report is a 2-row
-    aggregate per layout.  At 100 TB you run this ONCE on a sample to pick
-    the layout before paying for the full rewrite — the measurement is
-    the deliverable."""
-    from pyspark.sql import Window
-
+def _zonemap_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    sampled: bool = False,
+    file_rows: int = _ZM_FILE_ROWS,
+) -> DataFrame:
+    """Shared zone-map layout evaluator; ``sampled`` keeps a deterministic
+    ~``_ZM_SAMPLE_TARGET``-row hash-sample of lineitem (mod = max(1,
+    n div target), exact on both engines) so everything past the scan is
+    constant-size at any corpus scale; ``file_rows`` sets the file grain."""
+    from ..functions.text import hash48
     from .analytics_ext import _rfm_rank_two_phase
 
-    base0 = t(spark, sf_dir, "lineitem").select(
+    li = t(spark, sf_dir, "lineitem")
+    base0 = li.select(
         F.col("l_orderkey").alias("okey"),
         F.col("l_linenumber").alias("lnum"),
         F.col("l_suppkey").bitwiseAND(F.lit(65535)).alias("sk"),
@@ -575,6 +578,22 @@ def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .bitwiseAND(F.lit(65535))
         .alias("d"),
     )
+    if sampled:
+        # One exact scalar count (parquet-footer-served) sizes the sample
+        # modulus — the documented quantizer-lifecycle collect pattern.
+        mod = max(1, li.count() // _ZM_SAMPLE_TARGET)
+        base0 = base0.filter(
+            hash48(
+                F.concat(
+                    F.lit("zs:"),
+                    F.col("okey").cast("string"),
+                    F.lit(":"),
+                    F.col("lnum").cast("string"),
+                )
+            )
+            % mod
+            == 0
+        )
     # db = 256-bucket rank of d — the oracle's single ROW_NUMBER over
     # (d, okey, lnum), built two-phase: d is the bucket (calendar-bounded
     # domain), the global rank is offset + within-day row_number.
@@ -624,7 +643,7 @@ def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         files = persist_tracked(
             ranked.withColumn(
-                "file_id", F.expr(f"(_rank - 1) div {_ZM_FILE_ROWS}")
+                "file_id", F.expr(f"(_rank - 1) div {file_rows}")
             )
             .groupBy("file_id")
             .agg(
@@ -669,6 +688,62 @@ def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "q_zonemap_skipping",
+    oracle=_zm_oracle(),
+    tags=("layout", "zonemap", "pruning", "zorder"),
+)
+def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file-skipping effectiveness under four physical layouts
+    (see module comment — incl. the raw-vs-rank-bucketed z-order lesson):
+    per (layout, predicate), how many 512-row files the parquet min/max
+    rule scans and how many rows those files hold.
+
+    Exactness: day offsets and supplier keys are BIGINT; the Morton key is
+    the same unrolled integer expression as q_zorder_layout; ROW_NUMBER
+    total orders are unique tuples — Class A end-to-end (the one DOUBLE,
+    scan_fraction, is a single division of two exact integers).
+
+    Scale shape: every global rank here — the oracle's plain ROW_NUMBER —
+    runs as the two-phase distributed form (_rfm_rank_two_phase: bucket
+    counts -> broadcast cumulative offsets -> within-bucket row_number),
+    with the bucket a coarse prefix of each layout's own sort key (the
+    ship-day for the date sort, the Morton key's top bits for the
+    z-orders), so no layout ever moves the relation to one partition; the
+    file_id groupBy is map-side-combinable and the report is a 2-row
+    aggregate per layout.  At 100 TB you run this ONCE on a sample to pick
+    the layout before paying for the full rewrite — the measurement is
+    the deliverable (and ``q_zonemap_skipping_sampled`` IS that sampled
+    mode, registered below)."""
+    return _zonemap_eval(spark, sf_dir)
+
+
+@register(
+    "q_zonemap_skipping_sampled",
+    oracle=_zm_oracle(sampled=True, file_rows=_ZM_SAMPLE_FILE_ROWS),
+    tags=("layout", "zonemap", "pruning", "zorder", "sampled"),
+)
+def q_zonemap_skipping_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout advisor the docstring above tells you to run at 100 TB:
+    the SAME four-layout zone-map evaluation over a deterministic
+    ~8192-row hash-sample of lineitem (48-bit md5 of (okey, lnum) with
+    modulus max(1, n div 8192) — exact and identical on both engines, no
+    RNG) in 64-row files, so the sampled corpus keeps enough files
+    (~128) for the scan FRACTIONS to estimate the full layouts' while
+    every rank/sort/groupBy past the scan is constant-size at any corpus
+    volume.
+
+    Why this exists (VERDICT r8 #4): the full evaluator prices four
+    fact-scale two-phase rank+sort pipelines and is deliberately the most
+    expensive report in the repo (54.8x at 100x data); here only the
+    hash-filter SCAN is linear in the data — the advisor's curve should
+    flatten toward the scan cost (measured in SCALING_100X.md) while the
+    full form remains the oracle-checked ground truth."""
+    return _zonemap_eval(
+        spark, sf_dir, sampled=True, file_rows=_ZM_SAMPLE_FILE_ROWS
+    )
 
 
 # --------------------------------------------------------------------------

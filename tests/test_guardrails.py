@@ -249,6 +249,31 @@ def test_coverage_doc_counts_match_registry() -> None:
     )
 
 
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_ivf_argmax_margin_canary_escalation_trigger(spark, sf_dir) -> None:
+    """FLOAT_QUALS.md's Class-C escalation trigger, asserted rather than
+    eyeballed (VERDICT r8 #6): the IVF coarse-assignment argmax margin
+    canary must report ZERO vectors within 1e-12 of the decision boundary
+    at both test scale factors.  A nonzero count is the early warning that
+    a fold-order or engine change could flip an assignment and shift the
+    semdedup population counts — the documented escalation path is the
+    exact integer argmax (implemented in q_kmeans_iterations)."""
+    from data_ingestion_ex8_producer_spark.operators.similarity import (
+        q_ivf_argmax_margin_canary,
+    )
+
+    row = q_ivf_argmax_margin_canary(spark, sf_dir).collect()[0]
+    assert row["n_vectors"] > 0
+    assert row["n_below_1em12"] == 0, (
+        f"{row['n_below_1em12']} vectors within 1e-12 of the IVF argmax "
+        f"boundary at {sf_dir} (min margin {row['min_margin']}); the "
+        "FLOAT_QUALS.md escalation trigger fired - switch the coarse "
+        "assignment to the exact integer argmax"
+    )
+
+
 def test_oracle_output_types_are_driver_safe() -> None:
     """Every oracle's DuckDB output type must be one the driver's comparator
     renders identically whether materialized via ``fetchall()`` or Arrow
