@@ -950,3 +950,115 @@ def q_join_size_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (the CBO statistic q_table_stats_profile lacks)
+# --------------------------------------------------------------------------
+#
+# ANALYZE-grade selectivity estimation needs more than min/max/ndv: an
+# equi-depth (equal-height) histogram bounds any range predicate's
+# selectivity error by 1/B regardless of skew — the reason every serious
+# optimizer (and Spark's own CBO via ANALYZE TABLE ... FOR COLUMNS)
+# stores one.  Built here exactly, on integer cents, with the repo's
+# two-phase prefix-sum discipline so no fact-scale relation ever meets a
+# single-partition window.
+
+_EDH_BUCKETS = 16
+_EDH_CELL = 16384  # cents per coarse prefix-sum cell (domain-bounded)
+
+
+@register(
+    "q_equidepth_histogram",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 AS cents,
+               COUNT(*) AS cnt
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1
+    ),
+    n AS (SELECT SUM(cnt) AS n_total FROM c),
+    cum AS (
+        SELECT cents, cnt,
+               COALESCE(SUM(cnt) OVER (ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM c
+    )
+    SELECT CAST((cum_before * {_EDH_BUCKETS}) // n_total AS BIGINT) AS bucket,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS ndv
+    FROM cum CROSS JOIN n
+    GROUP BY 1
+    """,
+    tags=("stats", "cbo", "histogram", "warehouse"),
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {16}-bucket equi-depth histogram of l_extendedprice (integer
+    cents): per bucket the value bounds, row count, and distinct-value
+    count.  Each distinct value lands wholly in the bucket of its
+    cumulative-rows-before prefix — the textbook construction, so bucket
+    heights are equal up to the granularity of heavy values and a range
+    predicate's selectivity reads off the report with <=1/16 error.
+
+    Exactness: cents via DECIMAL(12,2) quantization (the established
+    cross-engine idiom), all counts/prefix sums BIGINT (Class A).
+
+    Scale shape: the value-counts relation is bounded by the DOMAIN (the
+    1e-2 price grid), not the corpus — 100x volume only deepens the
+    map-side combine (the q_robust_outliers growth mode).  The prefix sum
+    over it is two-phase: per-16384-cent-cell totals (a few hundred rows)
+    take the only unpartitioned window, then cumulative counts finish
+    distributed inside each cell.  Reference has no statistics surface at
+    all (SURVEY.md section 2.2)."""
+    cents = (
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    counts = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(cents)
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cell_tot = counts.groupBy(
+        F.expr(f"cents div {_EDH_CELL}").alias("_cell")
+    ).agg(F.sum("cnt").alias("_ct"))
+    w_cell = Window.orderBy("_cell").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cell_off = cell_tot.select(
+        "_cell", F.coalesce(F.sum("_ct").over(w_cell), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_cell").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    n_total = counts.agg(F.sum("cnt").cast("long").alias("_n"))
+    cum = (
+        counts.withColumn("_cell", F.expr(f"cents div {_EDH_CELL}"))
+        .join(F.broadcast(cell_off), "_cell")
+        .withColumn(
+            "cum_before",
+            F.col("_off") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0)),
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    return (
+        cum.groupBy(
+            F.expr(f"(cum_before * {_EDH_BUCKETS}) div _n")
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.min("cents").cast("long").alias("lo_cents"),
+            F.max("cents").cast("long").alias("hi_cents"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("ndv"),
+        )
+    )

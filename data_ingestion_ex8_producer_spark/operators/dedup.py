@@ -2038,6 +2038,7 @@ def _kmv_oracle() -> str:
     "q_kmv_sketch_setops",
     oracle=_kmv_oracle(),
     tags=("dedup", "sketch", "sources", "setops"),
+    bench=True,
 )
 def q_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k) sketch set algebra over per-source shingle sets —

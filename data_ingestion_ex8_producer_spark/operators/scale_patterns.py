@@ -1016,3 +1016,134 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_files_after").cast("double") / F.col("n_files_before")
         ).alias("file_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Partition-pruning advisor: the layout dial BEFORE zone-maps
+# --------------------------------------------------------------------------
+#
+# Directory-level partitioning (the hive/Delta/Iceberg partition column)
+# is the coarsest and cheapest pruning layer — chosen once, it decides
+# how much of 100 TB a partition-aligned predicate ever LISTS, before
+# zone-maps (q_zonemap_skipping) see a single footer.  Choosing it badly
+# is also the classic way to melt a metastore (too many tiny partitions)
+# or to prune nothing (too few).  This report measures, for each
+# candidate partition key, the three numbers the decision needs: grain
+# (how many partitions, rows per partition min/avg/max), balance (the
+# max-to-uniform skew ratio — hot partitions straggle), and the payoff
+# (partitions + rows a representative aligned predicate scans).
+
+_PP_CANDIDATES = (
+    # name, table, partition-key SQL, partition-key predicate SQL
+    (
+        "orders BY month(o_orderdate)",
+        "orders",
+        "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)",
+        "pkey BETWEEN 199801 AND 199803",
+    ),
+    (
+        "lineitem BY l_returnflag",
+        "lineitem",
+        "CAST(CAST(ascii(l_returnflag) AS BIGINT) AS BIGINT)",
+        "pkey = ascii('R')",
+    ),
+    (
+        "customer BY c_nationkey",
+        "customer",
+        "CAST(c_nationkey AS BIGINT)",
+        "pkey = 7",
+    ),
+)
+
+
+def _pp_oracle() -> str:
+    arms = []
+    for name, tbl, pkey, pred in _PP_CANDIDATES:
+        arms.append(f"""
+        SELECT '{name}' AS candidate,
+               CAST(COUNT(*) AS BIGINT) AS n_partitions,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(MIN(c) AS BIGINT) AS min_part_rows,
+               CAST(MAX(c) AS BIGINT) AS max_part_rows,
+               CAST(SUM(c) // COUNT(*) AS BIGINT) AS avg_part_rows,
+               CAST((MAX(c) * COUNT(*) * 100) // SUM(c) AS BIGINT)
+                 AS skew_x100,
+               CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS parts_scanned,
+               CAST(SUM(CASE WHEN {pred} THEN c ELSE 0 END) AS BIGINT)
+                 AS rows_scanned,
+               CAST((SUM(CASE WHEN {pred} THEN c ELSE 0 END) * 1000000)
+                    // SUM(c) AS BIGINT) AS scan_ppm
+        FROM (SELECT {pkey} AS pkey, COUNT(*) AS c FROM {tbl} GROUP BY 1)""")
+    return " UNION ALL ".join(arms)
+
+
+@register(
+    "q_partition_pruning_report",
+    oracle=_pp_oracle(),
+    tags=("layout", "partitioning", "pruning", "warehouse"),
+)
+def q_partition_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key advisor (see block comment): per candidate key, the
+    partition count, per-partition row stats, the max-to-uniform skew
+    ratio (x100 — 100 is perfectly balanced), and how many partitions /
+    rows / ppm of the table a representative partition-aligned predicate
+    scans.  Read together: month(o_orderdate) gives real pruning at
+    moderate grain; l_returnflag gives 3 giant partitions and ~1/3 scans
+    (a bad partition key, measured); c_nationkey prunes hard but at
+    dimension scale only.
+
+    Shape: one map-side-combinable groupBy per candidate into a bounded
+    partition-census relation (|partitions| rows), then a one-row
+    aggregate over it; predicates are evaluated on the partition KEY, as
+    directory pruning itself does.  All columns BIGINT (Class A)."""
+    out = None
+    for name, tbl, _pkey_sql, _pred_sql in _PP_CANDIDATES:
+        if tbl == "orders":
+            pkey = (
+                F.year("o_orderdate") * 100 + F.month("o_orderdate")
+            ).cast("long")
+            pred = F.col("pkey").between(199801, 199803)
+        elif tbl == "lineitem":
+            pkey = F.ascii(F.col("l_returnflag")).cast("long")
+            pred = F.col("pkey") == F.ascii(F.lit("R"))
+        else:
+            pkey = F.col("c_nationkey").cast("long")
+            pred = F.col("pkey") == 7
+        parts = (
+            t(spark, sf_dir, tbl)
+            .groupBy(pkey.alias("pkey"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        row = parts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.min("c").cast("long").alias("min_part_rows"),
+            F.max("c").cast("long").alias("max_part_rows"),
+            F.expr("sum(c) div count(*)").cast("long").alias("avg_part_rows"),
+            F.expr("(max(c) * count(*) * 100) div sum(c)")
+            .cast("long")
+            .alias("skew_x100"),
+            F.sum(F.when(pred, 1).otherwise(0))
+            .cast("long")
+            .alias("parts_scanned"),
+            F.sum(F.when(pred, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+        row = row.select(
+            F.lit(name).alias("candidate"),
+            "n_partitions",
+            "n_rows",
+            "min_part_rows",
+            "max_part_rows",
+            "avg_part_rows",
+            "skew_x100",
+            "parts_scanned",
+            "rows_scanned",
+            F.expr("(rows_scanned * 1000000) div n_rows")
+            .cast("long")
+            .alias("scan_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

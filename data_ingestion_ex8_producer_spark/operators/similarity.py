@@ -4575,6 +4575,7 @@ def _sq8_oracle() -> str:
     "sim_sq8_topk",
     oracle=_sq8_oracle(),
     tags=("similarity", "sq8", "ann", "quantization"),
+    bench=True,
 )
 def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 neighbors per query over SQ8 codes (faiss

@@ -82,6 +82,19 @@ DEEP_QUERIES = (
     "q_kmv_sketch_setops",
     "sim_sq8_topk",
     "q_zonemap_skipping",
+    # r9 (VERDICT r8 #5): the two steepest unprobed r8 shapes.  The CDC
+    # MERGE pays one full-outer join keyed on the fact table's own key —
+    # the one new join shape whose 100x behavior was asserted but never
+    # measured — and the proximity band join's cost contract is the
+    # per-time-cell candidate density, tested here at 100x the event
+    # volume on the same calendar span (denser cells, fixed cell count).
+    "q_cdc_merge_apply",
+    "q_event_proximity_pairs",
+    # r9 (VERDICT r8 #4): the sampled zone-map advisor beside its full
+    # form — everything past the hash-filter scan is a constant ~8192-row
+    # sample, so its curve should flatten toward the scan cost while the
+    # full evaluator above prices four fact-scale rank pipelines.
+    "q_zonemap_skipping_sampled",
 )
 
 
