@@ -2414,3 +2414,133 @@ def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum(row_hash).cast("long").alias("state_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling (per-stratum rate allocation)
+# --------------------------------------------------------------------------
+#
+# The training-data sampler between uniform hash-sampling and the
+# optimization-driven mixtures (q_temperature_mixture / q_epoch_allocation):
+# hold the corpus's (source, lang) composition while cutting volume to a
+# target budget.  Allocation is proportional with a floor of one —
+# minority strata survive — and the keep rule inside each stratum is a
+# hash-modulus on doc identity: deterministic, reproducible across
+# engines and across DAILY RUNS (yesterday's kept doc stays kept —
+# incremental-crawl-stable, unlike any RNG sampler), and executable as a
+# scan-stage filter with no per-stratum sort or rank anywhere.
+
+_STRAT_TARGET = 200  # total sampled docs the allocation aims at
+
+
+def _strat_oracle() -> str:
+    h = sql_hash48("('ss:' || CAST(doc_id AS VARCHAR))")
+    ck = sql_hash48("('ck:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH s AS (
+        SELECT source, lang, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1, 2
+    ),
+    n AS (SELECT SUM(n_docs) AS n_total FROM s),
+    alloc AS (
+        SELECT source, lang, n_docs,
+               GREATEST(1, (n_docs * {_STRAT_TARGET}) // n_total) AS quota,
+               GREATEST(1, n_docs //
+                 GREATEST(1, (n_docs * {_STRAT_TARGET}) // n_total)) AS mod
+        FROM s CROSS JOIN n
+    ),
+    kept AS (
+        SELECT d.source, d.lang,
+               COUNT(*) AS n_sampled,
+               SUM({ck}) AS checksum
+        FROM documents d JOIN alloc a
+          ON d.source = a.source AND d.lang = a.lang
+        WHERE ({h} % a.mod) = 0
+        GROUP BY 1, 2
+    )
+    SELECT a.source, a.lang,
+           CAST(a.n_docs AS BIGINT) AS n_docs,
+           CAST(a.quota AS BIGINT) AS quota,
+           CAST(a.mod AS BIGINT) AS mod,
+           CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(k.checksum, 0) AS BIGINT) AS sample_checksum
+    FROM alloc a LEFT JOIN kept k
+      ON a.source = k.source AND a.lang = k.lang
+    """
+
+
+@register(
+    "q_stratified_sample",
+    oracle=_strat_oracle(),
+    tags=("curation", "sampling", "stratified"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic downsample to ~{200} docs (see block
+    comment): per (source, lang) stratum, the proportional-with-floor
+    quota, the hash modulus implementing it, how many docs the modulus
+    actually kept, and an order-insensitive checksum of the kept doc ids
+    (sum of a second independent 48-bit hash) that PINS the exact sample
+    membership in the driver hash — the census proves not just how many
+    but WHICH documents ship.
+
+    Shape: one map-side-combinable census groupBy; the allocation table
+    is catalog-bounded (|sources| x |langs| rows) and broadcasts back
+    onto the scan as a filter — no rank, no sort, no per-stratum window
+    at any corpus size.  The rate-based modulus keeps ~quota docs (exact
+    quota would need a per-stratum top-k by hash; the repo's
+    token-budget sampler covers that shape) — the report shows both so
+    the allocation error is measured, not hidden.  All counts BIGINT;
+    the checksum is a sum of 48-bit values (no overflow before ~2^15
+    docs per stratum x 2^48 — and the driver compares exact integers)."""
+    docs = t(spark, sf_dir, "documents")
+    s = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n = s.agg(F.sum("n_docs").alias("n_total"))
+    alloc = (
+        s.crossJoin(F.broadcast(n))
+        .withColumn(
+            "quota",
+            F.greatest(
+                F.lit(1),
+                F.expr(f"(n_docs * {_STRAT_TARGET}) div n_total"),
+            ),
+        )
+        .withColumn(
+            "mod", F.greatest(F.lit(1), F.expr("n_docs div quota"))
+        )
+        .select("source", "lang", "n_docs", "quota", "mod")
+    )
+    kept = (
+        docs.join(F.broadcast(alloc), ["source", "lang"])
+        .filter(
+            hash48(F.concat(F.lit("ss:"), F.col("doc_id").cast("string")))
+            % F.col("mod")
+            == 0
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(
+                hash48(
+                    F.concat(F.lit("ck:"), F.col("doc_id").cast("string"))
+                )
+            ).alias("checksum"),
+        )
+    )
+    return (
+        alloc.join(kept, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("quota").cast("long").alias("quota"),
+            F.col("mod").cast("long").alias("mod"),
+            F.coalesce(F.col("n_sampled"), F.lit(0))
+            .cast("long")
+            .alias("n_sampled"),
+            F.coalesce(F.col("checksum"), F.lit(0))
+            .cast("long")
+            .alias("sample_checksum"),
+        )
+    )
