@@ -353,6 +353,24 @@ def register(
 # machinery end-to-end); sim_range_search + q_cluster_balanced_sample
 # (similarity keeps 6 reps incl. the SQ8 pair, cell stats, MMR, and the
 # kNN graph).
+# Late in round 9 (the standing late-round precedent: the round's own
+# additions join the window so every r9 spec carries driver evidence
+# this round): q_zonemap_skipping_sampled (the advisor's constant-sample
+# mode, VERDICT r8 #4), q_equidepth_histogram (the CBO statistic beyond
+# min/max/ndv, via the domain-bounded two-phase prefix sum),
+# q_partition_pruning_report (the directory-partitioning advisor), and
+# q_stratified_sample (composition-preserving hash-modulus downsampling
+# with a sample-membership checksum).  Displaced, all driver-green in
+# CORRECTNESS_r08 with every family keeping >=1 rep: q_zorder_layout
+# (the layout family keeps both zonemap evaluators + the compaction and
+# partitioning advisors; the Morton machinery executes inside
+# q_zonemap_skipping's z-order arms anyway), q_median_quartiles
+# (aggregation keeps q_regr_stats + the correlation matrix + the stats
+# profile + the new histogram, which IS the order-statistics shape one
+# level deeper), q_token_budget_sample (curation keeps dsir/epoch/
+# lexical-diversity + the new stratified sampler, and its two-phase
+# budget machinery stays inside the staying q_epoch_allocation story),
+# and q_zipf_profile (text keeps 5 reps incl. both tokenizer signals).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -360,11 +378,13 @@ def register(
 _PRIORITY: tuple[str, ...] = (
     # relational: scan/filter/project + physical layout evaluation
     "q_zonemap_skipping",
+    "q_zonemap_skipping_sampled",
+    "q_partition_pruning_report",
     # joins: the runtime Bloom prefilter measurement
     "q_bloom_join_prefilter",
-    # aggregation
-    "q_median_quartiles",
+    # aggregation + CBO statistics
     "q_regr_stats",
+    "q_equidepth_histogram",
     # set operations
     "q_union_all",
     # window functions
@@ -405,7 +425,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_contamination_check",
     "q_tokenizer_fertility",
     "q_doc_repetition",
-    "q_zipf_profile",
     # similarity search + ANN evaluation + hybrid
     "q_kmeans_iterations",
     "sim_sq8_topk",
@@ -421,9 +440,8 @@ _PRIORITY: tuple[str, ...] = (
     "udtf_bigrams",
     # curation / pipeline
     "q_lexical_diversity",
-    "q_zorder_layout",
     "q_dsir_importance",
-    "q_token_budget_sample",
+    "q_stratified_sample",
     "q_epoch_allocation",
 )
 

@@ -95,6 +95,13 @@ DEEP_QUERIES = (
     # sample, so its curve should flatten toward the scan cost while the
     # full evaluator above prices four fact-scale rank pipelines.
     "q_zonemap_skipping_sampled",
+    # r9 additions with bounded-relation contracts worth measuring: the
+    # equi-depth histogram's prefix sum lives on the DOMAIN-bounded value
+    # grid (100x volume should only deepen the map-side combine — the
+    # q_robust_outliers growth mode), and the stratified sampler is one
+    # census groupBy + a broadcast-filter scan (catalog-bounded strata).
+    "q_equidepth_histogram",
+    "q_stratified_sample",
 )
 
 
@@ -212,7 +219,25 @@ def main() -> None:
         "broadcast offsets -> within-bucket row_number) at 100x — the",
         "same shuffle an OPTIMIZE rewrite pays per layout, and the row",
         "that proves the r8 single-partition-window fix holds at depth",
-        "(its cost should track the sort shuffles, ~linear).",
+        "(its cost should track the sort shuffles, ~linear).  The r9",
+        "probes: the CDC MERGE pays one full-outer join keyed on the",
+        "fact table's own key — its curve is that join's shuffle, and",
+        "the per-action accounting past it is a bounded rollup.  The",
+        "proximity band join's contract is per-time-cell candidate",
+        "density: 100x events on the same calendar span makes every",
+        "cell 100x denser, so the candidate relation grows ~100x and",
+        "the curve should track it linearly — a super-linear bend would",
+        "mean the 3-probe cell equi-join degenerated toward the theta",
+        "join it replaces.  The SAMPLED zone-map advisor holds a",
+        "constant ~8192-row sample (mod = n div 8192), so its rank",
+        "pipelines are scale-free and only the hash-filter scan grows:",
+        "beside the full evaluator's row it is the measured case for",
+        "advise-on-a-sample, pay-full-price-once.  The equi-depth",
+        "histogram's prefix sum lives on the DOMAIN-bounded cents grid",
+        "(map-side combine deepens, the relation does not grow), and",
+        "the stratified sampler is one catalog-bounded census groupBy",
+        "plus a broadcast-filter scan — both should flatten toward",
+        "scan cost.",
     ]
     with open("/root/repo/SCALING_100X.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
