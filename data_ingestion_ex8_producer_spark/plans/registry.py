@@ -371,6 +371,13 @@ def register(
 # lexical-diversity + the new stratified sampler, and its two-phase
 # budget machinery stays inside the staying q_epoch_allocation story),
 # and q_zipf_profile (text keeps 5 reps incl. both tokenizer signals).
+# The final late-r9 admission: q_histogram_selectivity_audit (the
+# histogram's acted-on loop — estimates vs exact counts with error in
+# ppm, the close-the-loop discipline of q_sq8_recall applied to the CBO
+# statistic) displaced q_doc_repetition (driver-green r8; text keeps 4
+# reps — Gopher battery, perplexity tertiles, contamination check,
+# tokenizer fertility — and the repetition battery stays full-artifact-
+# and pytest-pinned).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -385,6 +392,7 @@ _PRIORITY: tuple[str, ...] = (
     # aggregation + CBO statistics
     "q_regr_stats",
     "q_equidepth_histogram",
+    "q_histogram_selectivity_audit",
     # set operations
     "q_union_all",
     # window functions
@@ -424,7 +432,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_perplexity_buckets",
     "q_contamination_check",
     "q_tokenizer_fertility",
-    "q_doc_repetition",
     # similarity search + ANN evaluation + hybrid
     "q_kmeans_iterations",
     "sim_sq8_topk",
