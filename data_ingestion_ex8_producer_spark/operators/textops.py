@@ -2930,3 +2930,141 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_uniq").cast("long").alias("sum_distinct"),
         (F.sum("n_uniq").cast("double") / F.sum("n_tok")).alias("ttr_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Linear quality-classifier inference (the fastText/DCLM filter shape)
+# --------------------------------------------------------------------------
+#
+# The other standard model-based quality filter beside the CCNet
+# perplexity buckets (q_perplexity_buckets): a LINEAR classifier over
+# hashed bag-of-words features — the fastText architecture DataComp/DCLM
+# and LLaMA's quality filters use.  The operator is the INFERENCE shape:
+# (1) the hashing trick maps every token to one of 2^16 feature ids at
+# scan time; (2) the model is a 65,536-row (feature, weight) RELATION
+# that broadcasts like any dimension — swap in trained weights and
+# nothing else changes; (3) scoring is one broadcast hash join plus a
+# per-doc combinable sum; (4) the verdict census per source is bounded
+# output.  Weights here are a deterministic splitmix-derived stand-in
+# (the engine ships plumbing, not a model); integer weights in
+# [-1000, 1000] with the shift-to-nonnegative division so Spark's `div`
+# and DuckDB's `//` agree for negative scores (FLOAT_QUALS doctrine).
+
+_QC_FEATURES = 1 << 16
+_QC_SALT = 12345
+
+
+def _qc_oracle() -> str:
+    from ..functions.text import sql_mix48
+
+    w = f"(({sql_mix48(f'(f + {_QC_SALT})')}) % 2001) - 1000"
+    tok_f = f"({sql_hash48('token')} % {_QC_FEATURES})"
+    return f"""
+    WITH weights AS (
+        SELECT f, {w} AS w
+        FROM (SELECT unnest(range({_QC_FEATURES})) AS f)
+    ),
+    toks AS (
+        SELECT doc_id, source, {tok_f} AS f
+        FROM (
+            SELECT doc_id, source, unnest({sql_tokens('text')}) AS token
+            FROM documents
+        )
+    ),
+    scored AS (
+        SELECT t.doc_id, t.source,
+               COUNT(*) AS n_tokens,
+               SUM(w.w) AS score
+        FROM toks t JOIN weights w ON t.f = w.f
+        GROUP BY 1, 2
+    ),
+    verdict AS (
+        SELECT doc_id, source,
+               ((score + 1000 * n_tokens) // n_tokens) - 1000 AS norm_score
+        FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN norm_score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           CAST((SUM(CASE WHEN norm_score >= 0 THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS keep_ppm,
+           CAST(((SUM(norm_score) + 1000 * COUNT(*)) // COUNT(*)) - 1000
+                AS BIGINT) AS avg_score,
+           CAST(MIN(norm_score) AS BIGINT) AS min_score,
+           CAST(MAX(norm_score) AS BIGINT) AS max_score
+    FROM verdict
+    GROUP BY source
+    """
+
+
+@register(
+    "q_quality_classifier",
+    oracle=_qc_oracle(),
+    tags=("text", "quality", "classifier", "inference"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality-classifier inference (see block comment): per
+    source, how many documents the classifier keeps (normalized score
+    >= 0), the keep rate in ppm, and the score distribution's
+    avg/min/max.  The per-doc normalized score is an exact BIGINT —
+    token-count-shifted integer division makes Spark `div` equal
+    DuckDB `//` for negative sums (Class A end-to-end).
+
+    Scale shape: the weight table is model-sized (2^16 rows, ~1 MB) and
+    BROADCASTS — inference is a scan-stage broadcast hash join feeding a
+    per-doc map-side-combinable sum, then a catalog-bounded census.  At
+    100 TB the only fact-scale stages are the token explode and the one
+    doc-keyed combine; swapping the splitmix stand-in weights for a
+    trained fastText head is a one-relation replacement."""
+    from ..functions.text import mix48
+
+    weights = F.broadcast(
+        spark.range(_QC_FEATURES)
+        .select(
+            F.col("id").alias("f"),
+            (mix48(F.col("id") + _QC_SALT) % 2001 - 1000).alias("w"),
+        )
+    )
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(tokens()).alias("token"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (hash48(F.col("token")) % _QC_FEATURES).alias("f"),
+        )
+    )
+    scored = (
+        toks.join(weights, "f")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("score"),
+        )
+        .withColumn(
+            "norm_score",
+            F.expr("((score + 1000 * n_tokens) div n_tokens) - 1000"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("norm_score") >= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_keep"),
+        F.expr(
+            "(sum(CASE WHEN norm_score >= 0 THEN 1 ELSE 0 END) * 1000000)"
+            " div count(*)"
+        )
+        .cast("long")
+        .alias("keep_ppm"),
+        F.expr("((sum(norm_score) + 1000 * count(*)) div count(*)) - 1000")
+        .cast("long")
+        .alias("avg_score"),
+        F.min("norm_score").cast("long").alias("min_score"),
+        F.max("norm_score").cast("long").alias("max_score"),
+    )

@@ -377,7 +377,12 @@ def register(
 # statistic) displaced q_doc_repetition (driver-green r8; text keeps 4
 # reps — Gopher battery, perplexity tertiles, contamination check,
 # tokenizer fertility — and the repetition battery stays full-artifact-
-# and pytest-pinned).
+# and pytest-pinned).  And q_quality_classifier (the fastText/DCLM-shape
+# hashed-linear filter INFERENCE: 2^16-row broadcast weight relation +
+# scan-stage join + per-doc combinable sum — the model-based quality
+# family's second member beside the CCNet tertiles) displaced
+# q_contamination_check (driver-green r8; the shared-5-gram machinery
+# stays full-artifact- and pytest-pinned, and text keeps 4 reps).
 # Every rotated-out name remains exact-oracle-verified
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
@@ -430,7 +435,7 @@ _PRIORITY: tuple[str, ...] = (
     # text analysis + tokenizer signals + lexical retrieval
     "q_gopher_rules",
     "q_perplexity_buckets",
-    "q_contamination_check",
+    "q_quality_classifier",
     "q_tokenizer_fertility",
     # similarity search + ANN evaluation + hybrid
     "q_kmeans_iterations",

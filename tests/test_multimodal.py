@@ -128,3 +128,33 @@ def test_decode_batches_is_what_the_operator_ships() -> None:
         assert (
             out.iloc[i]["width"], out.iloc[i]["height"], out.iloc[i]["n_frames"]
         ) == (w, h, n)
+
+
+def test_png_bmp_header_roundtrip_property() -> None:
+    """Property: any (width, height, depth) in the formats' legal ranges
+    survives the assemble -> decode round trip exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=2**31 - 1),
+        h=st.integers(min_value=1, max_value=2**31 - 1),
+        depth=st.sampled_from([1, 2, 4, 8, 16]),
+    )
+    def png_case(w: int, h: int, depth: int) -> None:
+        assert decode_image_real(make_png(w, h, depth)) == (w, h, depth)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=2**31 - 1),
+        h=st.integers(min_value=-(2**31), max_value=2**31 - 1).filter(
+            lambda v: v != 0 and v != -(2**31)
+        ),
+        bpp=st.sampled_from([1, 4, 8, 16, 24, 32]),
+    )
+    def bmp_case(w: int, h: int, bpp: int) -> None:
+        assert decode_image_real(make_bmp(w, h, bpp)) == (w, abs(h), bpp)
+
+    png_case()
+    bmp_case()
