@@ -102,6 +102,10 @@ DEEP_QUERIES = (
     # census groupBy + a broadcast-filter scan (catalog-bounded strata).
     "q_equidepth_histogram",
     "q_stratified_sample",
+    # late r9: the model-inference shape — token explode + broadcast
+    # 2^16-row weight join + per-doc combinable sum; its curve should
+    # track the token scan like q_doc_surprisal's annotate join.
+    "q_quality_classifier",
 )
 
 
@@ -237,7 +241,11 @@ def main() -> None:
         "(map-side combine deepens, the relation does not grow), and",
         "the stratified sampler is one catalog-bounded census groupBy",
         "plus a broadcast-filter scan — both should flatten toward",
-        "scan cost.",
+        "scan cost.  The quality classifier is the model-INFERENCE",
+        "shape: a 2^16-row weight relation broadcasts, the token",
+        "explode + join + per-doc sum all ride the scan stage, so its",
+        "curve should track the token volume linearly like the",
+        "surprisal annotate joins.",
     ]
     with open("/root/repo/SCALING_100X.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
