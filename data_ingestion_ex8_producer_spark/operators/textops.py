@@ -2954,6 +2954,55 @@ _QC_FEATURES = 1 << 16
 _QC_SALT = 12345
 
 
+def qc_token_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, w) per token occurrence: the hashing trick plus the
+    broadcast weight relation as a stream-static-safe join — no aggregation,
+    so the streaming twin can run it ahead of applyInPandasWithState and
+    fold per-doc scores inside the stateful kernel instead (a streaming
+    groupBy before arbitrary state is unsupported by Spark)."""
+    from ..functions.text import mix48
+
+    spark = docs.sparkSession
+    weights = F.broadcast(
+        spark.range(_QC_FEATURES)
+        .select(
+            F.col("id").alias("f"),
+            (mix48(F.col("id") + _QC_SALT) % 2001 - 1000).alias("w"),
+        )
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokens()).alias("token"),
+    ).select(
+        "doc_id",
+        "source",
+        (hash48(F.col("token")) % _QC_FEATURES).alias("f"),
+    )
+    return toks.join(weights, "f").select("doc_id", "source", "w")
+
+
+def qc_scored(docs: DataFrame) -> DataFrame:
+    """Per-document classifier scoring (batch form): the qc_token_weights
+    relation folded per doc with the shift-to-nonnegative integer
+    normalization.  Returns (doc_id, source, n_tokens, score, norm_score).
+    The streaming twin folds the same token-weight relation inside its
+    stateful kernel with the identical integer arithmetic (pinned
+    row-for-row in tests/test_streaming_stateful.py)."""
+    return (
+        qc_token_weights(docs)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("score"),
+        )
+        .withColumn(
+            "norm_score",
+            F.expr("((score + 1000 * n_tokens) div n_tokens) - 1000"),
+        )
+    )
+
+
 def _qc_oracle() -> str:
     from ..functions.text import sql_mix48
 
@@ -3017,40 +3066,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the only fact-scale stages are the token explode and the one
     doc-keyed combine; swapping the splitmix stand-in weights for a
     trained fastText head is a one-relation replacement."""
-    from ..functions.text import mix48
-
-    weights = F.broadcast(
-        spark.range(_QC_FEATURES)
-        .select(
-            F.col("id").alias("f"),
-            (mix48(F.col("id") + _QC_SALT) % 2001 - 1000).alias("w"),
-        )
-    )
-    toks = (
-        t(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            "source",
-            F.explode(tokens()).alias("token"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            (hash48(F.col("token")) % _QC_FEATURES).alias("f"),
-        )
-    )
-    scored = (
-        toks.join(weights, "f")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("w").alias("score"),
-        )
-        .withColumn(
-            "norm_score",
-            F.expr("((score + 1000 * n_tokens) div n_tokens) - 1000"),
-        )
-    )
+    scored = qc_scored(t(spark, sf_dir, "documents"))
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("norm_score") >= 0, 1).otherwise(0))

@@ -1437,3 +1437,100 @@ def drift_monitor_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming quality-classifier gate (the q_quality_classifier twin)
+# --------------------------------------------------------------------------
+
+QC_SCHEMA = (
+    "source string, n_docs bigint, n_keep bigint, keep_ppm bigint,"
+    " avg_score bigint, min_score bigint, max_score bigint"
+)
+_QC_STATE_SCHEMA = (
+    "n_docs long, n_keep long, sum_score long, min_score long, max_score long"
+)
+
+
+def _update_qc(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-source classifier-verdict census across micro-batches.
+
+    Input rows are the PER-TOKEN weight relation (doc_id, w) — a streaming
+    groupBy ahead of arbitrary state is unsupported, so the per-doc fold
+    (count, sum, then the shift-to-nonnegative integer normalization,
+    bit-identical to the batch qc_scored expression) runs HERE in pandas;
+    an exploded doc's tokens land wholly inside its input row's
+    micro-batch, so the fold is always over a complete document.
+
+    State is FIVE BIGINTs — doc count, keep count, score sum, min, max —
+    the sufficient statistic of the batch census, exactly associative
+    under any doc-boundary batch split (sums/mins/maxes of integers), so
+    a single availableNow pass reproduces q_quality_classifier
+    row-for-row and the state size is constant per source at ANY stream
+    length: the hardest possible checkpoint bound alongside the KMV
+    twin's <=K.  Each touched source re-emits its full verdict row
+    (update mode — the live keep-rate dashboard a curation pipeline
+    tails while a crawl lands)."""
+    if state.exists:
+        n_docs, n_keep, sum_score, min_score, max_score = state.get
+    else:
+        n_docs = n_keep = sum_score = 0
+        min_score, max_score = None, None
+    touched = False
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        per_doc = pdf.groupby("doc_id")["w"].agg(["count", "sum"])
+        ns = ((per_doc["sum"] + 1000 * per_doc["count"]) // per_doc["count"]) - 1000
+        n_docs += int(len(ns))
+        n_keep += int((ns >= 0).sum())
+        sum_score += int(ns.sum())
+        b_min, b_max = int(ns.min()), int(ns.max())
+        min_score = b_min if min_score is None else min(min_score, b_min)
+        max_score = b_max if max_score is None else max(max_score, b_max)
+        touched = True
+    state.update((n_docs, n_keep, sum_score, min_score, max_score))
+    cols = [c.split()[0] for c in QC_SCHEMA.split(", ")]
+    if not touched or n_docs == 0:
+        yield pd.DataFrame(columns=cols)
+        return
+    yield pd.DataFrame(
+        [
+            (
+                key[0],
+                n_docs,
+                n_keep,
+                (n_keep * 1_000_000) // n_docs,
+                ((sum_score + 1000 * n_docs) // n_docs) - 1000,
+                min_score,
+                max_score,
+            )
+        ],
+        columns=cols,
+    )
+
+
+def quality_classifier_stream(docs: DataFrame) -> DataFrame:
+    """Streaming quality-classifier gate: the token-weight relation is the
+    SAME ``qc_token_weights`` pipeline as the batch census (hashing-trick
+    features + the broadcast weight relation as a stream-static join —
+    scoring fidelity holds by construction); applyInPandasWithState then
+    folds per-doc scores and keeps the five-integer census per source."""
+    from ..operators.textops import qc_token_weights
+
+    return (
+        qc_token_weights(docs)
+        .select("source", "doc_id", "w")
+        .groupBy("source")
+        .applyInPandasWithState(
+            _update_qc,
+            outputStructType=QC_SCHEMA,
+            stateStructType=_QC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

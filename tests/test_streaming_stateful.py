@@ -1860,3 +1860,85 @@ def test_drift_constants_match_batch_spec() -> None:
     from data_ingestion_ex8_producer_spark.streaming import stateful as _st
 
     assert _st._DRIFT_FLAG_X10 == _e._DRIFT_FLAG_X10
+
+
+# --------------------------------------------------------------------------
+# Streaming quality-classifier gate twin (q_quality_classifier's online face)
+# --------------------------------------------------------------------------
+
+
+def _stream_docs_fixture(spark, sf_dir: str, staging_dir: str):
+    """Replay the documents parquet as a file-source stream (one file = one
+    micro-batch input) — the crawl-landing shape the gate monitors."""
+    import shutil
+
+    staging = Path(staging_dir)
+    staging.mkdir(parents=True, exist_ok=True)
+    shutil.copy(f"{sf_dir}/documents.parquet", staging / "documents.parquet")
+    batch = spark.read.parquet(str(staging / "documents.parquet"))
+    return spark.readStream.schema(batch.schema).parquet(str(staging))
+
+
+def test_streaming_quality_classifier_matches_batch(spark, tmp_path: Path) -> None:
+    """Single availableNow batch: the stateful gate must emit exactly the
+    batch q_quality_classifier census rows (per-doc scoring is the shared
+    qc_scored pipeline; the census state is five integers per source)."""
+    from data_ingestion_ex8_producer_spark.operators.textops import (
+        q_quality_classifier,
+    )
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        quality_classifier_stream,
+    )
+
+    docs = _stream_docs_fixture(spark, SF, str(tmp_path / "qc"))
+    _run(quality_classifier_stream(docs), "stream_qc", "update")
+    got = {
+        (
+            r["source"], r["n_docs"], r["n_keep"], r["keep_ppm"],
+            r["avg_score"], r["min_score"], r["max_score"],
+        )
+        for r in spark.sql("SELECT * FROM stream_qc").collect()
+    }
+    want = {
+        (
+            r["source"], r["n_docs"], r["n_keep"], r["keep_ppm"],
+            r["avg_score"], r["min_score"], r["max_score"],
+        )
+        for r in q_quality_classifier(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_qc_state_split_batches_are_exactly_associative() -> None:
+    """The five-integer census is the sufficient statistic: state and
+    emission after any DOC-BOUNDARY batch split equal the single-batch
+    run (an exploded doc's tokens always share a micro-batch — the
+    documented contract), and the state is constant-size by construction
+    (not merely bounded).  Per-doc folds here: doc1 [5,5] -> +5 keep;
+    doc2 [-7] -> -7 drop; doc3 [0,0,1] -> 0 keep; doc4 [-1000] -> -1000
+    drop; doc5 [3,4] -> +3 keep."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import _update_qc
+
+    def _b(rows):
+        return pd.DataFrame(rows, columns=["doc_id", "w"])
+
+    a = _b([(1, 5), (1, 5), (2, -7), (3, 0), (3, 0), (3, 1)])
+    b = _b([(4, -1000), (5, 3), (5, 4)])
+    split = _FakeState()
+    list(_update_qc(("s",), iter([a]), split))
+    out_split = pd.concat(_update_qc(("s",), iter([b]), split))
+    single = _FakeState()
+    out_single = pd.concat(
+        _update_qc(("s",), iter([pd.concat([a, b], ignore_index=True)]), single)
+    )
+    assert split.get == single.get
+    assert out_split.to_dict("records") == out_single.to_dict("records")
+    row = out_single.iloc[0]
+    # n=5, keep=3, sum=5-7+0-1000+3=-999: avg=((-999+5000)//5)-1000=-200
+    assert (row["n_docs"], row["n_keep"], row["keep_ppm"]) == (5, 3, 600000)
+    assert row["avg_score"] == -200
+    assert (row["min_score"], row["max_score"]) == (-1000, 5)
+    # Constant state: five scalars regardless of stream length.
+    assert len(single.get) == 5
