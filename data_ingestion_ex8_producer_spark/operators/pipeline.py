@@ -2529,7 +2529,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        alloc.join(kept, ["source", "lang"], "left")
+        # Both sides of the census join are catalog-bounded (|sources| x
+        # |langs| rows); the kept side is a derived aggregate static stats
+        # cannot size, so broadcast it explicitly or it sort-merges.
+        alloc.join(F.broadcast(kept), ["source", "lang"], "left")
         .select(
             "source",
             "lang",

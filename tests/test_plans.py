@@ -307,3 +307,57 @@ def test_zonemap_windows_ride_two_phase_rank(spark, specs) -> None:
         f"q_zonemap_skipping has {n_single} SinglePartition exchanges - "
         "a fact-scale global window may have regressed (two-phase plan has 14)"
     )
+
+
+# --------------------------------------------------------------------------
+# r9 additions: plan shapes for the new warehouse/curation/inference ops
+# --------------------------------------------------------------------------
+
+_R9_BROADCAST_SHAPES = (
+    # All four are broadcast-by-contract: the classifier's 2^16-row weight
+    # relation, the sampler's catalog-bounded allocation table, the
+    # selectivity audit's <=16-bucket histogram join, and the partition
+    # advisor's bounded census aggregates.  An SMJ/shuffled-hash join in
+    # the static plan means a fact-scale relation is shuffling where only
+    # metadata should move.
+    "q_quality_classifier",
+    "q_stratified_sample",
+    "q_histogram_selectivity_audit",
+    "q_partition_pruning_report",
+)
+
+
+@pytest.mark.parametrize("name", _R9_BROADCAST_SHAPES)
+def test_r9_broadcast_shapes_no_smj(spark, specs, name) -> None:
+    plan = _plan(spark, specs[name].builder(spark, SF))
+    assert "SortMergeJoin" not in plan, f"{name} sort-merge-joins"
+    assert "ShuffledHashJoin" not in plan, f"{name} shuffle-hash-joins"
+    assert "CartesianProduct" not in plan, f"{name} cartesian-products"
+
+
+def test_equidepth_histogram_single_partition_windows_are_bounded(
+    spark, specs
+) -> None:
+    """The equi-depth prefix sum is two-phase: the only SinglePartition
+    exchange feeds the per-16384-cent CELL relation (a few hundred rows at
+    any corpus size); the distinct-value cumulative runs partitioned by
+    cell.  A regression to a global window over the value grid would add
+    SinglePartition exchanges carrying the fact-derived counts relation."""
+    plan = _plan(spark, specs["q_equidepth_histogram"].builder(spark, SF))
+    n_single = plan.count("Arguments: SinglePartition")
+    assert n_single <= 2, (
+        f"q_equidepth_histogram has {n_single} SinglePartition exchanges - "
+        "the value-grid cumulative may have regressed to a global window"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_sampled_zonemap_filter_reaches_scan_stage(spark, specs) -> None:
+    """The sampled advisor's hash-modulus filter must run in the scan
+    stage BEFORE any rank machinery (the whole point: everything past the
+    scan is constant-size).  The md5-based filter cannot push to parquet,
+    but it must appear as a Filter above the scan, not after an Exchange."""
+    plan = _plan(spark, specs["q_zonemap_skipping_sampled"].builder(spark, SF))
+    # The sample filter's md5 must be present and no CartesianProduct.
+    assert "md5" in plan
+    assert "CartesianProduct" not in plan
