@@ -1942,3 +1942,87 @@ def test_qc_state_split_batches_are_exactly_associative() -> None:
     assert (row["min_score"], row["max_score"]) == (-1000, 5)
     # Constant state: five scalars regardless of stream length.
     assert len(single.get) == 5
+
+
+def test_streaming_quality_classifier_checkpoint_restart(
+    spark, tmp_path: Path
+) -> None:
+    """Two-run checkpoint restart for the classifier gate: the
+    five-integer census per source must survive a stream restart, so the
+    LATEST emission per source across both runs equals the batch census
+    over the full corpus — run 2 folds only its new docs into the
+    restored counters."""
+    import shutil
+
+    from data_ingestion_ex8_producer_spark.operators.textops import (
+        q_quality_classifier,
+    )
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        quality_classifier_stream,
+    )
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "emissions")
+
+    docs = load_table(spark, SF, "documents")
+    half1 = str(tmp_path / "half1")
+    half2 = str(tmp_path / "half2")
+    w1 = docs.filter(F.col("doc_id") % 2 == 0)
+    w2 = docs.filter(F.col("doc_id") % 2 == 1)
+    assert w1.count() > 0 and w2.count() > 0
+    w1.coalesce(1).write.parquet(half1)
+    w2.coalesce(1).write.parquet(half2)
+    schema = docs.schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(str(staging))
+
+        def sink(batch_df, epoch_id: int) -> None:
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            quality_classifier_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    def _copy_part(src: str, name: str) -> None:
+        part = next(Path(src).glob("part-*.parquet"))
+        shutil.copy(part, staging / name)
+
+    _copy_part(half1, "a.parquet")
+    run_once()
+    _copy_part(half2, "b.parquet")
+    run_once()  # restart from the same checkpoint; only file b is new
+
+    from pyspark.sql import Window
+
+    emissions = spark.read.parquet(out)
+    latest = Window.partitionBy("source").orderBy(F.col("epoch").desc())
+    got = {
+        (
+            r["source"], r["n_docs"], r["n_keep"], r["keep_ppm"],
+            r["avg_score"], r["min_score"], r["max_score"],
+        )
+        for r in emissions.withColumn(
+            "rn", F.row_number().over(latest)
+        ).filter(F.col("rn") == 1).collect()
+    }
+    want = {
+        (
+            r["source"], r["n_docs"], r["n_keep"], r["keep_ppm"],
+            r["avg_score"], r["min_score"], r["max_score"],
+        )
+        for r in q_quality_classifier(spark, SF).collect()
+    }
+    assert got == want
