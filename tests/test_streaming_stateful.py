@@ -2026,3 +2026,177 @@ def test_streaming_quality_classifier_checkpoint_restart(
         for r in q_quality_classifier(spark, SF).collect()
     }
     assert got == want
+
+
+def test_streaming_drift_checkpoint_restart(spark, tmp_path: Path) -> None:
+    """Two-run checkpoint restart for the drift monitor: the per-feature
+    bucket histograms survive the restart, so the latest emission per
+    feature across both runs equals the batch q_distribution_drift over
+    the full data — run 2 folds only its new events into the restored
+    histograms (exercising the r9 NULL-bucket-safe accumulation path on
+    real data)."""
+    import shutil
+
+    from data_ingestion_ex8_producer_spark.operators.events import (
+        q_distribution_drift,
+    )
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        drift_monitor_stream,
+    )
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "emissions")
+
+    events = load_table(spark, SF, "events")
+    half1 = str(tmp_path / "half1")
+    half2 = str(tmp_path / "half2")
+    # Split orthogonally to the drift monitor's own ref/cur time split so
+    # BOTH runs touch both sides of every histogram.
+    w1 = events.filter(F.col("event_id") % 2 == 0)
+    w2 = events.filter(F.col("event_id") % 2 == 1)
+    assert w1.count() > 0 and w2.count() > 0
+    w1.coalesce(1).write.parquet(half1)
+    w2.coalesce(1).write.parquet(half2)
+    schema = events.schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(str(staging))
+
+        def sink(batch_df, epoch_id: int) -> None:
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            drift_monitor_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    def _copy_part(src: str, name: str) -> None:
+        part = next(Path(src).glob("part-*.parquet"))
+        shutil.copy(part, staging / name)
+
+    _copy_part(half1, "a.parquet")
+    run_once()
+    _copy_part(half2, "b.parquet")
+    run_once()  # restart from the same checkpoint; only file b is new
+
+    from pyspark.sql import Window
+
+    emissions = spark.read.parquet(out)
+    latest = Window.partitionBy("feature").orderBy(F.col("epoch").desc())
+    got = {
+        (
+            r["feature"], r["n_buckets"], r["n_ref"], r["n_cur"],
+            r["tvd_num"], r["tvd_ppm"], r["drift_flag"], r["tvd"],
+        )
+        for r in emissions.withColumn(
+            "rn", F.row_number().over(latest)
+        ).filter(F.col("rn") == 1).collect()
+    }
+    want = {
+        (
+            r["feature"], r["n_buckets"], r["n_ref"], r["n_cur"],
+            r["tvd_num"], r["tvd_ppm"], r["drift_flag"], r["tvd"],
+        )
+        for r in q_distribution_drift(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_streaming_cusum_checkpoint_restart(spark, tmp_path: Path) -> None:
+    """Two-run checkpoint restart for the CUSUM regime monitor: the
+    per-type day-count histogram survives the restart, so the latest
+    emission per type across both runs equals a single-pass run over the
+    full data (itself pinned against SQL above)."""
+    import shutil
+
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        cusum_regime_stream,
+    )
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "emissions")
+
+    events = load_table(spark, SF, "events")
+    half1 = str(tmp_path / "half1")
+    half2 = str(tmp_path / "half2")
+    # Orthogonal to the day grid: both runs touch most day cells.
+    w1 = events.filter(F.col("event_id") % 2 == 0)
+    w2 = events.filter(F.col("event_id") % 2 == 1)
+    assert w1.count() > 0 and w2.count() > 0
+    w1.coalesce(1).write.parquet(half1)
+    w2.coalesce(1).write.parquet(half2)
+    schema = events.schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(str(staging))
+
+        def sink(batch_df, epoch_id: int) -> None:
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            cusum_regime_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    def _copy_part(src: str, name: str) -> None:
+        part = next(Path(src).glob("part-*.parquet"))
+        shutil.copy(part, staging / name)
+
+    _copy_part(half1, "a.parquet")
+    run_once()
+    _copy_part(half2, "b.parquet")
+    run_once()  # restart from the same checkpoint; only file b is new
+
+    from pyspark.sql import Window
+
+    emissions = spark.read.parquet(out)
+    latest = Window.partitionBy("event_type").orderBy(F.col("epoch").desc())
+    got = {
+        (
+            r["event_type"], r["n_days"], r["n_events"], r["peak_day"],
+            r["peak_abs_cusum"], r["n_peak_days"],
+        )
+        for r in emissions.withColumn(
+            "rn", F.row_number().over(latest)
+        ).filter(F.col("rn") == 1).collect()
+    }
+    # Single-pass truth over the full data through the same operator.
+    single_staging = tmp_path / "single"
+    single_staging.mkdir()
+    events.coalesce(1).write.parquet(str(tmp_path / "full"))
+    shutil.copy(
+        next(Path(str(tmp_path / "full")).glob("part-*.parquet")),
+        single_staging / "all.parquet",
+    )
+    stream = spark.readStream.schema(schema).parquet(str(single_staging))
+    _run(cusum_regime_stream(stream), "cusum_single_truth", "update")
+    want = {
+        (
+            r["event_type"], r["n_days"], r["n_events"], r["peak_day"],
+            r["peak_abs_cusum"], r["n_peak_days"],
+        )
+        for r in spark.sql("SELECT * FROM cusum_single_truth").collect()
+    }
+    assert got == want
