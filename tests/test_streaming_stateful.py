@@ -2200,3 +2200,124 @@ def test_streaming_cusum_checkpoint_restart(spark, tmp_path: Path) -> None:
         for r in spark.sql("SELECT * FROM cusum_single_truth").collect()
     }
     assert got == want
+
+
+def _two_run_restart(spark, tmp_path: Path, events, build_stream, out_mode="update"):
+    """Shared two-run checkpoint-restart harness: time-ordered halves, one
+    file each, same checkpoint; returns the emissions DataFrame with an
+    `epoch` column."""
+    import shutil
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "emissions")
+    half1 = str(tmp_path / "half1")
+    half2 = str(tmp_path / "half2")
+    w1 = events.filter(F.col("ts") <= F.lit("2024-01-15"))
+    w2 = events.filter(F.col("ts") > F.lit("2024-01-15"))
+    assert w1.count() > 0 and w2.count() > 0
+    w1.coalesce(1).write.parquet(half1)
+    w2.coalesce(1).write.parquet(half2)
+    schema = events.schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(str(staging))
+
+        def sink(batch_df, epoch_id: int) -> None:
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            build_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode(out_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    def _copy_part(src: str, name: str) -> None:
+        part = next(Path(src).glob("part-*.parquet"))
+        shutil.copy(part, staging / name)
+
+    _copy_part(half1, "a.parquet")
+    run_once()
+    _copy_part(half2, "b.parquet")
+    run_once()
+    return spark.read.parquet(out)
+
+
+def test_streaming_scd2_checkpoint_restart(spark, tmp_path: Path) -> None:
+    """Two-run restart over a TIME-ordered split (SCD2 is order-sensitive
+    by contract): the open-interval state survives the checkpoint and the
+    latest emission per (user, version) across both runs equals the batch
+    q_scd2_history over the full data."""
+    from pyspark.sql import Window
+
+    from data_ingestion_ex8_producer_spark.operators.events import q_scd2_history
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+    from data_ingestion_ex8_producer_spark.streaming.stateful import scd2_stream
+
+    events = load_table(spark, SF, "events")
+    emissions = _two_run_restart(spark, tmp_path, events, scd2_stream)
+    latest = Window.partitionBy("user_id", "version").orderBy(
+        F.col("epoch").desc()
+    )
+    got = {
+        (r["user_id"], r["version"]): (
+            r["state"], r["valid_from"], r["valid_to"], r["is_current"]
+        )
+        for r in emissions.withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    expected = {
+        (r["user_id"], r["version"]): (
+            r["state"], r["valid_from"], r["valid_to"], r["is_current"]
+        )
+        for r in q_scd2_history(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_seasonal_checkpoint_restart(spark, tmp_path: Path) -> None:
+    """Two-run restart over a TIME-ordered split: the seasonal monitor's
+    open cells + folded closed moments survive the checkpoint; since
+    folding is exact, the latest per-(type, hod) summary across both runs
+    equals the batch q_seasonal_hourly_anomaly over the full data."""
+    from pyspark.sql import Window
+
+    from data_ingestion_ex8_producer_spark.operators.events import (
+        q_seasonal_hourly_anomaly,
+    )
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        seasonal_anomaly_stream,
+    )
+
+    events = load_table(spark, SF, "events")
+    emissions = _two_run_restart(spark, tmp_path, events, seasonal_anomaly_stream)
+    latest = Window.partitionBy("event_type", "hod").orderBy(
+        F.col("epoch").desc()
+    )
+    got = {
+        (r["event_type"], r["hod"]): (
+            r["n_cells"], r["mean_cnt"], r["std_cnt"],
+            r["n_anomalies"], r["anomaly_share"],
+        )
+        for r in emissions.withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    expected = {
+        (r["event_type"], r["hod"]): (
+            r["n_cells"], r["mean_cnt"], r["std_cnt"],
+            r["n_anomalies"], r["anomaly_share"],
+        )
+        for r in q_seasonal_hourly_anomaly(spark, SF).collect()
+    }
+    assert got == expected
