@@ -1867,18 +1867,6 @@ def test_drift_constants_match_batch_spec() -> None:
 # --------------------------------------------------------------------------
 
 
-def _stream_docs_fixture(spark, sf_dir: str, staging_dir: str):
-    """Replay the documents parquet as a file-source stream (one file = one
-    micro-batch input) — the crawl-landing shape the gate monitors."""
-    import shutil
-
-    staging = Path(staging_dir)
-    staging.mkdir(parents=True, exist_ok=True)
-    shutil.copy(f"{sf_dir}/documents.parquet", staging / "documents.parquet")
-    batch = spark.read.parquet(str(staging / "documents.parquet"))
-    return spark.readStream.schema(batch.schema).parquet(str(staging))
-
-
 def test_streaming_quality_classifier_matches_batch(spark, tmp_path: Path) -> None:
     """Single availableNow batch: the stateful gate must emit exactly the
     batch q_quality_classifier census rows (per-doc scoring is the shared
@@ -1886,11 +1874,14 @@ def test_streaming_quality_classifier_matches_batch(spark, tmp_path: Path) -> No
     from data_ingestion_ex8_producer_spark.operators.textops import (
         q_quality_classifier,
     )
+    from data_ingestion_ex8_producer_spark.streaming.events import (
+        stream_documents_fixture,
+    )
     from data_ingestion_ex8_producer_spark.streaming.stateful import (
         quality_classifier_stream,
     )
 
-    docs = _stream_docs_fixture(spark, SF, str(tmp_path / "qc"))
+    docs = stream_documents_fixture(spark, SF, str(tmp_path / "qc"))
     _run(quality_classifier_stream(docs), "stream_qc", "update")
     got = {
         (
@@ -2319,5 +2310,79 @@ def test_streaming_seasonal_checkpoint_restart(spark, tmp_path: Path) -> None:
             r["n_anomalies"], r["anomaly_share"],
         )
         for r in q_seasonal_hourly_anomaly(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_token_budget_checkpoint_restart(spark, tmp_path: Path) -> None:
+    """Two-run checkpoint restart for the token-budget gate: the gate is
+    arrival-order-sensitive by contract, so the split must respect the
+    batch spec's (hash48, doc_id) admission order — run 1 gets every doc
+    BELOW the per-corpus hash median, run 2 the rest, making cross-run
+    arrival order equal the batch hash order.  The one-BIGINT cumulative
+    state survives the checkpoint and the union of both runs' append-mode
+    emissions equals the batch q_token_budget_sample exactly."""
+    import shutil
+
+    from data_ingestion_ex8_producer_spark.functions.text import hash48
+    from data_ingestion_ex8_producer_spark.operators.pipeline import (
+        q_token_budget_sample,
+    )
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        token_budget_gate_stream,
+    )
+
+    docs = load_table(spark, SF, "documents").withColumn(
+        "_hk", hash48(F.col("doc_id").cast("string"))
+    )
+    median = docs.approxQuantile("_hk", [0.5], 0.0)[0]
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "emissions")
+    half1 = str(tmp_path / "half1")
+    half2 = str(tmp_path / "half2")
+    w1 = docs.filter(F.col("_hk") <= median).drop("_hk")
+    w2 = docs.filter(F.col("_hk") > median).drop("_hk")
+    assert w1.count() > 0 and w2.count() > 0
+    w1.coalesce(1).write.parquet(half1)
+    w2.coalesce(1).write.parquet(half2)
+    schema = w1.schema
+    budget = _budget_for(spark)
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(str(staging))
+
+        def sink(batch_df, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            token_budget_gate_stream(stream, budget)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    def _copy_part(src: str, name: str) -> None:
+        part = next(Path(src).glob("part-*.parquet"))
+        shutil.copy(part, staging / name)
+
+    _copy_part(half1, "a.parquet")
+    run_once()
+    _copy_part(half2, "b.parquet")
+    run_once()  # restart from the same checkpoint; only file b is new
+
+    got = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"], r["kept"])
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"], r["kept"])
+        for r in q_token_budget_sample(spark, SF).collect()
     }
     assert got == expected
