@@ -132,14 +132,32 @@ def decode_meta(payload: bytes) -> tuple[int, int, int]:
     byte of valid UTF-8 text) and the BMP check additionally requires the
     header's reserved bytes 6..10 to be zero (text payloads contain no
     NULs), so a document whose text merely starts with "BM" can NEVER be
-    misrouted to the real decoder — oracle parity is structural."""
-    if payload[:8] == _PNG_MAGIC or (
+    misrouted to the real decoder — oracle parity is structural.
+
+    Corruption robustness (ADVICE r9): the PNG arm additionally requires
+    a structurally-complete header (>= 26 bytes with IHDR first —
+    mirroring the BMP arm's guard), and the real-decode call is wrapped
+    so a payload that passes the sniff but still fails to parse (e.g. an
+    unsupported BMP DIB size) degrades to the deterministic fake row
+    instead of failing the whole mapInPandas task — on a real corpus a
+    corrupt image yields a row, not a dead job.  A production pipeline
+    would carry an extra is_corrupt flag column off this same seam."""
+    looks_png = (
+        payload[:8] == _PNG_MAGIC
+        and len(payload) >= 26
+        and payload[12:16] == b"IHDR"
+    )
+    looks_bmp = (
         payload[:2] == b"BM"
         and len(payload) >= 26
         and payload[6:10] == b"\x00\x00\x00\x00"
-    ):
-        width, height, _bit_depth = decode_image_real(payload)
-        return width, height, 1
+    )
+    if looks_png or looks_bmp:
+        try:
+            width, height, _bit_depth = decode_image_real(payload)
+            return width, height, 1
+        except (ValueError, NotImplementedError):
+            return _fake_decode(payload)
     return _fake_decode(payload)
 
 

@@ -1462,9 +1462,16 @@ def _update_qc(
     Input rows are the PER-TOKEN weight relation (doc_id, w) — a streaming
     groupBy ahead of arbitrary state is unsupported, so the per-doc fold
     (count, sum, then the shift-to-nonnegative integer normalization,
-    bit-identical to the batch qc_scored expression) runs HERE in pandas;
-    an exploded doc's tokens land wholly inside its input row's
-    micro-batch, so the fold is always over a complete document.
+    bit-identical to the batch qc_scored expression) runs HERE in pandas.
+    An exploded doc's tokens land wholly inside its input row's
+    micro-batch, but within one invocation the group's rows arrive as
+    MULTIPLE Arrow chunks (``spark.sql.execution.arrow.maxRecordsPerBatch``,
+    default 10k) whose boundaries are NOT doc-aligned — so per-doc
+    (count, sum) partials are accumulated across ALL chunks first and the
+    normalization runs exactly once per doc at the end; normalizing per
+    chunk would double-count straddling docs with partial scores
+    (pinned by ``test_qc_twin_chunk_straddling`` with
+    maxRecordsPerBatch=7).
 
     State is FIVE BIGINTs — doc count, keep count, score sum, min, max —
     the sufficient statistic of the batch census, exactly associative
@@ -1480,11 +1487,14 @@ def _update_qc(
     else:
         n_docs = n_keep = sum_score = 0
         min_score, max_score = None, None
-    touched = False
+    partials = []
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        per_doc = pdf.groupby("doc_id")["w"].agg(["count", "sum"])
+        partials.append(pdf.groupby("doc_id")["w"].agg(["count", "sum"]))
+    touched = bool(partials)
+    if partials:
+        per_doc = pd.concat(partials).groupby(level=0).sum()
         ns = ((per_doc["sum"] + 1000 * per_doc["count"]) // per_doc["count"]) - 1000
         n_docs += int(len(ns))
         n_keep += int((ns >= 0).sum())
@@ -1492,7 +1502,6 @@ def _update_qc(
         b_min, b_max = int(ns.min()), int(ns.max())
         min_score = b_min if min_score is None else min(min_score, b_min)
         max_score = b_max if max_score is None else max(max_score, b_max)
-        touched = True
     state.update((n_docs, n_keep, sum_score, min_score, max_score))
     cols = [c.split()[0] for c in QC_SCHEMA.split(", ")]
     if not touched or n_docs == 0:

@@ -89,6 +89,33 @@ def test_dispatch_real_vs_fake_and_misroute_protection() -> None:
     assert decode_meta(trap) == _fake_decode(trap)
 
 
+def test_corrupt_image_payloads_degrade_not_crash() -> None:
+    """ADVICE r9: a payload that passes the magic sniff but is structurally
+    corrupt must DEGRADE to the deterministic fake row inside decode_meta —
+    never raise out of the scored mapInPandas kernel (one corrupt image on
+    a real corpus must not kill the job)."""
+    # Truncated PNG: signature only, no room for an IHDR chunk.
+    trunc = b"\x89PNG\r\n\x1a\n" + b"\x00" * 4
+    assert decode_meta(trunc) == _fake_decode(trunc)
+    # PNG-signed but the first chunk is not IHDR (spec violation).
+    bad_chunk = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"teXt" + b"\x00" * 17
+    assert decode_meta(bad_chunk) == _fake_decode(bad_chunk)
+    # BMP with zeroed reserved bytes but an unsupported DIB header size:
+    # passes the sniff, raises in decode_image_real, must still degrade.
+    odd_dib = (
+        struct.pack("<2sIHHI", b"BM", 14 + 16, 0, 0, 30)
+        + struct.pack("<I", 16)
+        + b"\x00" * 12
+    )
+    assert decode_meta(odd_dib) == _fake_decode(odd_dib)
+    # Truncated BMP: magic + zero reserved but shorter than any DIB header.
+    trunc_bmp = struct.pack("<2sIHHI", b"BM", 26, 0, 0, 26) + b"\x00" * 2
+    assert decode_meta(trunc_bmp) == _fake_decode(trunc_bmp)
+    # Well-formed fixtures still take the REAL path after the guards.
+    assert decode_meta(make_png(800, 600)) == (800, 600, 1)
+    assert decode_meta(make_core_bmp(320, 200, 8)) == (320, 200, 1)
+
+
 def test_mm_decode_meta_kernel_decodes_real_fixture_bytes(spark) -> None:
     """Real PNG/BMP bytes through the scored operator's exact mapInPandas
     kernel (same function object mm_decode_meta passes to mapInPandas),

@@ -358,6 +358,29 @@ def test_sampled_zonemap_filter_reaches_scan_stage(spark, specs) -> None:
     scan is constant-size).  The md5-based filter cannot push to parquet,
     but it must appear as a Filter above the scan, not after an Exchange."""
     plan = _plan(spark, specs["q_zonemap_skipping_sampled"].builder(spark, SF))
-    # The sample filter's md5 must be present and no CartesianProduct.
-    assert "md5" in plan
     assert "CartesianProduct" not in plan
+    # Structural position check (ADVICE r9): in the formatted plan's
+    # numbered detail blocks, children are numbered before parents, so a
+    # Filter node N sitting DIRECTLY over its scan has a "Scan parquet"
+    # block at N-1.  Every md5-bearing Filter must satisfy that — a
+    # migration of the sample filter above an Exchange would put an
+    # Exchange/Sort/Aggregate block at N-1 and fail here, which the old
+    # "md5 in plan" substring check could not catch.
+    import re
+
+    blocks = re.split(r"\n\((\d+)\) ", plan)
+    details = {
+        int(blocks[i]): blocks[i + 1] for i in range(1, len(blocks) - 1, 2)
+    }
+    md5_filters = [
+        n
+        for n, text in details.items()
+        if text.splitlines()[0].startswith("Filter") and "md5" in text
+    ]
+    assert md5_filters, "no Filter node carries the md5 sample predicate"
+    for n in md5_filters:
+        child = details.get(n - 1, "")
+        assert child.splitlines()[0].startswith("Scan parquet"), (
+            f"md5 Filter node ({n}) is not directly over a parquet scan; "
+            f"child block: {child.splitlines()[0] if child else 'missing'}"
+        )

@@ -1935,6 +1935,65 @@ def test_qc_state_split_batches_are_exactly_associative() -> None:
     assert len(single.get) == 5
 
 
+def test_qc_twin_chunk_straddling_doc_not_double_counted() -> None:
+    """Within ONE invocation, applyInPandasWithState delivers a group's
+    rows as multiple Arrow chunks (arrow.maxRecordsPerBatch, default 10k)
+    whose boundaries are NOT doc-aligned.  A doc whose token rows
+    straddle two chunks must be folded exactly once with its full score
+    — per-chunk normalization would count it twice with partial scores.
+    Here doc 3's rows [0, 0, 1] straddle the chunk boundary: the census
+    must equal the doc-aligned single-chunk run from the associativity
+    test (n=5, keep=3, avg=-200)."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.streaming.stateful import _update_qc
+
+    def _b(rows):
+        return pd.DataFrame(rows, columns=["doc_id", "w"])
+
+    chunk1 = _b([(1, 5), (1, 5), (2, -7), (3, 0)])
+    chunk2 = _b([(3, 0), (3, 1), (4, -1000), (5, 3), (5, 4)])
+    st = _FakeState()
+    out = pd.concat(_update_qc(("s",), iter([chunk1, chunk2]), st))
+    row = out.iloc[0]
+    assert (row["n_docs"], row["n_keep"], row["keep_ppm"]) == (5, 3, 600000)
+    assert row["avg_score"] == -200
+    assert (row["min_score"], row["max_score"]) == (-1000, 5)
+    assert st.get == (5, 3, -999, -1000, 5)
+
+
+@pytest.mark.slow
+def test_qc_twin_chunk_straddling_end_to_end(spark, tmp_path: Path) -> None:
+    """End-to-end chunk-straddling pin: with arrow.maxRecordsPerBatch=7
+    every multi-token doc's weight rows straddle Arrow chunks inside
+    applyInPandasWithState, and the gate must STILL reproduce the batch
+    census row-for-row (the ADVICE r9 latent-bug scenario, forced at
+    fixture scale instead of waiting for a >10k-token micro-batch)."""
+    from data_ingestion_ex8_producer_spark.operators.textops import (
+        q_quality_classifier,
+    )
+    from data_ingestion_ex8_producer_spark.streaming.events import (
+        stream_documents_fixture,
+    )
+    from data_ingestion_ex8_producer_spark.streaming.stateful import (
+        quality_classifier_stream,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        docs = stream_documents_fixture(spark, SF, str(tmp_path / "qc_chunk"))
+        _run(quality_classifier_stream(docs), "stream_qc_chunk", "update")
+        got = {
+            tuple(r) for r in spark.sql("SELECT * FROM stream_qc_chunk").collect()
+        }
+        want = {tuple(r) for r in q_quality_classifier(spark, SF).collect()}
+    finally:
+        spark.conf.set(key, prev)
+    assert got == want
+
+
 def test_streaming_quality_classifier_checkpoint_restart(
     spark, tmp_path: Path
 ) -> None:
