@@ -387,74 +387,86 @@ def register(
 # by tests/test_queries_oracle.py and the CORRECTNESS_full artifacts at both
 # scale factors.  Names not listed keep their module registration order
 # after the priority block.
+# Round 10 rotation (VERDICT r9 #1 — driver-debt retirement): the 49
+# specs that have NEVER carried a driver-scored row (registry minus the
+# union of CORRECTNESS_r01..r09 keys, computed at round open) fill the
+# window in one sweep, taking cumulative driver coverage to 266/266.
+# All 49 are green in the committed 266-spec full artifacts at both
+# scale factors and in the per-session pytest oracle run, so this is a
+# coverage round, not a risk round.  Two of them are rows-only by
+# design and will record the weaker check (q_approx_percentile —
+# tolerance-pinned in tests/test_approx_tolerance.py — and the
+# float-stability meter q_ivf_argmax_margin_canary, whose escalation
+# trigger is a guardrail test); that is the documented trade for giving
+# them driver evidence at all.  The 50th slot keeps the flagship
+# q1_pricing_summary as the cross-round anchor (driver-green r1-r8)
+# unless a late-r10 addition displaces it per the standing late-round
+# precedent.  Every displaced r9 name (q_zonemap_skipping,
+# q_quality_classifier, q_kmv_sketch_setops, ...) is driver-green in
+# CORRECTNESS_r09 and stays exact-oracle-verified in pytest and the
+# full artifacts.
 _PRIORITY: tuple[str, ...] = (
-    # relational: scan/filter/project + physical layout evaluation
-    "q_zonemap_skipping",
-    "q_zonemap_skipping_sampled",
-    "q_partition_pruning_report",
-    # joins: the runtime Bloom prefilter measurement
-    "q_bloom_join_prefilter",
-    # aggregation + CBO statistics
-    "q_regr_stats",
-    "q_equidepth_histogram",
-    "q_histogram_selectivity_audit",
-    # set operations
-    "q_union_all",
+    # joins
+    "q_salted_join",
+    "q_enrich_events",
+    # aggregation + approximate/statistical aggregates
+    "q_percentiles",
+    "q_approx_percentile",
+    "q_listagg",
+    "q_mode_priority",
+    "q_bool_bit_aggs",
+    "q_histogram",
+    "q_percent_of_total",
+    "q_multi_grain_rollup",
     # window functions
-    "q_window_range_frame",
-    "q_window_distribution",
-    # scalar functions
-    "q_variant_json",
-    # warehouse lifecycle: CBO stats, MV maintenance, layout advisors
-    "q_table_stats_profile",
-    "q_incremental_agg_maintenance",
-    "q_compaction_plan",
-    "q_column_correlation_matrix",
-    # data-quality audits
-    "q_referential_integrity",
-    "q_id_gap_audit",
-    "q_join_size_estimation",
-    # subqueries
-    "q_lateral_topn",
-    # extended analytics + reports
-    "q_item_pmi_similarity",
-    # event-time + event-sequence analytics
-    "q_cusum_changepoint",
-    "q_daily_autocorr",
-    "q_retention_cohorts",
-    "q_session_window_dynamic",
-    "q_event_proximity_pairs",
-    "q_distribution_drift",
+    "q_window_lag_lead",
+    "q_window_first_last",
+    "q_window_count_distinct",
+    "q_sliding_window",
+    # scalar functions + generators + semi-structured
+    "q_posexplode",
+    "q_array_funcs",
+    "q_math_funcs",
+    "q_from_json_struct",
+    "q_case_null",
+    "q_unpivot",
     # deduplication
-    "q_semantic_dedup_curve",
-    "q_simhash_hamming_curve",
-    "dedup_containment",
-    "dedup_embedding_neardup",
-    "q_doc_prefix_dup",
-    "q_kmv_sketch_setops",
-    # text analysis + tokenizer signals + lexical retrieval
-    "q_gopher_rules",
-    "q_perplexity_buckets",
-    "q_quality_classifier",
-    "q_tokenizer_fertility",
-    # similarity search + ANN evaluation + hybrid
-    "q_kmeans_iterations",
-    "sim_sq8_topk",
-    "q_sq8_recall",
-    "q_ivf_cell_stats",
-    "q_mmr_diversify",
-    "q_knn_graph_stats",
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard_exact",
+    "dedup_containment_exact",
+    "dedup_clusters",
+    "dedup_embedding_cosine_exact",
+    "q_source_dup_profile",
+    # text analysis + fingerprints + tokenizer signals
+    "text_quality_score",
+    "text_fingerprint",
+    "text_bpeish_tokens",
+    "text_winnow_fingerprint",
+    "text_char_stats",
+    "q_ngram_topk",
+    "q_doc_language_purity",
+    # similarity search + ANN evaluation + embedding analytics
+    "q_ivf_argmax_margin_canary",
+    "q_emb_kmeans_step",
+    "q_emb_pq_codes",
+    "sim_bruteforce_l2_topk",
+    "sim_pq_adc_topk",
+    "q_pq_recall",
+    "emb_centroid_by_label",
+    "emb_dim_stats",
+    "q_embedding_outliers",
+    "q_emb_dim_quantiles",
     # multimodal
-    "q_cdc_merge_apply",
-    "mm_frame_sample",
+    "mm_resize",
     # Python UDF / UDAF / UDTF
-    "q_pareto_frontier",
-    "udtf_bigrams",
+    "udaf_cogroup_reconcile",
     # curation / pipeline
-    "q_lexical_diversity",
-    "q_dsir_importance",
-    "q_stratified_sample",
-    "q_epoch_allocation",
+    "q_train_test_split",
+    "q_source_quota_cap",
+    "q_packing_efficiency",
+    "q_source_diversity",
+    # cross-round anchor (flagship; displaced by any late-r10 addition)
+    "q1_pricing_summary",
 )
 
 
