@@ -2472,7 +2472,8 @@ def _strat_oracle() -> str:
 @register(
     "q_stratified_sample",
     oracle=_strat_oracle(),
-    tags=("curation", "sampling", "stratified"),
+    tags=("curation", "sampling", "stratified", "bench"),
+    bench=True,
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic downsample to ~{200} docs (see block

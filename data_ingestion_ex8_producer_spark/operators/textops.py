@@ -3050,7 +3050,8 @@ def _qc_oracle() -> str:
 @register(
     "q_quality_classifier",
     oracle=_qc_oracle(),
-    tags=("text", "quality", "classifier", "inference"),
+    tags=("text", "quality", "classifier", "inference", "bench"),
+    bench=True,
 )
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-linear quality-classifier inference (see block comment): per

@@ -309,3 +309,34 @@ def test_oracle_output_types_are_driver_safe() -> None:
         "oracles emitting driver-unsafe output types (HUGEINT/DECIMAL/"
         f"unsigned/other — CAST them in the oracle SQL): {offenders}"
     )
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_equidepth_selectivity_error_within_textbook_bound(spark, sf_dir) -> None:
+    """The equi-depth histogram's selectivity guarantee, asserted rather
+    than merely reported (VERDICT r9 #5): for any range probe, the
+    uniform-within-bucket estimate can only err inside the <=2 partial
+    buckets the range clips, so |est - actual| <= 2 * ceil(n_total /
+    n_buckets) in ABSOLUTE rows.  q_histogram_selectivity_audit measures
+    the error; this test makes a histogram regression (mis-binned
+    boundaries, a lost bucket, a broken prefix sum) FAIL the suite
+    instead of silently widening err_ppm in a report nobody reads."""
+    from data_ingestion_ex8_producer_spark.operators.advanced import (
+        _EDH_BUCKETS,
+        q_histogram_selectivity_audit,
+    )
+    from data_ingestion_ex8_producer_spark.sources.tables import load_table
+
+    n_total = load_table(spark, sf_dir, "lineitem").count()
+    bound = 2 * (-(-n_total // _EDH_BUCKETS))  # 2 * ceil(n/buckets)
+    rows = q_histogram_selectivity_audit(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        err = abs(r["est_rows"] - r["actual_rows"])
+        assert err <= bound, (
+            f"probe {r['probe']} at {sf_dir}: |{r['est_rows']} - "
+            f"{r['actual_rows']}| = {err} exceeds the 2-partial-bucket "
+            f"bound {bound} (n_total={n_total}, {_EDH_BUCKETS} buckets)"
+        )
