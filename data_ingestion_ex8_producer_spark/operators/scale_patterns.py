@@ -178,11 +178,11 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
            ts[1] AS first_token,
            ts[len(ts)] AS last_token,
            CAST(len(ts) AS INTEGER) AS n_tokens,
-           list_sort(ts[1:5]) AS head_sorted,
+           array_to_string(list_sort(ts[1:5]), '-') AS head_sorted,
            list_contains(ts, 'data') AS has_data,
            CAST(nullif(list_position(ts, 'the'), 0) AS INTEGER) AS first_the,
            array_to_string(ts[1:3], '-') AS head_joined,
-           list_reverse(ts[1:3]) AS head_reversed
+           array_to_string(list_reverse(ts[1:3]), '-') AS head_reversed
     FROM toks
     """,
     tags=("scalar", "array"),
@@ -190,7 +190,12 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function battery: indexing, slice, sort, containment, position,
     join, reverse — all Catalyst array expressions.  Both engines return 0
-    for a missing element's position; normalized to NULL on both sides."""
+    for a missing element's position; normalized to NULL on both sides.
+    The sorted/reversed heads are PROJECTED to '-'-joined strings (the
+    repo's canonical-scalar rule for driver-scored output: the driver's
+    pandas comparator cannot sort rows on raw array columns — the guard
+    is test_priority_specs_scalar_output); the array expressions still
+    execute JVM-side, only the final projection is scalar."""
     from ..functions.text import tokens
 
     ts = tokens()
@@ -202,11 +207,11 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(ts, 1).alias("first_token"),
             F.element_at(ts, -1).alias("last_token"),
             F.size(ts).alias("n_tokens"),
-            F.sort_array(F.slice(ts, 1, 5)).alias("head_sorted"),
+            F.array_join(F.sort_array(F.slice(ts, 1, 5)), "-").alias("head_sorted"),
             F.array_contains(ts, "data").alias("has_data"),
             F.nullif(F.array_position(ts, "the").cast("int"), F.lit(0)).alias("first_the"),
             F.array_join(F.slice(ts, 1, 3), "-").alias("head_joined"),
-            F.reverse(F.slice(ts, 1, 3)).alias("head_reversed"),
+            F.array_join(F.reverse(F.slice(ts, 1, 3)), "-").alias("head_reversed"),
         )
     )
 
@@ -219,14 +224,18 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: the one-pass mergeable-sketch quantile — the scale
     path q_percentiles' exact form replaces at 100 TB (exact percentile
-    needs a full sort per group)."""
+    needs a full sort per group).  The three quantiles are projected to
+    scalar double columns (p50/p90/p99) per the canonical-scalar rule for
+    driver-scored output — the rows-only driver check still canonicalizes
+    the frame through pandas, which cannot sort on an array column."""
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-                "price_quantiles"
-            ),
+            q.getItem(0).alias("p50"),
+            q.getItem(1).alias("p90"),
+            q.getItem(2).alias("p99"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy("l_returnflag")

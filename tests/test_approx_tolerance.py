@@ -52,7 +52,7 @@ def test_approx_distinct_within_tolerance(spark) -> None:
 
 def test_approx_percentile_within_tolerance(spark) -> None:
     approx = {
-        r["l_returnflag"]: r["price_quantiles"]
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
         for r in all_specs()["q_approx_percentile"].builder(spark, SF).collect()
     }
     exact = {
