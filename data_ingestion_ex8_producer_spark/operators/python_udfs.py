@@ -88,7 +88,18 @@ def udaf_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     values.  min/max are exact and the per-row normalization is a single
     IEEE division of identical doubles — oracle-exact, unlike mean/std
     (whose accumulation order would diverge).  One shuffle on the group key,
-    one Arrow batch per group."""
+    one Arrow batch per group.
+
+    The explicit key repartition pins the Python stage's parallelism:
+    this stage's cost is per-GROUP interpreter/Arrow-IPC overhead, which
+    AQE's byte-based partition coalescing cannot see — on a small-bytes /
+    many-groups input AQE folds the shuffle to 1-2 partitions and
+    serializes thousands of per-group calls (measured 4.7x slowdown at
+    sf0.1, tools/window_probe.py r10).  A user-specified repartition is
+    exempt from AQE coalescing and satisfies the groupBy's required
+    distribution, so no second shuffle is added.  At 100 TB the shuffle
+    is byte-heavy and AQE would get it right anyway — the pin only
+    protects the many-tiny-groups regime."""
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         lo = pdf["value"].min()
@@ -98,9 +109,11 @@ def udaf_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "norm_value": norm}
         )
 
+    n_part = spark.sparkContext.defaultParallelism
     return (
         t(spark, sf_dir, "events")
         .select("event_id", "user_id", "value")
+        .repartition(n_part, "user_id")
         .groupBy("user_id")
         .applyInPandas(normalize, "event_id bigint, user_id bigint, norm_value double")
     )
@@ -180,15 +193,30 @@ def udaf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal round-trip keeps the spend sum exact (float64 sums would be
     order-dependent); the oracle is the equivalent two-aggregate full outer
     join.
+
+    Both sides carry an explicit key repartition for the same reason as
+    udaf_minmax_normalize: the cogroup stage's cost is per-GROUP Python
+    overhead, invisible to AQE's byte-based coalescing, which otherwise
+    folds this small-bytes / 15k-group shuffle to 2 partitions and
+    serializes the per-key calls (measured 21 s -> ~4 s at sf0.1,
+    tools/window_probe.py r10).  The user repartition is AQE-exempt and
+    satisfies the cogroup's distribution — no extra shuffle.
     """
     import decimal
 
-    orders = t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_totalprice").cast("decimal(12,4)").alias("price_dec"),
+    n_part = spark.sparkContext.defaultParallelism
+    orders = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").cast("decimal(12,4)").alias("price_dec"),
+        )
+        .repartition(n_part, "custkey")
     )
-    events = t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("custkey"), F.lit(1).alias("one")
+    events = (
+        t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("custkey"), F.lit(1).alias("one"))
+        .repartition(n_part, "custkey")
     )
 
     def reconcile(key: tuple, odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
