@@ -384,3 +384,22 @@ def test_sampled_zonemap_filter_reaches_scan_stage(spark, specs) -> None:
             f"md5 Filter node ({n}) is not directly over a parquet scan; "
             f"child block: {child.splitlines()[0] if child else 'missing'}"
         )
+
+
+@pytest.mark.parametrize(
+    "name", ["udaf_cogroup_reconcile", "udaf_minmax_normalize"]
+)
+def test_pandas_group_stages_keep_parallelism(spark, specs, name) -> None:
+    """r10 regression guard: the grouped/cogrouped pandas operators pin
+    their Python stage's parallelism with an explicit key repartition,
+    because the stage cost is per-GROUP interpreter overhead that AQE's
+    byte-based coalescing cannot see (it folded the 15k-group sf0.1
+    shuffle to 2 partitions — 21 s, 7x slower than the same query on 10x
+    the data).  Losing the pin re-serializes the per-key calls, so the
+    final stage's partition count must stay at the pinned parallelism."""
+    df = specs[name].builder(spark, SF)
+    n = df.rdd.getNumPartitions()
+    assert n >= spark.sparkContext.defaultParallelism, (
+        f"{name} Python stage runs at {n} partitions - the AQE-exempt "
+        "key repartition pin has been lost"
+    )
