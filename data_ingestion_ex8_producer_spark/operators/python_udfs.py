@@ -97,9 +97,17 @@ def udaf_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     serializes thousands of per-group calls (measured 4.7x slowdown at
     sf0.1, tools/window_probe.py r10).  A user-specified repartition is
     exempt from AQE coalescing and satisfies the groupBy's required
-    distribution, so no second shuffle is added.  At 100 TB the shuffle
-    is byte-heavy and AQE would get it right anyway — the pin only
-    protects the many-tiny-groups regime."""
+    distribution, so no second shuffle is added.  The trade is explicit:
+    an exact-N repartition is AQE-exempt in BOTH directions (never
+    coalesced, never split), so N must be deployment-sized — this takes
+    max(defaultParallelism, spark.sql.shuffle.partitions) so a
+    dynamic-allocation cluster whose executors have not ramped at
+    plan-build time (defaultParallelism ~ cores currently held) still
+    pins at the tuned static width, the same width every non-AQE shuffle
+    in the job uses.  A 100 TB deployment sizes shuffle.partitions for
+    its data anyway; the pin simply makes the pandas-group stage follow
+    that sizing instead of the bytes-only AQE estimate that mis-prices
+    per-group Python cost."""
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         lo = pdf["value"].min()
@@ -109,7 +117,10 @@ def udaf_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "norm_value": norm}
         )
 
-    n_part = spark.sparkContext.defaultParallelism
+    n_part = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     return (
         t(spark, sf_dir, "events")
         .select("event_id", "user_id", "value")
@@ -204,7 +215,10 @@ def udaf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import decimal
 
-    n_part = spark.sparkContext.defaultParallelism
+    n_part = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     orders = (
         t(spark, sf_dir, "orders")
         .select(

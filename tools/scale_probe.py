@@ -235,13 +235,55 @@ _REPLICATED = {
 }
 
 
+def replica_dir(base: str, k: int, exact: bool = False) -> str:
+    """Replica cache path keyed by BASE and K, so a probe invoked with a
+    non-default base can never silently reuse a replica built from a
+    different corpus (the existence check below only tests the path)."""
+    tag = os.path.basename(base.rstrip("/"))
+    return f"/tmp/scale_probe_{'exact_' if exact else ''}{tag}_x{k}"
+
+
+def build_documents_replica(base: str, out: str, k: int, con=None) -> None:
+    """The single definition of the documents replication contract —
+    doc_id offset per replica + a per-replica suffix token so replicas
+    are NOT byte-duplicates of each other (keeps the dedup pair space
+    realistic).  Used by build_replicated here and by
+    tools/stream_gate_probe.py, so the two probes' replicas stay
+    comparable by construction."""
+    own = con is None
+    if own:
+        con = duckdb.connect()
+    os.makedirs(out, exist_ok=True)
+    off = con.sql(
+        f"SELECT max(doc_id) + 1 FROM '{base}/documents.parquet'"
+    ).fetchone()[0]
+    reps = []
+    for r in range(k):
+        repl = [f"doc_id + {r * off} AS doc_id"]
+        if r > 0:
+            repl.append(f"text || ' replica{r}' AS text")
+        reps.append(
+            f"SELECT * REPLACE ({', '.join(repl)}) "
+            f"FROM '{base}/documents.parquet'"
+        )
+    con.sql(
+        f"COPY ({' UNION ALL '.join(reps)}) TO '{out}/documents.parquet' "
+        "(FORMAT PARQUET)"
+    )
+    if own:
+        con.close()
+
+
 def build_replicated(base: str, out: str, k: int) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for table in ("region", "nation", "customer", "supplier", "part"):
         shutil.copy(f"{base}/{table}.parquet", f"{out}/{table}.parquet")
+    build_documents_replica(base, out, k, con)
     # One offset domain per key so replicas never collide.
     for table, key in _REPLICATED.items():
+        if table == "documents":
+            continue
         off = con.sql(
             f"SELECT max({key}) + 1 FROM '{base}/{table}.parquet'"
         ).fetchone()[0]
@@ -250,8 +292,6 @@ def build_replicated(base: str, out: str, k: int) -> None:
         reps = []
         for r in range(k):
             repl = [f"{key} + {r * off} AS {key}"]
-            if table == "documents" and r > 0:
-                repl.append(f"text || ' replica{r}' AS text")
             reps.append(
                 f"SELECT * REPLACE ({', '.join(repl)}) FROM '{base}/{table}.parquet'"
             )
@@ -344,8 +384,8 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     exact_base = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
-    out_dir = f"/tmp/scale_probe_x{k}"
-    exact_dir = f"/tmp/scale_probe_exact_x{k}"
+    out_dir = replica_dir(base, k)
+    exact_dir = replica_dir(exact_base, k, exact=True)
     if not os.path.exists(f"{out_dir}/lineitem.parquet"):
         print(f"building {k}x replica of {base} in {out_dir} ...")
         build_replicated(base, out_dir, k)
@@ -353,7 +393,7 @@ def main() -> None:
         print(f"building {k}x replica of {exact_base} in {exact_dir} ...")
         build_replicated(exact_base, exact_dir, k)
 
-    deep_dir = f"/tmp/scale_probe_exact_x{JACCARD_DEEP_K}"
+    deep_dir = replica_dir(exact_base, JACCARD_DEEP_K, exact=True)
     if not os.path.exists(f"{deep_dir}/documents.parquet"):
         print(f"building {JACCARD_DEEP_K}x replica of {exact_base} in {deep_dir} ...")
         build_replicated(exact_base, deep_dir, JACCARD_DEEP_K)

@@ -11,8 +11,9 @@ per-doc fold holding five BIGINTs of state per source.  State size is
 constant, so the pass should scale with the token-row volume (~K), never
 worse.
 
-Replication matches tools/scale_probe.py's documents mode: doc_id offset
-per replica + a per-replica suffix token so replicas are not byte-dups.
+Replication is tools/scale_probe.py's documents contract, imported from
+there (build_documents_replica) so the two probes' replicas stay
+comparable by construction.
 
 Usage: python tools/stream_gate_probe.py [K] [base_sf_dir]
 """
@@ -36,34 +37,16 @@ from data_ingestion_ex8_producer_spark.streaming.events import (  # noqa: E402
 from data_ingestion_ex8_producer_spark.streaming.stateful import (  # noqa: E402
     quality_classifier_stream,
 )
-
-
-def build_docs_replica(base: str, out: str, k: int) -> None:
-    os.makedirs(out, exist_ok=True)
-    con = duckdb.connect()
-    off = con.sql(
-        f"SELECT max(doc_id) + 1 FROM '{base}/documents.parquet'"
-    ).fetchone()[0]
-    reps = []
-    for r in range(k):
-        repl = [f"doc_id + {r * off} AS doc_id"]
-        if r > 0:
-            repl.append(f"text || ' replica{r}' AS text")
-        reps.append(
-            f"SELECT * REPLACE ({', '.join(repl)}) "
-            f"FROM '{base}/documents.parquet'"
-        )
-    con.sql(
-        f"COPY ({' UNION ALL '.join(reps)}) TO '{out}/documents.parquet' "
-        "(FORMAT PARQUET)"
-    )
-    con.close()
+from tools.scale_probe import build_documents_replica  # noqa: E402
 
 
 def time_pass(spark, sf_dir: str, work: str, reps: int = 3) -> float:
     """Min-of-reps wall clock for one availableNow pass of the gate over
     `sf_dir`'s documents, each rep from a fresh staging dir + fresh
-    (temporary) checkpoint so state always starts empty."""
+    (temporary) checkpoint so state always starts empty.  The timed
+    region ends when the pass TERMINATES (before q.stop()'s teardown);
+    a pass that outlives the timeout raises instead of being recorded
+    as a fake ~timeout-sized measurement."""
     best = float("inf")
     for i in range(reps):
         staging = os.path.join(work, f"stage_{i}")
@@ -76,9 +59,15 @@ def time_pass(spark, sf_dir: str, work: str, reps: int = 3) -> float:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
+        elapsed = time.perf_counter() - t0
         q.stop()
-        best = min(best, time.perf_counter() - t0)
+        if not finished:
+            raise RuntimeError(
+                f"availableNow pass over {sf_dir} exceeded 600 s - "
+                "not a valid measurement"
+            )
+        best = min(best, elapsed)
     return best
 
 
@@ -89,7 +78,7 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="stream_gate_probe_")
     try:
         kx_dir = os.path.join(work, f"docs_{k}x")
-        build_docs_replica(base, kx_dir, k)
+        build_documents_replica(base, kx_dir, k)
 
         con = duckdb.connect()
         n1 = con.sql(
