@@ -50,6 +50,24 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            # Driver-faithfulness (r10): the real driver canonicalizes via a
+            # pandas row sort, which RAISES on array/map/struct columns —
+            # our fingerprint stringifies rows and would silently pass, so
+            # enforce the scalar-output contract here for EVERY spec (the
+            # q_array_funcs lesson: latent until a rotation scored it).
+            from pyspark.sql import types as T
+
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            ]
+            if complex_cols:
+                raise TypeError(
+                    f"non-scalar output columns {complex_cols} - the driver's "
+                    "pandas comparator cannot sort these; project to "
+                    "canonical scalars"
+                )
             s_fp = frame_fingerprint(list(sdf.columns), [tuple(r) for r in sdf.collect()])
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
