@@ -340,3 +340,23 @@ def test_equidepth_selectivity_error_within_textbook_bound(spark, sf_dir) -> Non
             f"{r['actual_rows']}| = {err} exceeds the 2-partial-bucket "
             f"bound {bound} (n_total={n_total}, {_EDH_BUCKETS} buckets)"
         )
+
+
+def test_every_registered_spec_has_a_measured_scale_curve() -> None:
+    """r10 discipline guard: tools/registry_probe.py closed the last
+    scale-evidence gap (all 266 specs now have a 1x-vs-Kx row in
+    SCALING.md / SCALING_100X.md), and this keeps it closed — a new spec
+    registration without a measured curve fails the suite until its row
+    is probed in, the same keep-the-invariant pattern as the COVERAGE.md
+    counts guard above."""
+    from data_ingestion_ex8_producer_spark.plans.registry import all_specs
+
+    covered = (
+        Path("/root/repo/SCALING.md").read_text()
+        + Path("/root/repo/SCALING_100X.md").read_text()
+    )
+    missing = [n for n in all_specs() if n not in covered]
+    assert not missing, (
+        f"{len(missing)} registered specs have no measured scale curve "
+        f"(run tools/registry_probe.py): {missing}"
+    )
