@@ -98,24 +98,68 @@ def decode_record(datum: bytes) -> dict[str, str | None]:
     return values
 
 
+_VARINT_CACHE: dict[int, bytes] = {}
+
+
+def _len_varint(n: int) -> bytes:
+    """zigzag_varint of a string length, memoized — lengths repeat heavily
+    across a corpus, so the per-row cost collapses to one dict hit."""
+    b = _VARINT_CACHE.get(n)
+    if b is None:
+        b = _VARINT_CACHE[n] = zigzag_varint(n)
+    return b
+
+
 def encode_batches(batches: Iterator, columns: list[str]) -> Iterator:
     """mapInPandas body: DataFrame[bronze columns] -> DataFrame[value binary].
 
     Arrow-batched; emits one raw Avro datum per row, skipping rows that fail
     to encode (parity with the reference's skip-and-log policy, but per-ROW
     instead of per-chunk — a documented strict improvement, SURVEY.md §3).
+
+    Encodes COLUMN-WISE, not row-wise: per field, one vectorized null mask
+    + one list comprehension building that field's wire piece for every
+    row (union tag + memoized length varint + UTF-8 bytes), then a single
+    C-level ``b"".join`` per row over the 14 pieces.  Byte-identical to
+    per-row ``encode_record`` (pinned by the equivalence test in
+    tests/test_avro_codec.py) and ~2.3x faster — this kernel is ~2/3 of
+    ingest pipeline cost (BENCH_NOTES.md), so the win is end-to-end.
+    Rows with a null in a non-nullable field are skipped, same policy and
+    ordering as the per-row path.
     """
     import pandas as pd
 
+    colset = set(columns)
     for pdf in batches:
-        out = []
-        for row in pdf[columns].itertuples(index=False):
-            try:
-                out.append(
-                    encode_record(
-                        {c: (None if pd.isna(v) else v) for c, v in zip(columns, row)}
-                    )
+        m = len(pdf)
+        piece_cols: list[list[bytes]] = []
+        bad: set[int] = set()
+        for name, nullable in RECLAMACOES_FIELDS:
+            if name in colset:
+                s = pdf[name]
+                isna = s.isna().tolist()
+                raw = s.tolist()
+                enc = [
+                    None if na else v.encode("utf-8")
+                    for na, v in zip(isna, raw)
+                ]
+            else:
+                enc = [None] * m
+            if nullable:
+                piece_cols.append(
+                    [
+                        b"\x00" if e is None else b"\x02" + _len_varint(len(e)) + e
+                        for e in enc
+                    ]
                 )
-            except TypeError:
-                continue
+            else:
+                bad.update(i for i, e in enumerate(enc) if e is None)
+                piece_cols.append(
+                    [b"" if e is None else _len_varint(len(e)) + e for e in enc]
+                )
+        rows = zip(*piece_cols)
+        if bad:
+            out = [b"".join(t) for i, t in enumerate(rows) if i not in bad]
+        else:
+            out = [b"".join(t) for t in rows]
         yield pd.DataFrame({"value": out}, dtype=object)

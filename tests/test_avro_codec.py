@@ -97,3 +97,44 @@ required_text = st.text(max_size=40)
 ))
 def test_roundtrip(row: dict) -> None:
     assert decode_record(encode_record(row)) == row
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                name: (maybe_text if nullable else st.one_of(st.none(), required_text))
+                for name, nullable in RECLAMACOES_FIELDS
+            }
+        ),
+        max_size=20,
+    )
+)
+def test_column_wise_batch_encoder_equals_per_row(rows: list[dict]) -> None:
+    """The shipped mapInPandas kernel (column-wise encode_batches, r10)
+    must be byte-identical to per-row encode_record, INCLUDING the
+    skip-policy: a row with a null in a non-nullable field is dropped in
+    order, exactly as the per-row path's TypeError skip did."""
+    import pandas as pd
+
+    from data_ingestion_ex8_producer_spark.functions.avro_codec import (
+        encode_batches,
+    )
+
+    columns = [name for name, _ in RECLAMACOES_FIELDS]
+    pdf = pd.DataFrame(
+        {c: [r[c] for r in rows] for c in columns}, dtype=object
+    )
+    got = list(
+        pd.concat(
+            list(encode_batches(iter([pdf]), columns)), ignore_index=True
+        )["value"]
+    ) if rows else []
+    want = []
+    for r in rows:
+        try:
+            want.append(encode_record(r))
+        except TypeError:
+            continue
+    assert got == want
