@@ -1226,3 +1226,102 @@ def q_histogram_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("err_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity privacy audit
+# --------------------------------------------------------------------------
+#
+# The privacy-risk companion to q_pii_redact: before a curated slice ships,
+# audit how identifying its quasi-identifier combinations are.  A row is
+# "at risk" at threshold K when its equivalence class (all rows sharing its
+# quasi-identifier tuple) has fewer than K members — the standard
+# k-anonymity criterion (Sweeney 2002, public recipe).  Quasi-identifiers
+# here: nation x market segment x $1000 account-balance band, the classic
+# demographic-ish triple the customer table offers.
+
+_KANON_THRESHOLDS = (2, 5, 10, 25)
+
+
+def _kanon_oracle() -> str:
+    ks = ", ".join(f"({k})" for k in _KANON_THRESHOLDS)
+    return f"""
+    WITH cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                + 100000) // 100000 AS bal_band,
+               COUNT(*) AS n
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    ks AS (SELECT * FROM (VALUES {ks}) AS v(k_threshold))
+    SELECT CAST(k_threshold AS BIGINT) AS k_threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN n < k_threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below_k,
+           CAST(SUM(CASE WHEN n < k_threshold THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST((SUM(CASE WHEN n < k_threshold THEN n ELSE 0 END) * 1000000)
+                // SUM(n) AS BIGINT) AS at_risk_ppm
+    FROM ks CROSS JOIN cls
+    GROUP BY 1
+    """
+
+
+@register(
+    "q_k_anonymity",
+    oracle=_kanon_oracle(),
+    tags=("audit", "privacy", "k-anonymity", "curation"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over (nation, segment, $1000 balance band): for
+    each threshold K in {2, 5, 10, 25}, how many equivalence classes are
+    smaller than K and how many rows they hold (absolute + ppm) — the
+    publish-gate number a privacy review asks for before a slice of a
+    curated corpus is released (k-anonymity per Sweeney 2002; the
+    quasi-identifier banding is the audit's own coarsening knob).
+
+    Shape: one map-side-combinable groupBy over a BOUNDED key domain
+    (25 nations x 5 segments x 11 bands, ~1.4k classes max), then a
+    4-threshold conditional aggregate over that broadcast metadata
+    relation — the threshold sweep never rescans the table.  The balance
+    band shifts cents non-negative before integer division so Spark's
+    truncating `div` and DuckDB's `//` agree (the repo's
+    shift-to-nonnegative doctrine); all outputs exact BIGINTs.  At
+    100 TB the class relation stays catalog-bounded, so the audit is one
+    scan + one metadata pass regardless of corpus size."""
+    cls = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                "(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)"
+                " + 100000) div 100000"
+            ).alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in _KANON_THRESHOLDS], "k_threshold long"
+    )
+    return (
+        ks.crossJoin(F.broadcast(cls))
+        .groupBy("k_threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("n") < F.col("k_threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_classes_below_k"),
+            F.sum(
+                F.when(F.col("n") < F.col("k_threshold"), F.col("n"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.expr(
+                "cast((sum(case when n < k_threshold then n else 0 end)"
+                " * 1000000) div sum(n) as bigint)"
+            ).alias("at_risk_ppm"),
+        )
+    )

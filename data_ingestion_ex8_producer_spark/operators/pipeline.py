@@ -2548,3 +2548,96 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sample_checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Reproducibility: order-invariant per-shard content checksums
+# --------------------------------------------------------------------------
+#
+# The publish-side integrity audit: after a curated corpus is sharded for
+# training, emit one row per shard with its cardinality, byte volume, and
+# an ORDER-INVARIANT content checksum (sum of a per-row hash).  Re-running
+# the pipeline — on a different executor count, partitioning, or engine —
+# must reproduce these 16 rows bit-for-bit, which is exactly what the
+# DuckDB oracle certifies.  This closes the loop the deterministic
+# samplers opened: their membership is checksummed per stratum; this
+# checksums the SHIPPED ARTIFACT per shard.
+#
+# The per-row hash is a 40-bit md5 prefix (not the usual 48) so the
+# per-shard BIGINT sum keeps ~2^23 rows of headroom below 2^63 even on
+# the 30x/100x scale replicas; the production form at 100 TB would sum
+# modulo a Mersenne prime per shard — same associativity, same plan.
+
+_SHARD_N = 16
+
+
+def _shard_oracle() -> str:
+    shard = sql_hash48("('sh:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH d AS (
+        SELECT {shard} % {_SHARD_N} AS shard,
+               n_chars,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || md5(text)), 1, 10) AS BIGINT) AS row_h
+        FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(row_h) AS BIGINT) AS content_checksum
+    FROM d GROUP BY 1
+    """
+
+
+@register(
+    "q_shard_checksum",
+    oracle=_shard_oracle(),
+    tags=("pipeline", "reproducibility", "checksum", "audit"),
+)
+def q_shard_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard reproducibility manifest for the shipped corpus: shard
+    id (48-bit content hash of doc identity mod {16}), document count,
+    character volume, and an order-invariant content checksum — the sum
+    of a 40-bit hash of (doc_id, md5(text)) per row, so the checksum
+    covers both membership AND text content.  Two pipeline runs that
+    disagree anywhere disagree here; the oracle equality certifies the
+    artifact is engine- and partitioning-independent (see block comment
+    for the 40-bit overflow-headroom rationale).
+
+    Shape: pure scan -> map -> one groupBy on {16} uniform hash-derived
+    keys with fully combinable BIGINT sums — map-side partial
+    aggregation does almost all the work and the shuffle carries one
+    row per (partition, shard).  At 100 TB the shard count rises
+    (e.g. 64k) but the output relation stays metadata-sized; no ordering
+    anywhere, by construction."""
+    doc_id_s = F.col("doc_id").cast("string")
+    shard = (
+        hash48(F.concat(F.lit("sh:"), doc_id_s)) % _SHARD_N
+    ).alias("shard")
+    row_h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(doc_id_s, F.lit(":"), F.md5("text"))), 1, 10
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("row_h")
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select(shard, F.col("n_chars"), row_h)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("row_h").cast("long").alias("content_checksum"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "n_chars",
+            "content_checksum",
+        )
+    )
