@@ -250,3 +250,75 @@ def test_doc_repetition_short_doc_guards(spark, tmp_path) -> None:
     assert got[3]["rep_mask"] & 1  # one token is 100% of the doc
     assert got[3]["dup_trigram_share"] == 1.0
     assert got[4]["rep_mask"] & 2  # 'x y' is 3 of 5 bigrams
+
+
+def test_shard_checksum_is_partitioning_independent(spark) -> None:
+    """The operator's whole claim: the per-shard manifest is identical no
+    matter how the input is partitioned.  Same corpus pre-shuffled into
+    a hostile layout (7-way round-robin repartition) must produce
+    byte-identical rows — membership, volumes, and checksums."""
+    from data_ingestion_ex8_producer_spark.operators.pipeline import (
+        _SHARD_N,
+        q_shard_checksum,
+    )
+    from data_ingestion_ex8_producer_spark.operators._util import t
+
+    base = {r["shard"]: r for r in q_shard_checksum(spark, SF).collect()}
+    docs = t(spark, SF, "documents").repartition(7)
+    docs.createOrReplaceTempView("_shard_ck_repart")
+    # Rebuild the same plan over the repartitioned relation.
+    from pyspark.sql import functions as FF
+
+    doc_id_s = FF.col("doc_id").cast("string")
+    from data_ingestion_ex8_producer_spark.functions.text import hash48
+
+    alt = (
+        docs.select(
+            (hash48(FF.concat(FF.lit("sh:"), doc_id_s)) % _SHARD_N)
+            .alias("shard"),
+            "n_chars",
+            FF.conv(
+                FF.substring(
+                    FF.md5(FF.concat(doc_id_s, FF.lit(":"), FF.md5("text"))),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("row_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            FF.count(FF.lit(1)).cast("long").alias("n_docs"),
+            FF.sum("n_chars").cast("long").alias("n_chars"),
+            FF.sum("row_h").cast("long").alias("content_checksum"),
+        )
+    )
+    alt_rows = {r["shard"]: r for r in alt.collect()}
+    assert set(base) == set(alt_rows)
+    for shard, row in base.items():
+        other = alt_rows[shard]
+        assert (row["n_docs"], row["n_chars"], row["content_checksum"]) == (
+            other["n_docs"], other["n_chars"], other["content_checksum"]
+        ), f"shard {shard} manifest depends on partitioning"
+
+
+def test_k_anonymity_profile_is_monotone_in_k(spark) -> None:
+    """Structural invariants of the risk profile: class count is constant
+    across thresholds, and both n_classes_below_k and rows_at_risk are
+    non-decreasing in K (a class below K=2 is below every larger K)."""
+    from data_ingestion_ex8_producer_spark.operators.advanced import (
+        q_k_anonymity,
+    )
+
+    rows = sorted(
+        q_k_anonymity(spark, SF).collect(), key=lambda r: r["k_threshold"]
+    )
+    assert [r["k_threshold"] for r in rows] == [2, 5, 10, 25]
+    assert len({r["n_classes"] for r in rows}) == 1
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["n_classes_below_k"] <= hi["n_classes_below_k"]
+        assert lo["rows_at_risk"] <= hi["rows_at_risk"]
+        assert lo["at_risk_ppm"] <= hi["at_risk_ppm"]
