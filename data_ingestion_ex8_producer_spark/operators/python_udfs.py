@@ -21,6 +21,19 @@ from ..plans.registry import register
 from ._util import t
 
 
+def _pandas_group_width(spark: SparkSession) -> int:
+    """Partition width for per-group pandas stages:
+    max(defaultParallelism, spark.sql.shuffle.partitions).  The conf read
+    tolerates non-numeric values ("auto" on platforms with adaptive
+    shuffle sizing, ADVICE r10 #3) by degrading to defaultParallelism
+    instead of raising ValueError at plan-build time."""
+    try:
+        conf_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        conf_width = 0
+    return max(spark.sparkContext.defaultParallelism, conf_width)
+
+
 # ---- scalar pandas UDF ----------------------------------------------------
 
 
@@ -117,10 +130,7 @@ def udaf_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "norm_value": norm}
         )
 
-    n_part = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
+    n_part = _pandas_group_width(spark)
     return (
         t(spark, sf_dir, "events")
         .select("event_id", "user_id", "value")
@@ -215,10 +225,7 @@ def udaf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import decimal
 
-    n_part = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
+    n_part = _pandas_group_width(spark)
     orders = (
         t(spark, sf_dir, "orders")
         .select(

@@ -601,16 +601,67 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-Flat ANN
 # --------------------------------------------------------------------------
 
-# Fixed centroid count: the coarse-quantizer broadcast is K x _DIM floats at
-# ANY corpus size (r2 used `vec_id % 61`, whose centroid set — and therefore
-# the "broadcast" and the assignment cross product — grew linearly with the
-# corpus; that shape dies at 100 TB).  Selection is the K vectors with the
-# smallest salted md5 of their id: deterministic, oracle-expressible, and a
-# uniform sample of the corpus.  K=64 fits the 500–2,000-vector test corpora
-# (≈8–30 vectors/cell); production would raise K (~sqrt(n), e.g. 256–65,536)
-# or swap in trained k-means centroids — either way the plan shape and the
-# constant-size broadcast are unchanged.
-_IVF_K = 64
+# Corpus-scaled centroid count (VERDICT r10 #3): the coarse-quantizer
+# broadcast is K(n) x _DIM floats — K doubles when the corpus quadruples
+# (K ~ sqrt(n)), so per-cell population grows ~sqrt(n) instead of
+# linearly and the cell-restricted pair space (SemDeDup cells, kNN-graph
+# neighborhoods, IVF posting lists) grows ~n^1.5, not n^2.  Selection is
+# the K vectors with the smallest salted md5 of their id: deterministic,
+# oracle-expressible, and a uniform sample of the corpus.  K(n) is a
+# PURE-INTEGER threshold ladder (n <= 4^k -> K = 2^k, floored at 64,
+# capped at 65,536) shared verbatim between the Spark builders and the
+# DuckDB oracle SQL — no float log/sqrt whose libm rounding could make
+# the two engines disagree at an exact-power boundary.  The 500–2,000
+# -vector test corpora all sit under the 4,096 floor threshold, so
+# K = 64 there (≈8–30 vectors/cell) and all small-SF hashes are
+# unchanged; the ladder engages on the 10x/30x/100x scale replicas and
+# in production.  A real deployment would swap in trained k-means
+# centroids at the same K(n) — the plan shape and the metadata-sized
+# broadcast are unchanged.
+_IVF_K = 64  # the ladder floor; also the test-corpus K (all test n <= 4096)
+_IVF_K_CAP_EXP = 16  # K caps at 2^16 = 65,536 (quantizer-training bound)
+_IVF_K_LADDER: tuple[tuple[int, int], ...] = tuple(
+    (4**k, 2**k) for k in range(6, _IVF_K_CAP_EXP + 1)
+)  # (n_upper_bound, K): n <= 4^k -> K = 2^k
+
+
+def _ivf_k_for(n: int) -> int:
+    """K(n) from the integer ladder — the ONE definition both engines
+    share (`_sql_ivf_k_case` renders this exact ladder as SQL)."""
+    for bound, k in _IVF_K_LADDER:
+        if n <= bound:
+            return k
+    return 2**_IVF_K_CAP_EXP
+
+
+def _sql_ivf_k_case(n_expr: str) -> str:
+    """The same ladder as `_ivf_k_for`, rendered as a SQL CASE over an
+    integer expression — pure integer comparisons, so DuckDB and Spark
+    agree bit-for-bit at every corpus size."""
+    arms = " ".join(
+        f"WHEN {n_expr} <= {bound} THEN {k}" for bound, k in _IVF_K_LADDER
+    )
+    return f"(CASE {arms} ELSE {2**_IVF_K_CAP_EXP} END)"
+
+
+def _sql_centroid_cte(name: str = "centroids") -> str:
+    """The deterministic coarse quantizer as a SQL CTE with corpus-scaled
+    K(n): rank every valid vector by salted md5, keep the first K(n)
+    where n is the valid-vector count — the SQL twin of
+    `_ivf_centroid_rows`, shared by the IVF / IVF-PQ / SemDeDup / k-means
+    oracle families so the selection rule cannot drift between them."""
+    return f"""{name} AS (
+        SELECT centroid_id, c_emb FROM (
+            SELECT vec_id AS centroid_id, embedding AS c_emb,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5('{_IVF_SALT}' || CAST(vec_id AS VARCHAR)),
+                                vec_id) AS _crn,
+                   COUNT(*) OVER () AS _n
+            FROM emb_valid
+        ) WHERE _crn <= {_sql_ivf_k_case('_n')}
+    )"""
+
+
 _IVF_NPROBE = 3
 _IVF_SALT = "ivf-centroid:"
 
@@ -638,12 +689,7 @@ _SQL_EMB_VALID = f"""emb_valid AS (
     )"""
 
 _SQL_IVF_CTES = f"""{_SQL_EMB_VALID},
-    centroids AS (
-        SELECT vec_id AS centroid_id, embedding AS c_emb
-        FROM emb_valid
-        ORDER BY md5('{_IVF_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
-        LIMIT {_IVF_K}
-    ),
+    {_sql_centroid_cte()},
     assignment AS (
         SELECT vec_id, label, embedding, centroid_id FROM (
             SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
@@ -686,11 +732,17 @@ def _valid_emb_frame(df: DataFrame) -> DataFrame:
 
 
 def _ivf_centroid_rows(emb: DataFrame) -> list:
-    """The coarse quantizer: K rows, collected once (K x _DIM doubles ≈
-    32 KiB at K=64 — constant at any corpus size; a real deployment would
-    broadcast its k-means codebook the same way).  Sorted by centroid_id so
-    numpy argmax's first-max-wins reproduces the oracle's centroid_id ASC
-    tie-break."""
+    """The coarse quantizer: K(n) rows, collected once (K x _DIM doubles
+    ≈ 32 KiB at the K=64 floor, ≈ 32 MiB at the 65,536 cap — metadata-
+    sized at any corpus scale; a real deployment would broadcast its
+    k-means codebook the same way).  K(n) is the shared integer ladder
+    (`_ivf_k_for`), so the Spark selection and the oracle's
+    `_sql_centroid_cte` keep identical centroid sets as the corpus
+    grows.  The extra count job is a column-pruned scan of the id column
+    only — noise next to the top-K sort that follows.  Sorted by
+    centroid_id so numpy argmax's first-max-wins reproduces the oracle's
+    centroid_id ASC tie-break."""
+    k = _ivf_k_for(emb.count())
     return sorted(
         emb.select(
             F.col("vec_id").alias("centroid_id"),
@@ -701,7 +753,7 @@ def _ivf_centroid_rows(emb: DataFrame) -> list:
             ),
         )
         .orderBy("_h", "centroid_id")
-        .limit(_IVF_K)
+        .limit(k)
         .drop("_h")
         .collect(),
         key=lambda r: r.centroid_id,
@@ -1838,17 +1890,15 @@ def q_pq_recall_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The composed IVF-PQ index: cell-restricted ADC scan + exact re-rank
 # --------------------------------------------------------------------------
 
-_IVFPQ_NPROBE = 16  # probed IVF cells (of _IVF_K=64); measurement-tuned —
+_IVFPQ_NPROBE = 16  # probed IVF cells (of the K=64 floor); measurement-tuned —
+                    # stays FIXED as K(n) grows, so the probed corpus
+                    # fraction shrinks ~1/sqrt(n) and the candidate set
+                    # stays bounded — the IVF scale contract.
                     # see sim_ivfpq_topk's docstring for the full recall
                     # dial (nprobe 3..32 measured at all three SFs).
 
 
-_SQL_SAMPLE_CENTROIDS = f"""centroids AS (
-        SELECT vec_id AS centroid_id, embedding AS c_emb
-        FROM emb_valid
-        ORDER BY md5('{_IVF_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
-        LIMIT {_IVF_K}
-    )"""
+_SQL_SAMPLE_CENTROIDS = _sql_centroid_cte()
 
 
 def _probe_frame(
@@ -2076,14 +2126,7 @@ def _trained_centroid_chain(iters: int = None) -> str:
     with ``list(... ORDER BY dim)`` so the next iteration's cosine is the
     same left-folded element chain both engines evaluate."""
     iters = _KM_ITERS if iters is None else iters
-    parts = [
-        f"""cent0 AS (
-        SELECT vec_id AS centroid_id, embedding AS c_emb
-        FROM emb_valid
-        ORDER BY md5('{_IVF_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
-        LIMIT {_IVF_K}
-    )"""
-    ]
+    parts = [_sql_centroid_cte("cent0")]
     for t in range(iters):
         parts.append(
             f"""asg{t} AS (
@@ -3704,16 +3747,17 @@ _patch_oracle("dedup_embedding_neardup", _neardup_oracle())
         SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
         FROM assignment GROUP BY 1
     ),
-    tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM cells)
+    tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM cells),
+    kc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_cells FROM centroids)
     SELECT c.centroid_id,
            CAST(COALESCE(s.n_vectors, 0) AS BIGINT) AS n_vectors,
            CAST(COALESCE(s.n_vectors, 0) AS DOUBLE) / t.total AS cell_share,
-           CAST(CASE WHEN {_IVF_K} * COALESCE(s.n_vectors, 0) > 2 * t.total
+           CAST(CASE WHEN k.k_cells * COALESCE(s.n_vectors, 0) > 2 * t.total
                      THEN 1 ELSE 0 END AS BIGINT) AS flag_hot,
            CAST(CASE WHEN s.n_vectors IS NULL THEN 1 ELSE 0 END AS BIGINT)
              AS flag_dead
     FROM centroids c LEFT JOIN cells s ON s.centroid_id = c.centroid_id
-    CROSS JOIN tot t
+    CROSS JOIN tot t CROSS JOIN kc k
     """,
     tags=("similarity", "ivf", "diagnostics", "report"),
 )
@@ -3722,7 +3766,7 @@ def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ANN-side analog of q_lsh_band_stats (every index the engine
     deploys ships its own surveillance): per centroid, the assigned-vector
     count, its share of the corpus, a hot-cell flag (cell > 2x the mean —
-    the integer cross-multiplication {_IVF_K}*n > 2*total), and a
+    the integer cross-multiplication k_cells*n > 2*total), and a
     dead-cell flag (zero assignments).  Cell skew IS the nprobe cost
     model: a hot cell makes every probe that touches it scan a corpus-
     scale posting list (the ADC stage's shuffle input), and dead cells
@@ -3731,11 +3775,13 @@ def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the shuffle-free closure-codebook assignment pass (the
     same `_ivf_assignment` the search specs run) into one map-side-
-    combinable groupBy on {_IVF_K} keys, left-joined to the broadcast
-    centroid relation with the 1-row total — output is constant-size
-    ({_IVF_K} rows) at any corpus size."""
+    combinable groupBy on K(n) keys, left-joined to the broadcast
+    centroid relation with the 1-row total — output is metadata-sized
+    (K(n) rows, 64 at the floor, 65,536 at the cap) at any corpus
+    size."""
     emb = _ivf_valid_emb(spark, sf_dir)
     centroid_rows = _ivf_centroid_rows(emb)
+    k_cells = len(centroid_rows)
     cells = (
         _ivf_assignment(emb, centroid_rows)
         .groupBy("centroid_id")
@@ -3754,7 +3800,7 @@ def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("total")
             ).alias("cell_share"),
             F.when(
-                _IVF_K * F.coalesce(F.col("n_assigned"), F.lit(0))
+                k_cells * F.coalesce(F.col("n_assigned"), F.lit(0))
                 > 2 * F.col("total"),
                 1,
             )
@@ -4229,8 +4275,8 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     as every IVF spec, then ONE window partitioned by centroid_id —
     WindowGroupLimit prunes each cell to {_CBS_PER_CELL} rows BEFORE the
     exchange, so the shuffle carries O(cells x budget), not the corpus;
-    the per-cell population join is against the {_IVF_K}-row cell-count
-    aggregate (broadcast).  Keys are the {_IVF_K} centroid ids — bounded
+    the per-cell population join is against the K(n)-row cell-count
+    aggregate (broadcast).  Keys are the K(n) centroid ids — bounded
     and near-uniform by construction of the quantizer (hot cells are
     exactly what q_ivf_cell_stats flags for re-training).  The in-cell
     order is md5 of the vector id (salted), so the sample is stable

@@ -350,10 +350,10 @@ def test_every_registered_spec_has_a_measured_scale_curve() -> None:
     is probed in, the same keep-the-invariant pattern as the COVERAGE.md
     counts guard above."""
     from data_ingestion_ex8_producer_spark.plans.registry import all_specs
+    from tools.scale_probe import scaling_row_names
 
-    covered = (
-        Path("/root/repo/SCALING.md").read_text()
-        + Path("/root/repo/SCALING_100X.md").read_text()
+    covered = scaling_row_names(
+        "/root/repo/SCALING.md", "/root/repo/SCALING_100X.md"
     )
     missing = [n for n in all_specs() if n not in covered]
     assert not missing, (

@@ -335,6 +335,21 @@ def build_archive_only_replica(base: str, out: str, k: int) -> None:
     )
 
 
+def scaling_row_names(*paths: str) -> set[str]:
+    """Exact spec names that carry a measured table row in the given
+    SCALING docs.  A row is ``| name | ...`` or ``| name (note) | ...``;
+    parsing actual first-cell names (instead of substring containment
+    over the whole file, ADVICE r10 #1) means a spec whose name is a
+    substring of a longer covered name — or of prose — cannot pass
+    vacuously.  Shared by tests/test_guardrails.py and
+    tools/registry_probe.py so the guard and the probe tool can never
+    disagree about what "covered" means."""
+    import re
+
+    text = "".join(open(p).read() for p in paths)
+    return set(re.findall(r"^\| (\S+?)(?: \(|\s*\|)", text, re.M))
+
+
 def _sum_candidate_pairs(spark, specs, sf_dir: str) -> int:
     """Total MinHash-LSH candidate pairs (sum of C(c,2) over every band
     bucket) via the registered q_lsh_band_stats surveillance spec — the
