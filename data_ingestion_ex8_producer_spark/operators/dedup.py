@@ -557,7 +557,9 @@ def minhash_signature_rows(docs: DataFrame) -> DataFrame:
     oracle=_minhash_estimate_oracle(),
     tags=("dedup", "minhash", "similarity", "estimate"),
 )
-def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_jaccard_estimate(
+    spark: SparkSession, sf_dir: str, enforce_candidate_budget: bool = False
+) -> DataFrame:
     """Estimated Jaccard similarity for every MinHash-LSH candidate pair:
     est_J = (# of the 32 minhash slots where the two signatures agree) / 32.
     This is the cheap second stage of the classic dedup cascade — LSH finds
@@ -590,6 +592,15 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         value_col="mh",
     )
+    if enforce_candidate_budget:
+        # Opt-in valve for verify-stage consumers (q_dedup_threshold_curve):
+        # bands derive from the persisted sig, so this extra aggregate is a
+        # cached-input pass, not a second shingle scan.
+        _assert_candidate_budget(
+            bands,
+            docs.count(),
+            "q_minhash_jaccard_estimate[verify-stage consumer]",
+        )
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), band_match_condition())
@@ -1325,6 +1336,52 @@ def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EDIT_SIM_THRESHOLD = 0.8  # keep pairs with 1 - lev/max(len) >= 0.8
 
+# Candidate-budget safety valve (VERDICT r10 #4, the _RO_MAX_BINS
+# doctrine): the verify stages pay O(1)-per-CANDIDATE — and for
+# Levenshtein, O(len^2)-per-candidate — so their bill is bounded iff the
+# LSH candidate set stays ~linear in the corpus.  The design contract is
+# a few candidates per document; 256x that is far above any healthy
+# corpus (sf0.1 measures ~3 candidates/doc) yet still rules out the
+# quadratic regime a pathologically duplicated real corpus creates
+# (a single 10%-duplicate cluster in a 1M-doc corpus is ~5e9 pairs —
+# ~20,000x this budget).
+_VERIFY_CAND_PER_DOC = 256
+
+
+def _assert_candidate_budget(bands: DataFrame, n_docs: int, spec: str) -> None:
+    """Fail fast BEFORE launching a verify stage whose candidate set has
+    gone quadratic: sum C(c,2) over the LSH band buckets — the exact
+    quantity the q_lsh_band_stats surveillance spec reports, and an upper
+    bound on distinct candidate pairs (pairs sharing multiple bands count
+    once per band) — and refuse the pair join when it exceeds
+    _VERIFY_CAND_PER_DOC x n_docs.  The check is one map-side-combinable
+    aggregate over the (already computed) band rows: metadata-priced next
+    to the verify join it guards.  A tripped valve is an actionable
+    error, not a wedged cluster: the remedies it names (pre-collapse
+    exact duplicates, raise the band count, drop hot buckets) all shrink
+    candidates without touching kept-pair semantics for healthy data."""
+    bucket_cols = [c for c in bands.columns if c != "doc_id"]
+    total = (
+        bands.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum((F.col("c") * (F.col("c") - F.lit(1))) / 2)
+            .cast("long")
+            .alias("pairs")
+        )
+        .collect()[0]["pairs"]
+    ) or 0
+    budget = _VERIFY_CAND_PER_DOC * max(int(n_docs), 1)
+    if total > budget:
+        raise RuntimeError(
+            f"{spec}: LSH candidate budget exceeded — {total} bucket pairs "
+            f"> {_VERIFY_CAND_PER_DOC}/doc x {n_docs} docs = {budget}. The "
+            f"corpus is pathologically duplicated for a verify-stage dedup; "
+            f"run dedup_exact first to collapse identical documents, raise "
+            f"the band count, or cap hot buckets (see q_lsh_band_stats for "
+            f"the per-bucket breakdown) before re-running."
+        )
+
 
 def _edit_distance_oracle() -> str:
     return (
@@ -1394,6 +1451,10 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(t(spark, sf_dir, "documents"), spark)
     bands = persist_tracked(minhash_band_signatures(docs))
+    meta = docs.agg(
+        F.max(F.length("text")).alias("m"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    _assert_candidate_budget(bands, meta["n"], "dedup_edit_distance")
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), band_match_condition())
@@ -1408,12 +1469,9 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb")),
         "doc_b",
     )
-    # 1-row metadata aggregate: the early-exit band that can never cut a
-    # kept pair (1 - 0.8 = 1/5 of the longest document, integer ceil).
-    max_doc_len = (
-        docs.agg(F.max(F.length("text")).alias("m")).collect()[0]["m"] or 0
-    )
-    lev_band = (int(max_doc_len) + 4) // 5 + 1
+    # From the 1-row metadata aggregate above: the early-exit band that can
+    # never cut a kept pair (1 - 0.8 = 1/5 of the longest doc, integer ceil).
+    lev_band = (int(meta["m"] or 0) + 4) // 5 + 1
     lev = F.levenshtein("__ta", "__tb", lev_band)
     max_len = F.greatest(F.length("__ta"), F.length("__tb"))
     return (
@@ -1525,9 +1583,9 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN form (single-node DuckDB; clarity over plan shape).  Every
     count is an integer; the two doubles are single IEEE divisions of
     identical integers."""
-    est = q_minhash_jaccard_estimate(spark, sf_dir).select(
-        "doc_a", "doc_b", "n_agree"
-    )
+    est = q_minhash_jaccard_estimate(
+        spark, sf_dir, enforce_candidate_budget=True
+    ).select("doc_a", "doc_b", "n_agree")
     est = persist_tracked(est)
     pair_hist = est.groupBy("n_agree").agg(
         F.count(F.lit(1)).cast("long").alias("pc")

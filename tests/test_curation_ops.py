@@ -322,3 +322,38 @@ def test_k_anonymity_profile_is_monotone_in_k(spark) -> None:
         assert lo["n_classes_below_k"] <= hi["n_classes_below_k"]
         assert lo["rows_at_risk"] <= hi["rows_at_risk"]
         assert lo["at_risk_ppm"] <= hi["at_risk_ppm"]
+
+
+def test_candidate_budget_valve_trips_on_hot_cluster(spark, tmp_path) -> None:
+    """The verify-stage safety valve (VERDICT r10 #4): a pathologically
+    duplicated corpus — one cluster of identical documents large enough
+    that every LSH band bucket goes quadratic — must fail fast with an
+    actionable error BEFORE the Levenshtein pair join launches, while a
+    healthy corpus sails through (pinned by the oracle suite, which runs
+    dedup_edit_distance hash-exact at every SF)."""
+    import duckdb
+    import pytest as _pytest
+
+    from data_ingestion_ex8_producer_spark.operators.dedup import (
+        _VERIFY_CAND_PER_DOC,
+        dedup_edit_distance,
+    )
+
+    n = 600  # 8 bands x C(600,2) = 1,437,600 bucket pairs >> 256/doc x 600
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+            SELECT CAST(i AS BIGINT) AS doc_id,
+                   'the same boilerplate stamp repeated across the corpus '
+                   || 'until the candidate space goes quadratic' AS text,
+                   'en' AS lang, 'crawl' AS source,
+                   CAST(89 AS BIGINT) AS n_chars
+            FROM range({n}) t(i)
+        ) TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    assert 8 * n * (n - 1) // 2 > _VERIFY_CAND_PER_DOC * n
+    with _pytest.raises(RuntimeError, match="candidate budget exceeded"):
+        dedup_edit_distance(spark, str(tmp_path)).collect()

@@ -360,3 +360,41 @@ def test_every_registered_spec_has_a_measured_scale_curve() -> None:
         f"{len(missing)} registered specs have no measured scale curve "
         f"(run tools/registry_probe.py): {missing}"
     )
+
+
+@pytest.mark.parametrize(
+    "artifact",
+    [
+        "/root/repo/CORRECTNESS_full_sf0.01.json",
+        "/root/repo/CORRECTNESS_full_sf0.1.json",
+    ],
+)
+def test_full_correctness_artifacts_cover_the_live_registry(artifact) -> None:
+    """Freshness guard (VERDICT r10 #2): the committed full-correctness
+    artifacts must contain exactly one entry per registered spec, and
+    every entry must be green (hash-match, or rows-recorded for the
+    designed rows-only specs).  A spec registered without regenerating
+    the artifacts — the r10 staleness mode, where the files silently
+    stayed at 266 entries after the registry reached 268 — now fails the
+    suite the same way a COVERAGE.md count drift does."""
+    import json
+
+    from data_ingestion_ex8_producer_spark.plans.registry import all_specs
+
+    data = json.loads(Path(artifact).read_text())
+    registered = set(all_specs())
+    assert set(data) == registered, (
+        f"{artifact} is stale: {len(data)} entries vs {len(registered)} "
+        f"registered specs (regenerate with tools/check_correctness.py "
+        f"--json); missing={sorted(registered - set(data))[:5]} "
+        f"extra={sorted(set(data) - registered)[:5]}"
+    )
+    red = [
+        n
+        for n, r in data.items()
+        if not (
+            r.get("hash_match")
+            or (r.get("oracle") == "none" and r.get("spark_rows") is not None)
+        )
+    ]
+    assert not red, f"{artifact} has non-green entries: {red}"
