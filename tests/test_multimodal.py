@@ -185,3 +185,50 @@ def test_png_bmp_header_roundtrip_property() -> None:
 
     png_case()
     bmp_case()
+
+
+def make_jpeg(
+    width: int, height: int, precision: int = 8, sof: int = 0xC0
+) -> bytes:
+    """Minimal JPEG header per ITU-T T.81: SOI, a JFIF APP0 segment, a
+    COM segment (exercising the marker walk), then a SOFn frame header
+    (precision u8, height u16, width u16, 3 components x 3 bytes)."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    comment = b"synthetic fixture"
+    sof_payload = struct.pack(">BHHB", precision, height, width, 3)
+    sof_payload += bytes((1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xfe" + struct.pack(">H", 2 + len(comment)) + comment
+        + bytes((0xFF, sof)) + struct.pack(">H", 2 + len(sof_payload))
+        + sof_payload
+    )
+
+
+def test_jpeg_sof_decodes_real_dimensions() -> None:
+    # Baseline (SOF0) and progressive (SOF2) both carry the same layout.
+    assert decode_image_real(make_jpeg(1024, 768, 8, sof=0xC0)) == (1024, 768, 8)
+    assert decode_image_real(make_jpeg(320, 240, 12, sof=0xC2)) == (320, 240, 12)
+    # A restart-marker fill before the SOF must not desynchronize the walk.
+    j = make_jpeg(64, 48)
+    with_rst = j[:2] + b"\xff\x01" + j[2:]
+    assert decode_image_real(with_rst) == (64, 48, 8)
+
+
+def test_jpeg_corruption_degrades_not_crashes() -> None:
+    # SOS before any SOF: dimensions unobtainable -> fake row, not a crash.
+    no_sof = b"\xff\xd8\xff\xda\x00\x04\x00\x00"
+    assert decode_meta(no_sof) == _fake_decode(no_sof)
+    # Truncated mid-segment.
+    trunc = make_jpeg(1024, 768)[:12]
+    assert decode_meta(trunc) == _fake_decode(trunc)
+    # Desynchronized marker stream (garbage where a marker must be).
+    desync = b"\xff\xd8" + b"not a marker chain" + b"\x00" * 8
+    assert decode_meta(desync) == _fake_decode(desync)
+    # The sniff itself: SOI magic but no following marker byte -> fake
+    # path without even attempting the real decoder.
+    bare = b"\xff\xd8" + b"\x00\x00\x00\x00"
+    assert decode_meta(bare) == _fake_decode(bare)
+    # And a healthy JPEG still takes the real path end-to-end.
+    assert decode_meta(make_jpeg(1920, 1080)) == (1920, 1080, 1)
