@@ -3133,7 +3133,10 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
         FROM pairs WHERE {_sql_sem_qual(_SEMDEDUP_COSINE_C)}
     ) WHERE rn = 1
     """,
-    tags=("dedup", "embedding", "semantic", "ivf"),
+    tags=("dedup", "embedding", "semantic", "ivf", "bench"),
+    bench=True,  # bench anchor for the SemDeDup family (VERDICT r10 #8):
+    # pins the cost of the corpus-scaled K(n) kernel every cell-restricted
+    # spec now runs on.
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup, cluster-restricted form (the SemDeDup recipe, Abbas
@@ -3812,6 +3815,91 @@ def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("flag_dead"),
         )
+    )
+
+
+_K_POLICY_MULTS = (1, 10, 100)
+
+
+@register(
+    "q_ivf_k_policy",
+    oracle=f"""
+    WITH {_SQL_IVF_CTES},
+    cells AS (
+        SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM assignment GROUP BY 1
+    ),
+    meas AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(MAX(c) AS BIGINT) AS max_cell,
+               CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS within_cell_pairs
+        FROM cells
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM emb_valid),
+    mults AS (SELECT CAST(unnest([1, 10, 100]) AS BIGINT) AS scale_mult)
+    SELECT m.scale_mult,
+           nn.n * m.scale_mult AS projected_n,
+           CAST({_sql_ivf_k_case('nn.n * m.scale_mult')} AS BIGINT)
+             AS k_ladder,
+           CASE WHEN m.scale_mult = 1 THEN meas.n_cells END AS n_cells,
+           CASE WHEN m.scale_mult = 1 THEN meas.max_cell END AS max_cell,
+           CASE WHEN m.scale_mult = 1 THEN meas.within_cell_pairs END
+             AS within_cell_pairs
+    FROM mults m CROSS JOIN nn CROSS JOIN meas
+    ORDER BY m.scale_mult
+    """,
+    tags=("similarity", "ivf", "diagnostics", "report", "capacity"),
+)
+def q_ivf_k_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-planning readout for the corpus-scaled coarse-quantizer
+    ladder (r11): the measured state of the deployed K(n) — occupied
+    cells, largest cell, and the within-cell pair space Σ C(c,2), which
+    IS the SemDeDup / kNN-graph / IVF-posting verify bill — alongside
+    the ladder's PROJECTED K at 10x and 100x the current corpus, so an
+    operator sees what the quantizer will do BEFORE the corpus grows
+    there (the q_histogram_selectivity_audit close-the-loop discipline
+    applied to this round's K(n) change).  Every value is an exact
+    integer; the projections are pure ladder arithmetic on n, identical
+    on both engines by the shared threshold table.
+
+    Scale shape: one count + the same shuffle-free closure-codebook
+    assignment pass as every IVF spec into a K(n)-key combinable
+    groupBy, reduced to a 1-row measured aggregate cross-joined with the
+    3-row multiplier relation — output is 3 rows at any corpus size."""
+    emb = _ivf_valid_emb(spark, sf_dir)
+    n = emb.count()
+    centroid_rows = _ivf_centroid_rows(emb)
+    cells = (
+        _ivf_assignment(emb, centroid_rows)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    meas = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("c").cast("long").alias("max_cell"),
+        F.sum((F.col("c") * (F.col("c") - F.lit(1))) / 2)
+        .cast("long")
+        .alias("within_cell_pairs"),
+    )
+    ladder = spark.createDataFrame(
+        [(m, n * m, _ivf_k_for(n * m)) for m in _K_POLICY_MULTS],
+        "scale_mult long, projected_n long, k_ladder long",
+    )
+    return (
+        ladder.crossJoin(F.broadcast(meas))
+        .select(
+            "scale_mult",
+            "projected_n",
+            "k_ladder",
+            F.when(F.col("scale_mult") == 1, F.col("n_cells")).alias("n_cells"),
+            F.when(F.col("scale_mult") == 1, F.col("max_cell")).alias(
+                "max_cell"
+            ),
+            F.when(F.col("scale_mult") == 1, F.col("within_cell_pairs")).alias(
+                "within_cell_pairs"
+            ),
+        )
+        .orderBy("scale_mult")
     )
 
 

@@ -452,16 +452,19 @@ _PRIORITY: tuple[str, ...] = (
     "q_ivf_cell_stats",
     "q_knn_graph_stats",
     "q_cluster_balanced_sample",
-    # other kernels touched this round
+    # other kernels touched this round, plus the round's own addition
+    # (late-round precedent: new specs join the window for driver
+    # evidence; q_ivf_k_policy displaced q18_large_volume_customer,
+    # driver-green r10 and TPC-H keeps q3 in-window)
     "dedup_edit_distance",
     "q_dedup_threshold_curve",
     "mm_decode_meta",
     "udaf_minmax_normalize",
+    "q_ivf_k_policy",
     # family representatives (one+ per SURVEY §2.2 category)
     "q_salted_join",
     "q_asof_join",
     "q3_shipping_priority",
-    "q18_large_volume_customer",
     "q_percentiles",
     "q_cube",
     "q_window_rank",

@@ -96,7 +96,15 @@ def test_bench_specs_no_cartesian_product(spark, specs, name) -> None:
 # unmaterialized cached aggregates, so static stats are conservative, and at
 # runtime AQE converts the tiny sides to broadcast (verified in EXPLAINS.md's
 # AQE section).  Everything else must broadcast statically.
-_SHUFFLE_JOIN_BY_DESIGN = {"q_part_pagerank"}
+_SHUFFLE_JOIN_BY_DESIGN = {
+    "q_part_pagerank",
+    # r11 bench entrant: SemDeDup's within-cell pair join is corpus x
+    # corpus restricted by centroid_id — BOTH sides grow with the corpus,
+    # so a shuffle join on the cell key is the CORRECT plan at any scale
+    # (broadcasting either side would ship the corpus); its own contract
+    # test below pins the shape.
+    "q_semantic_dedup",
+}
 
 
 @pytest.mark.parametrize(
@@ -112,6 +120,17 @@ def test_bench_specs_broadcast_below_threshold(spark, specs, name) -> None:
     plan = _plan(spark, specs[name].builder(spark, SF))
     assert "SortMergeJoin" not in plan, f"{name} sort-merge-joins at tiny scale"
     assert "ShuffledHashJoin" not in plan, f"{name} shuffle-hash-joins at tiny scale"
+
+
+def test_semantic_dedup_shuffle_is_the_cell_equijoin_only(spark, specs) -> None:
+    """The by-design exemption's contract: q_semantic_dedup's only
+    shuffle join is the ONE within-cell pair join, equi-keyed on
+    centroid_id — never a CartesianProduct, and never a second shuffle
+    join (the centroid attach stays broadcast: K(n) rows of metadata)."""
+    plan = _plan(spark, specs["q_semantic_dedup"].builder(spark, SF))
+    assert "CartesianProduct" not in plan
+    n_smj = plan.count(") SortMergeJoin") + plan.count(") ShuffledHashJoin")
+    assert n_smj == 1, f"{n_smj} shuffle joins; expected only the cell pair join"
 
 
 def test_pagerank_shuffle_is_keyed_on_dst(spark, specs) -> None:
