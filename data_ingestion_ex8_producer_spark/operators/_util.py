@@ -80,6 +80,17 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def untrack_and_unpersist(df: DataFrame) -> None:
+    """Release ONE tracked relation early — for builders that abort after
+    persisting (e.g. the dedup candidate-budget valve): a failed build
+    must not leak its cache into the caller's session, scope or no
+    scope."""
+    _LIVE_PERSISTED.items = [
+        x for x in _LIVE_PERSISTED.items if id(x) != id(df)
+    ]
+    df.unpersist()
+
+
 def release_persisted() -> int:
     """Unpersist every relation tracked by THIS thread; returns how many
     were released."""

@@ -37,7 +37,7 @@ from ..functions.text import (
     with_shingles,
 )
 from ..plans.registry import register
-from ._util import persist_tracked, spread, t
+from ._util import persist_tracked, spread, t, untrack_and_unpersist
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -596,11 +596,15 @@ def q_minhash_jaccard_estimate(
         # Opt-in valve for verify-stage consumers (q_dedup_threshold_curve):
         # bands derive from the persisted sig, so this extra aggregate is a
         # cached-input pass, not a second shingle scan.
-        _assert_candidate_budget(
-            bands,
-            docs.count(),
-            "q_minhash_jaccard_estimate[verify-stage consumer]",
-        )
+        try:
+            _assert_candidate_budget(
+                bands,
+                docs.count(),
+                "q_minhash_jaccard_estimate[verify-stage consumer]",
+            )
+        except RuntimeError:
+            untrack_and_unpersist(sig)  # aborted build: no cache leak
+            raise
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), band_match_condition())
@@ -1454,7 +1458,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = docs.agg(
         F.max(F.length("text")).alias("m"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
-    _assert_candidate_budget(bands, meta["n"], "dedup_edit_distance")
+    try:
+        _assert_candidate_budget(bands, meta["n"], "dedup_edit_distance")
+    except RuntimeError:
+        untrack_and_unpersist(bands)  # an aborted build must not leak cache
+        raise
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), band_match_condition())

@@ -738,8 +738,13 @@ def _ivf_centroid_rows(emb: DataFrame) -> list:
     k-means codebook the same way).  K(n) is the shared integer ladder
     (`_ivf_k_for`), so the Spark selection and the oracle's
     `_sql_centroid_cte` keep identical centroid sets as the corpus
-    grows.  The extra count job is a column-pruned scan of the id column
-    only — noise next to the top-K sort that follows.  Sorted by
+    grows.  The count is the VALID-vector population, so its job scans
+    the embedding column too (validity needs the norm) — a second full
+    pass, measured ~+0.25 s per build at sf0.1 (BENCH_NOTES r11) and
+    ~1/K of the assignment pass's compute at any scale; an index BUILD
+    amortizes it, and the alternative (parquet metadata row count) would
+    let the Spark and oracle K disagree when invalid rows straddle a
+    ladder threshold.  Sorted by
     centroid_id so numpy argmax's first-max-wins reproduces the oracle's
     centroid_id ASC tie-break."""
     k = _ivf_k_for(emb.count())

@@ -355,5 +355,13 @@ def test_candidate_budget_valve_trips_on_hot_cluster(spark, tmp_path) -> None:
     )
     con.close()
     assert 8 * n * (n - 1) // 2 > _VERIFY_CAND_PER_DOC * n
+    from data_ingestion_ex8_producer_spark.operators._util import (
+        _LIVE_PERSISTED,
+    )
+
+    n_live = len(_LIVE_PERSISTED)
     with _pytest.raises(RuntimeError, match="candidate budget exceeded"):
         dedup_edit_distance(spark, str(tmp_path)).collect()
+    # The aborted build released its own persisted band relation — a
+    # tripped valve must not leak cache into the caller's session.
+    assert len(_LIVE_PERSISTED) == n_live
