@@ -1325,3 +1325,120 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("at_risk_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity privacy audit (the k-anonymity companion)
+# --------------------------------------------------------------------------
+#
+# k-anonymity bounds re-identification but not attribute disclosure: a
+# class of 50 rows that all share ONE sensitive value is 50-anonymous yet
+# leaks the attribute completely (the homogeneity attack).  Distinct
+# l-diversity (Machanavajjhala et al. 2007, ICDE — public recipe) closes
+# that gap: every class must carry >= L distinct sensitive values.  Here
+# the quasi-identifier pair is (nation, segment) and the sensitive
+# attribute is the SAME $1000 balance band q_k_anonymity bands — the two
+# audits compose into one release gate over one attribute partition.
+
+_LDIV_THRESHOLDS = (2, 3, 5, 10)
+_BAL_BAND_SQL = (
+    "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    " + 100000) // 100000"
+)
+
+
+def _ldiv_oracle() -> str:
+    ls = ", ".join(f"({v})" for v in _LDIV_THRESHOLDS)
+    return f"""
+    WITH bands AS (
+        SELECT c_nationkey, c_mktsegment, {_BAL_BAND_SQL} AS bal_band,
+               COUNT(*) AS n
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS l_div
+        FROM bands GROUP BY 1, 2
+    ),
+    ls AS (SELECT * FROM (VALUES {ls}) AS v(l_threshold))
+    SELECT CAST(l_threshold AS BIGINT) AS l_threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN l_div < l_threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_classes_below_l,
+           CAST(SUM(CASE WHEN l_div < l_threshold THEN n ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           CAST((SUM(CASE WHEN l_div < l_threshold THEN n ELSE 0 END)
+                 * 1000000) // SUM(n) AS BIGINT) AS at_risk_ppm,
+           CAST(MIN(l_div) AS BIGINT) AS worst_class_diversity
+    FROM ls CROSS JOIN cls
+    GROUP BY 1
+    """
+
+
+@register(
+    "q_l_diversity",
+    oracle=_ldiv_oracle(),
+    tags=("audit", "privacy", "l-diversity", "curation"),
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity audit over quasi-identifier (nation, segment)
+    with the $1000 balance band as the sensitive attribute: for each
+    threshold L in {2, 3, 5, 10}, how many equivalence classes carry
+    fewer than L distinct sensitive values and how many rows sit in them
+    (absolute + ppm), plus the corpus-wide worst class diversity — the
+    homogeneity-attack gate k-anonymity alone cannot close (a large
+    class with one balance band passes every K yet discloses the
+    attribute).  Shares q_k_anonymity's banding verbatim so the two
+    release gates audit the same attribute partition.
+
+    Shape: distinct counting WITHOUT a count-distinct expansion — the
+    (QI, band) relation is one map-side-combinable groupBy (bounded:
+    25 nations x 5 segments x 11 bands), the per-class diversity is a
+    second groupBy counting its rows, and the 4-threshold sweep runs on
+    that ~125-row broadcast metadata relation.  Every output is an
+    exact BIGINT (the ppm is integer cross-multiplication // division,
+    the shift-to-nonnegative banding doctrine of q_k_anonymity); at
+    100 TB the class relation stays catalog-bounded, so the audit is
+    one scan + two metadata passes regardless of corpus size."""
+    bands = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                "(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)"
+                " + 100000) div 100000"
+            ).alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cls = bands.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("l_div"),
+    )
+    ls = spark.createDataFrame(
+        [(v,) for v in _LDIV_THRESHOLDS], "l_threshold long"
+    )
+    return (
+        ls.crossJoin(F.broadcast(cls))
+        .groupBy("l_threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("l_div") < F.col("l_threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_classes_below_l"),
+            F.sum(
+                F.when(F.col("l_div") < F.col("l_threshold"), F.col("n"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.expr(
+                "cast((sum(case when l_div < l_threshold then n else 0 end)"
+                " * 1000000) div sum(n) as bigint)"
+            ).alias("at_risk_ppm"),
+            F.min("l_div").cast("long").alias("worst_class_diversity"),
+        )
+    )

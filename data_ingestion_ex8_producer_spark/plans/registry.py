@@ -461,6 +461,9 @@ _PRIORITY: tuple[str, ...] = (
     "mm_decode_meta",
     "udaf_minmax_normalize",
     "q_ivf_k_policy",
+    # second r11 addition (displaced q_top_orders, driver-green r10; the
+    # top-k shape stays in-window via q_topk_per_group)
+    "q_l_diversity",
     # family representatives (one+ per SURVEY §2.2 category)
     "q_salted_join",
     "q_asof_join",
@@ -469,7 +472,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_cube",
     "q_window_rank",
     "q_topk_per_group",
-    "q_top_orders",
     "q_except_all",
     "q_string_funcs",
     "q_json_extract",

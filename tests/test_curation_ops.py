@@ -365,3 +365,30 @@ def test_candidate_budget_valve_trips_on_hot_cluster(spark, tmp_path) -> None:
     # The aborted build released its own persisted band relation — a
     # tripped valve must not leak cache into the caller's session.
     assert len(_LIVE_PERSISTED) == n_live
+
+
+def test_l_diversity_profile_is_monotone_and_composes_with_kanon(spark) -> None:
+    """Structural invariants: class count constant across thresholds and
+    below-L counts non-decreasing in L (a class below L=2 is below every
+    larger L); the worst-class diversity is a global constant >= 1; and
+    the audit pair composes — l-diversity's class partition is a
+    coarsening of q_k_anonymity's (same banding, one fewer QI column),
+    so it can never have MORE classes than the k-anonymity audit."""
+    from data_ingestion_ex8_producer_spark.operators.advanced import (
+        q_k_anonymity,
+        q_l_diversity,
+    )
+
+    rows = sorted(
+        q_l_diversity(spark, SF).collect(), key=lambda r: r["l_threshold"]
+    )
+    assert [r["l_threshold"] for r in rows] == [2, 3, 5, 10]
+    assert len({r["n_classes"] for r in rows}) == 1
+    assert len({r["worst_class_diversity"] for r in rows}) == 1
+    assert rows[0]["worst_class_diversity"] >= 1
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["n_classes_below_l"] <= hi["n_classes_below_l"]
+        assert lo["rows_at_risk"] <= hi["rows_at_risk"]
+        assert lo["at_risk_ppm"] <= hi["at_risk_ppm"]
+    kanon_classes = q_k_anonymity(spark, SF).collect()[0]["n_classes"]
+    assert rows[0]["n_classes"] <= kanon_classes
