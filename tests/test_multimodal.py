@@ -232,3 +232,30 @@ def test_jpeg_corruption_degrades_not_crashes() -> None:
     assert decode_meta(bare) == _fake_decode(bare)
     # And a healthy JPEG still takes the real path end-to-end.
     assert decode_meta(make_jpeg(1920, 1080)) == (1920, 1080, 1)
+
+
+def test_jpeg_header_roundtrip_property() -> None:
+    """Property: any legal (width, height, precision, SOF variant, filler
+    segment sizes) survives the assemble -> decode round trip exactly —
+    including arbitrary APPn padding before the SOF, so the marker walk
+    is exercised at every segment-length boundary."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=65535),
+        h=st.integers(min_value=1, max_value=65535),
+        precision=st.sampled_from([8, 12, 16]),
+        sof=st.sampled_from([0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC9]),
+        pad=st.integers(min_value=0, max_value=300),
+    )
+    def jpeg_case(w: int, h: int, precision: int, sof: int, pad: int) -> None:
+        base = make_jpeg(w, h, precision, sof=sof)
+        # Splice an APP1 segment of arbitrary length right after SOI.
+        app1 = b"\xff\xe1" + struct.pack(">H", 2 + pad) + b"x" * pad
+        payload = base[:2] + app1 + base[2:]
+        assert decode_image_real(payload) == (w, h, precision)
+        assert decode_meta(payload) == (w, h, 1)
+
+    jpeg_case()
