@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ._util import revenue_dec, t
+from ._util import persist_tracked, revenue_dec, t
 
 # --------------------------------------------------------------------------
 # As-of (point-in-time) join
@@ -1440,5 +1440,167 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * 1000000) div sum(n) as bigint)"
             ).alias("at_risk_ppm"),
             F.min("l_div").cast("long").alias("worst_class_diversity"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# t-closeness privacy audit (the distributional third gate)
+# --------------------------------------------------------------------------
+#
+# l-diversity counts distinct sensitive values but not their SKEW: a class
+# with bands {1: 990 rows, 2..11: 1 row each} is 11-diverse yet still
+# discloses band 1 with 99% confidence (the skewness attack).  t-closeness
+# (Li, Li & Venkatasubramanian 2007, ICDE — public recipe) bounds the
+# DISTANCE between each class's sensitive distribution and the corpus-wide
+# one.  This audit uses the total-variation distance — the standard
+# equal-ground-distance instance of the paper's EMD — because it is exact
+# in integer arithmetic: TVD_ppm(c) = 500000 * SUM_b |cnt_cb*N - cnt_b*n_c|
+# // (n_c * N), every term a BIGINT cross-multiplication (valid to
+# N < ~3e9 rows per audited slice; beyond that the band-count relation —
+# already catalog-bounded — would carry DECIMAL(38) products instead).
+# Bands a class lacks still contribute |0 - cnt_b*n_c| — TVD is over the
+# full support, which is why the class x band frame is completed first.
+
+_TCLOSE_THRESHOLDS_PPM = (100000, 200000, 300000)  # t = 0.1 / 0.2 / 0.3
+
+
+def _tclose_oracle() -> str:
+    ts = ", ".join(f"({v})" for v in _TCLOSE_THRESHOLDS_PPM)
+    return f"""
+    WITH cb AS (
+        SELECT c_nationkey, c_mktsegment, {_BAL_BAND_SQL} AS bal_band,
+               CAST(COUNT(*) AS BIGINT) AS cnt_cb
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    cls AS (
+        SELECT c_nationkey, c_mktsegment, CAST(SUM(cnt_cb) AS BIGINT) AS n_c
+        FROM cb GROUP BY 1, 2
+    ),
+    corpus_b AS (
+        SELECT bal_band, CAST(SUM(cnt_cb) AS BIGINT) AS cnt_b FROM cb
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cnt_b) AS BIGINT) AS n FROM corpus_b),
+    full_grid AS (
+        SELECT c.c_nationkey, c.c_mktsegment, c.n_c, b.bal_band, b.cnt_b,
+               COALESCE(x.cnt_cb, 0) AS cnt_cb
+        FROM cls c CROSS JOIN corpus_b b
+        LEFT JOIN cb x ON x.c_nationkey = c.c_nationkey
+                      AND x.c_mktsegment = c.c_mktsegment
+                      AND x.bal_band = b.bal_band
+    ),
+    tvd AS (
+        SELECT c_nationkey, c_mktsegment, n_c,
+               CAST((500000 * SUM(abs(cnt_cb * t.n - cnt_b * n_c)))
+                    // (n_c * t.n) AS BIGINT) AS tvd_ppm
+        FROM full_grid CROSS JOIN tot t
+        GROUP BY 1, 2, 3, t.n
+    ),
+    ts AS (SELECT * FROM (VALUES {ts}) AS v(t_ppm))
+    SELECT CAST(t_ppm AS BIGINT) AS t_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN tvd_ppm > t_ppm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_above_t,
+           CAST(SUM(CASE WHEN tvd_ppm > t_ppm THEN n_c ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST((SUM(CASE WHEN tvd_ppm > t_ppm THEN n_c ELSE 0 END)
+                 * 1000000) // SUM(n_c) AS BIGINT) AS at_risk_ppm,
+           CAST(MAX(tvd_ppm) AS BIGINT) AS worst_class_tvd_ppm
+    FROM ts CROSS JOIN tvd
+    GROUP BY 1
+    """
+
+
+@register(
+    "q_t_closeness",
+    oracle=_tclose_oracle(),
+    tags=("audit", "privacy", "t-closeness", "curation"),
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (total-variation instance) over the same
+    (nation, segment) quasi-identifiers and $1000 balance bands as
+    q_k_anonymity / q_l_diversity — the third release gate, catching the
+    skewness attack the other two pass: per threshold t in {0.1, 0.2,
+    0.3} (ppm), how many classes sit FARTHER than t from the corpus-wide
+    band distribution, the rows they hold, and the worst class distance.
+    All integers: the per-class TVD is the cross-multiplied
+    500000 * Σ_b |cnt_cb*N - cnt_b*n_c| // (n_c*N), with absent bands
+    contributing their full corpus mass (TVD runs over the complete
+    support, hence the completed class x band grid).
+
+    Shape: ONE scan into the bounded (class x band) count relation
+    (~125 x 11), then every following step — corpus marginals, grid
+    completion, per-class fold, 3-threshold sweep — is broadcast
+    metadata arithmetic; at 100 TB the audit is one scan + metadata
+    passes, like its two siblings."""
+    cb = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                "(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)"
+                " + 100000) div 100000"
+            ).alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_cb"))
+    )
+    cb = persist_tracked(cb)
+    cls = cb.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt_cb").cast("long").alias("n_c")
+    )
+    corpus_b = cb.groupBy("bal_band").agg(
+        F.sum("cnt_cb").cast("long").alias("cnt_b")
+    )
+    tot = corpus_b.agg(F.sum("cnt_b").cast("long").alias("n"))
+    grid = (
+        cls.crossJoin(F.broadcast(corpus_b))
+        .join(
+            cb.withColumnRenamed("cnt_cb", "cnt_cb_raw"),
+            ["c_nationkey", "c_mktsegment", "bal_band"],
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_c",
+            "cnt_b",
+            F.coalesce("cnt_cb_raw", F.lit(0)).cast("long").alias("cnt_cb"),
+        )
+    )
+    tvd = (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "n_c", "n")
+        .agg(
+            F.expr(
+                "cast((500000 * sum(abs(cnt_cb * n - cnt_b * n_c)))"
+                " div (n_c * n) as bigint)"
+            ).alias("tvd_ppm")
+        )
+    )
+    ts = spark.createDataFrame(
+        [(v,) for v in _TCLOSE_THRESHOLDS_PPM], "t_ppm long"
+    )
+    return (
+        ts.crossJoin(F.broadcast(tvd))
+        .groupBy("t_ppm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("tvd_ppm") > F.col("t_ppm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_classes_above_t"),
+            F.sum(
+                F.when(F.col("tvd_ppm") > F.col("t_ppm"), F.col("n_c"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.expr(
+                "cast((sum(case when tvd_ppm > t_ppm then n_c else 0 end)"
+                " * 1000000) div sum(n_c) as bigint)"
+            ).alias("at_risk_ppm"),
+            F.max("tvd_ppm").cast("long").alias("worst_class_tvd_ppm"),
         )
     )

@@ -461,9 +461,11 @@ _PRIORITY: tuple[str, ...] = (
     "mm_decode_meta",
     "udaf_minmax_normalize",
     "q_ivf_k_policy",
-    # second r11 addition (displaced q_top_orders, driver-green r10; the
-    # top-k shape stays in-window via q_topk_per_group)
+    # second/third r11 additions (displaced q_top_orders and
+    # q_time_series_gapfill, both driver-green r10; the top-k shape stays
+    # in-window via q_topk_per_group and streaming keeps tumbling+session)
     "q_l_diversity",
+    "q_t_closeness",
     # family representatives (one+ per SURVEY §2.2 category)
     "q_salted_join",
     "q_asof_join",
@@ -478,7 +480,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_higher_order_funcs",
     "q_tumbling_window",
     "q_session_window",
-    "q_time_series_gapfill",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_lang_id",

@@ -392,3 +392,76 @@ def test_l_diversity_profile_is_monotone_and_composes_with_kanon(spark) -> None:
         assert lo["at_risk_ppm"] <= hi["at_risk_ppm"]
     kanon_classes = q_k_anonymity(spark, SF).collect()[0]["n_classes"]
     assert rows[0]["n_classes"] <= kanon_classes
+
+
+def test_t_closeness_catches_skew_l_diversity_passes(spark) -> None:
+    """Structural invariants (monotone threshold sweep, constant class
+    count, ppm bounds) plus the gate's raison d'etre demonstrated on a
+    synthetic slice: a class that is HIGHLY l-diverse but maximally
+    skewed toward one band must exceed a t threshold its balanced twin
+    passes."""
+    from data_ingestion_ex8_producer_spark.operators.advanced import (
+        q_t_closeness,
+    )
+
+    rows = sorted(q_t_closeness(spark, SF).collect(), key=lambda r: r["t_ppm"])
+    assert [r["t_ppm"] for r in rows] == [100000, 200000, 300000]
+    assert len({r["n_classes"] for r in rows}) == 1
+    assert len({r["worst_class_tvd_ppm"] for r in rows}) == 1
+    assert 0 <= rows[0]["worst_class_tvd_ppm"] <= 1000000
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["n_classes_above_t"] >= hi["n_classes_above_t"]
+        assert lo["rows_at_risk"] >= hi["rows_at_risk"]
+        assert lo["at_risk_ppm"] >= hi["at_risk_ppm"]
+
+
+def test_t_closeness_skew_demo(spark, tmp_path) -> None:
+    """The skewness attack made concrete: two classes, both 11-diverse
+    (every band present), one uniform and one with 99% of its mass in a
+    single band — the skewed class's TVD must be far above the uniform
+    class's, so the t gate separates what l-diversity cannot."""
+    import duckdb
+
+    from data_ingestion_ex8_producer_spark.operators.advanced import (
+        q_l_diversity,
+        q_t_closeness,
+    )
+
+    con = duckdb.connect()
+    # Band is (bal_cents + 100000) // 100000, so acctbal b*1000.0 lands in
+    # a distinct band per b in 0..10.  The uniform class dominates the
+    # corpus (11,000 rows, 1,000/band) so the corpus marginal is nearly
+    # uniform; the skewed class (200 rows in band 0 + 1 in each other)
+    # then sits ~0.85 TVD from it while the uniform class sits ~0.02.
+    con.execute(
+        f"""
+        COPY (
+            SELECT * FROM (
+                SELECT CAST(row_number() OVER () AS BIGINT) AS c_custkey,
+                       CAST(0 AS BIGINT) AS c_nationkey,
+                       'UNIFORM' AS c_mktsegment,
+                       CAST((i % 11) * 1000.0 AS DOUBLE) AS c_acctbal
+                FROM range(11000) t(i)
+                UNION ALL
+                SELECT CAST(100000 + row_number() OVER () AS BIGINT),
+                       CAST(1 AS BIGINT), 'SKEWED',
+                       CAST(CASE WHEN i < 200 THEN 0.0
+                            ELSE ((i - 199) % 11) * 1000.0 END AS DOUBLE)
+                FROM range(210) t(i)
+            )
+        ) TO '{tmp_path}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    ldiv = {r["l_threshold"]: r for r in q_l_diversity(spark, str(tmp_path)).collect()}
+    # Both classes carry >= 10 distinct bands: l-diversity sees no risk
+    # even at its highest threshold.
+    assert ldiv[10]["n_classes_below_l"] == 0
+    rows = sorted(
+        q_t_closeness(spark, str(tmp_path)).collect(), key=lambda r: r["t_ppm"]
+    )
+    # The skewed class is ~0.47 TVD from the corpus marginal; the uniform
+    # one is far closer — t = 0.3 flags exactly one class.
+    assert rows[2]["n_classes_above_t"] == 1
+    assert rows[2]["rows_at_risk"] == 210
+    assert rows[2]["worst_class_tvd_ppm"] > 300000

@@ -25,6 +25,7 @@ PERSISTING_BUILDERS = (
     "dedup_simhash",
     "q_incremental_dedup",
     "dedup_clusters",
+    "q_t_closeness",  # r11: persists the (class x band) count relation
 )
 
 
