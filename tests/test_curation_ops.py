@@ -404,7 +404,10 @@ def test_t_closeness_catches_skew_l_diversity_passes(spark) -> None:
         q_t_closeness,
     )
 
-    rows = sorted(q_t_closeness(spark, SF).collect(), key=lambda r: r["t_ppm"])
+    with persisted_scope():  # the builder persists its (class x band) counts
+        rows = sorted(
+            q_t_closeness(spark, SF).collect(), key=lambda r: r["t_ppm"]
+        )
     assert [r["t_ppm"] for r in rows] == [100000, 200000, 300000]
     assert len({r["n_classes"] for r in rows}) == 1
     assert len({r["worst_class_tvd_ppm"] for r in rows}) == 1
@@ -457,9 +460,11 @@ def test_t_closeness_skew_demo(spark, tmp_path) -> None:
     # Both classes carry >= 10 distinct bands: l-diversity sees no risk
     # even at its highest threshold.
     assert ldiv[10]["n_classes_below_l"] == 0
-    rows = sorted(
-        q_t_closeness(spark, str(tmp_path)).collect(), key=lambda r: r["t_ppm"]
-    )
+    with persisted_scope():  # the builder persists its (class x band) counts
+        rows = sorted(
+            q_t_closeness(spark, str(tmp_path)).collect(),
+            key=lambda r: r["t_ppm"],
+        )
     # The skewed class is ~0.47 TVD from the corpus marginal; the uniform
     # one is far closer — t = 0.3 flags exactly one class.
     assert rows[2]["n_classes_above_t"] == 1
