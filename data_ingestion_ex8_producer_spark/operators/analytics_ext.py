@@ -1136,17 +1136,33 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex degree >= 1."""
     from ._util import persist_tracked
 
-    op = (
+    # Pair generation rewritten r11-opt: ONE orderkey-keyed aggregation
+    # (collect_set is partially aggregated map-side) replaces the previous
+    # distinct + self-join, which scanned lineitem twice and paid three
+    # corpus-sized exchanges (the 2-column distinct hash-partitioning is not
+    # the join's orderkey partitioning, so both join inputs re-shuffled).
+    # Pairs expand INSIDE each order's sorted basket array — fan-out is the
+    # same C(basket,2) the self-join produced (TPC-H baskets are <= ~7
+    # distinct parts), u < v holds by the sort, and the per-pair counts are
+    # bit-identical integers.
+    baskets = (
         t(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey").isNotNull())
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("v") > F.col("u"))
+        baskets.select(F.explode(pair_structs).alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _TRI_MIN_W_REF)
@@ -1162,27 +1178,34 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("d")
         )
     )
-    n1 = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))  # 1-row relation
-    rank = deg.crossJoin(F.broadcast(n1)).select(
-        "x", F.expr(f"CAST({_PR_SCALE} div n AS BIGINT)").alias("r"), "d"
-    )
+    # Vertex count collected ONCE (deg is persisted; this also materializes
+    # it for the loop below).  Python // == SQL div on non-negative ints, so
+    # r0 and the damped base are the same BIGINTs the oracle computes — the
+    # r11-opt rewrite of the earlier 1-row-aggregate crossJoins, which
+    # re-planned the count subtree at every reference.  n=0 (no >=2-weight
+    # edges) leaves every relation empty, so the guard value never surfaces.
+    n = deg.count() or 1
+    r0 = _PR_SCALE // n
+    damp_base = (15 * r0) // 100
+    rank = deg.select("x", F.lit(r0).cast("long").alias("r"), "d")
     deg_b = F.broadcast(deg)
     for _ in range(_PR_ITERS):
-        contrib = rank.join(dirn, rank["x"] == dirn["u"]).select(
+        # Rank is vertex-dimension metadata (the same class as the broadcast
+        # degree reattach): BROADCAST it into the edge join so the persisted
+        # edge relation is never shuffled — the r11-opt fix for the plan's
+        # three SortMergeJoins, which exchanged+sorted both sides per
+        # iteration.  The one exchange per iteration is the dst-keyed SUM of
+        # (x, c) longs, map-side combined to vertex cardinality.
+        contrib = F.broadcast(rank).join(dirn, rank["x"] == dirn["u"]).select(
             F.col("v").alias("x"), F.expr("r div d").alias("c")
         )
         summed = contrib.groupBy("x").agg(F.sum("c").cast("long").alias("s"))
-        rank = (
-            summed.crossJoin(F.broadcast(n1))
-            .select(
-                "x",
-                F.expr(
-                    f"CAST((15 * ({_PR_SCALE} div n)) div 100"
-                    " + (85 * s) div 100 AS BIGINT)"
-                ).alias("r"),
-            )
-            .join(deg_b, "x")
-        )
+        rank = summed.select(
+            "x",
+            (F.lit(damp_base).cast("long") + F.expr("(85 * s) div 100"))
+            .cast("long")
+            .alias("r"),
+        ).join(deg_b, "x")
     part = F.broadcast(
         t(spark, sf_dir, "part").select("p_partkey", "p_name")
     )

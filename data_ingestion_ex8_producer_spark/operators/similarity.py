@@ -4521,8 +4521,6 @@ def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     loops exactly this plan shape (with k and iterations as dials).
     Overflow: |eq| <= ~2^13 per component, dists <= ~2^32, inertia sums
     <= n*2^32 — BIGINT headroom to ~2^31 vectors."""
-    from pyspark.sql import Window
-
     from ._util import persist_tracked
 
     members = persist_tracked(
@@ -4531,8 +4529,19 @@ def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dq", _qdot(F.col("eq"), F.col("eq")))
         .filter(F.col("dq") > 0)
     )
-    w_init = Window.orderBy("vec_id")
-    cents = persist_tracked(
+    # r11-opt restructure: the K x _DIM centroid state is TRAINING METADATA
+    # (8 x 64 BIGINTs), so hold it on the driver between iterations the way
+    # every k-means trainer does — the earlier lazily-chained form crossJoined
+    # the corpus against a centroid RELATION and argmin'ed via a
+    # groupBy(vec_id) min_by, paying one corpus-sized exchange per iteration
+    # and a 3-deep unrolled plan (84 Exchange nodes, multi-second Catalyst
+    # analysis).  Now assignment is a NARROW in-row argmin over centroid
+    # literals (array_min over (dist, cid) structs — the same exact-BIGINT
+    # (dist, cid) ordering as min_by and the oracle's window), the update is
+    # still the one map-side-combinable (cid, pos) metadata shuffle, and the
+    # centroid mean + squared shift are the identical pure-integer formulas
+    # evaluated on collected BIGINTs.  Per iteration: zero corpus shuffles.
+    seed_rows = (
         members.select(
             "vec_id",
             "eq",
@@ -4542,62 +4551,71 @@ def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_h", "vec_id")
         .limit(_KMI_K)
-        .withColumn("cid", F.row_number().over(w_init).cast("long"))
-        .select("cid", F.col("eq").alias("cq"))
+        .collect()
     )
+    # cid 1..K in vec_id order over the selected seeds — exactly the
+    # ROW_NUMBER() OVER (ORDER BY vec_id) the oracle applies to its LIMIT K.
+    cents: list[tuple[int, list[int]]] = [
+        (cid, [int(x) for x in r.eq])
+        for cid, r in enumerate(
+            sorted(seed_rows, key=lambda r: r.vec_id), start=1
+        )
+    ]
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            "iteration long, cid long, n_assigned long, inertia_q long, "
+            "shift_q long",
+        )
     stats_frames = []
     for it in range(1, _KMI_ITERS + 1):
-        joined = members.crossJoin(F.broadcast(cents)).withColumn(
-            "dist",
-            F.col("dq")
-            - 2 * _qdot(F.col("eq"), F.col("cq"))
-            + _qdot(F.col("cq"), F.col("cq")),
+        # The argmin is rendered as ONE SQL string and parsed JVM-side: the
+        # column-by-column form paid ~1.2 s of py4j round trips per
+        # iteration just BUILDING the 8 x 64 literal arrays (measured; the
+        # Spark work itself is milliseconds at this K).
+        arms = ", ".join(
+            "named_struct('dist', dq - 2 * aggregate(zip_with(eq, "
+            f"array({', '.join(f'{x}L' for x in cq)}), (x, y) -> x * y), 0L, "
+            f"(acc, x) -> acc + x) + {sum(x * x for x in cq)}L, "
+            f"'cid', {cid}L)"
+            for cid, cq in cents
         )
+        best = F.expr(f"array_min(array({arms}))")
         asn = persist_tracked(
-            joined.groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    F.struct("cid", "eq", "dist"),
-                    F.struct("dist", "cid"),
-                ).alias("b")
-            )
-            .select(
+            members.select(
                 "vec_id",
-                F.col("b.cid").alias("cid"),
-                F.col("b.eq").alias("eq"),
-                F.col("b.dist").alias("dist"),
+                "eq",
+                best.getField("cid").alias("cid"),
+                best.getField("dist").alias("dist"),
             )
         )
-        new_cents = persist_tracked(
+        upd_rows = (
             asn.select("cid", F.posexplode("eq").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.sum("x").alias("ssum"), F.count(F.lit(1)).alias("n"))
-            .withColumn(
-                "cx",
-                F.expr(f"((ssum + {_KMI_OFF} * n) div n) - {_KMI_OFF}").cast(
-                    "long"
-                ),
-            )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cx"))),
-                    lambda s: s.cx,
-                ).alias("cq")
-            )
+            .collect()
         )
-        shift = new_cents.join(
-            F.broadcast(cents.select("cid", F.col("cq").alias("cq_old"))),
-            "cid",
-        ).select(
-            "cid",
-            F.aggregate(
-                F.zip_with(
-                    F.col("cq"), F.col("cq_old"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("shift_q"),
+        acc: dict[int, dict[int, int]] = {}
+        for r in upd_rows:
+            acc.setdefault(int(r.cid), {})[int(r.pos)] = (
+                (int(r.ssum) + _KMI_OFF * int(r.n)) // int(r.n)
+            ) - _KMI_OFF
+        old = dict(cents)
+        new_cents = [
+            (cid, [acc[cid][p] for p in range(_DIM)])
+            for cid, _ in cents
+            if cid in acc
+        ]
+        shift_q = {
+            cid: sum((a - b) * (a - b) for a, b in zip(ncq, old[cid]))
+            for cid, ncq in new_cents
+        }
+        shift_lit = F.create_map(
+            *[
+                F.lit(v).cast("long")
+                for cid, s in sorted(shift_q.items())
+                for v in (cid, s)
+            ]
         )
         stats = (
             asn.groupBy("cid")
@@ -4605,13 +4623,14 @@ def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("long").alias("n_assigned"),
                 F.sum("dist").cast("long").alias("inertia_q"),
             )
-            .join(F.broadcast(shift), "cid")
             .select(
                 F.lit(it).cast("long").alias("iteration"),
                 F.col("cid").cast("long").alias("cid"),
                 "n_assigned",
                 "inertia_q",
-                F.col("shift_q").cast("long").alias("shift_q"),
+                F.element_at(shift_lit, F.col("cid").cast("long"))
+                .cast("long")
+                .alias("shift_q"),
             )
         )
         stats_frames.append(stats)
