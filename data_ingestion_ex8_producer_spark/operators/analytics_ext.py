@@ -744,14 +744,20 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_df = F.broadcast(
         cust.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     )
-    ranked = _rfm_rank_two_phase(
-        cust, "recency_days", False, [F.col("custkey")], "r_rank"
+    # Each ranking stage reads its input TWICE (the bucket-count branch and
+    # the main join), so the chained stages re-ran every earlier stage's
+    # window per reference — stage 1 executed 4x by stage 3 (r11-opt
+    # finding).  Persisting the stage outputs (customer-dimension rows) pins
+    # each window to exactly one execution.
+    ranked = persist_tracked(
+        _rfm_rank_two_phase(
+            cust, "recency_days", False, [F.col("custkey")], "r_rank"
+        )
     )
-    ranked = _rfm_rank_two_phase(
-        ranked, "frequency", True, [F.col("custkey")], "f_rank"
-    )
-    ranked = ranked.withColumn(
-        "_m_bucket", F.floor("monetary_dec").cast("long")
+    ranked = persist_tracked(
+        _rfm_rank_two_phase(
+            ranked, "frequency", True, [F.col("custkey")], "f_rank"
+        ).withColumn("_m_bucket", F.floor("monetary_dec").cast("long"))
     )
     ranked = _rfm_rank_two_phase(
         ranked,

@@ -663,17 +663,20 @@ _PACK_LONGS = _SIMHASH_BITS // _PACK_LANES
 
 
 def _simhash_agg():
-    """Per-doc packed bit counts: p{g} lane j holds c_(g*LANES+j)."""
+    """Per-doc packed bit counts: p{g} lane j holds c_(g*LANES+j).
+
+    Rendered as SQL strings (r11-opt): the Column-by-Column form spent
+    ~0.6 s of py4j round trips PER BUILD constructing the 16 x 3-lane
+    shift/mask tree; one F.expr per pack parses JVM-side in milliseconds.
+    The generated expressions are operator-for-operator the same."""
     packs = [F.count(F.lit(1)).alias("n")]
     for g in range(_PACK_LONGS):
-        e = F.lit(0).cast("long")
-        for j in range(_PACK_LANES):
-            b = g * _PACK_LANES + j
-            e = e + F.shiftleft(
-                F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)).cast("long"),
-                _PACK_W * j,
-            )
-        packs.append(F.sum(e).alias(f"p{g}"))
+        terms = " + ".join(
+            "shiftleft(CAST((shiftright(th, "
+            f"{g * _PACK_LANES + j}) & 1) AS BIGINT), {_PACK_W * j})"
+            for j in range(_PACK_LANES)
+        )
+        packs.append(F.expr(f"sum({terms})").alias(f"p{g}"))
     return packs
 
 
@@ -683,27 +686,22 @@ def _simhash_combine():
     # loud error instead.  assert_true returns NULL when the predicate holds,
     # so the coalesce contributes 0 to the signature on the happy path; the
     # optimizer cannot elide it (RaiseError is side-effecting).
+    # One SQL string (r11-opt, same rationale as _simhash_agg: the 48-term
+    # Column chain cost ~0.9 s of py4j per build).
     lane_max = (1 << _PACK_W) - 1
-    guard = F.coalesce(
-        F.assert_true(
-            F.col("n") <= F.lit(lane_max),
-            F.concat(
-                F.lit("simhash lane overflow: doc_id "),
-                F.col("doc_id").cast("string"),
-                F.lit(f" has > {lane_max} distinct tokens; widen _PACK_W"),
-            ),
-        ).cast("long"),
-        F.lit(0).cast("long"),
+    guard = (
+        "coalesce(CAST(assert_true(n <= {m}, concat("
+        "'simhash lane overflow: doc_id ', CAST(doc_id AS STRING), "
+        "' has > {m} distinct tokens; widen _PACK_W')) AS BIGINT), "
+        "CAST(0 AS BIGINT))"
+    ).format(m=lane_max)
+    bits = " + ".join(
+        f"(CASE WHEN (shiftright(p{g}, {_PACK_W * j}) & {lane_max}) * 2 >= n "
+        f"THEN CAST({2 ** (g * _PACK_LANES + j)} AS BIGINT) ELSE 0 END)"
+        for g in range(_PACK_LONGS)
+        for j in range(_PACK_LANES)
     )
-    out = guard
-    for g in range(_PACK_LONGS):
-        for j in range(_PACK_LANES):
-            b = g * _PACK_LANES + j
-            c = F.shiftright(F.col(f"p{g}"), _PACK_W * j).bitwiseAND(
-                F.lit((1 << _PACK_W) - 1)
-            )
-            out = out + F.when(c * 2 >= F.col("n"), F.lit(2**b).cast("long")).otherwise(0)
-    return out.alias("simhash")
+    return F.expr(f"{guard} + {bits}").alias("simhash")
 
 
 @register(
@@ -2130,8 +2128,14 @@ def q_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", hash48(F.col("shingle")).alias("h"))
         .distinct()
     )
-    exact = sh.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("d_exact")
+    # exact feeds FOUR consumers (both pair sides + both per-source
+    # annotations) and dhat two — without the persist each reference re-ran
+    # the catalog aggregate over the 200k-row sh relation (r11-opt finding).
+    # Both are |catalog| rows: metadata at any corpus size.
+    exact = persist_tracked(
+        sh.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("d_exact")
+        )
     )
     from pyspark.sql import Window
 
@@ -2141,14 +2145,16 @@ def q_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk") <= _KMV_K
         ).select("source", "h")
     )
-    dhat = sk.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("hk")
-    ).select(
-        "source",
-        F.when(F.col("n_sk") < _KMV_K, F.col("n_sk"))
-        .otherwise(F.expr(f"{_KMV_SCALE} div hk"))
-        .cast("long")
-        .alias("d_hat"),
+    dhat = persist_tracked(
+        sk.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("hk")
+        ).select(
+            "source",
+            F.when(F.col("n_sk") < _KMV_K, F.col("n_sk"))
+            .otherwise(F.expr(f"{_KMV_SCALE} div hk"))
+            .cast("long")
+            .alias("d_hat"),
+        )
     )
     pairs = (
         exact.select(F.col("source").alias("source_a"))

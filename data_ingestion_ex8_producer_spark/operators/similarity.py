@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ._util import t
+from ._util import persist_tracked, t
 
 _DIM = 64
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -712,6 +712,20 @@ def _ivf_valid_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _valid_emb_frame(t(spark, sf_dir, "embeddings"))
 
 
+def _persisted_valid_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_ivf_valid_emb`` persisted via ``persist_tracked`` — the r11-opt
+    index-build posture: every IVF/PQ/SemDeDup builder makes 2+ passes over
+    the valid corpus (the K(n) population count, quantizer/codebook
+    selection, the assignment/encode pass, and the probe + exact-re-rank
+    sides of the search), so the build materializes the validity-filtered,
+    norm-annotated corpus ONCE and every later pass reads the cache.  At
+    100 TB that is one corpus scan instead of three to five; the K(n) count
+    job doubles as the cache materialization.  Consumers own release via
+    persisted_scope() (the standing persist-lifecycle contract); bench.py
+    and the correctness gates clearCache() between queries."""
+    return persist_tracked(_ivf_valid_emb(spark, sf_dir))
+
+
 def _valid_emb_frame(df: DataFrame) -> DataFrame:
     """The validity contract applied to ANY embeddings-schema frame —
     narrow stateless expressions only, so it composes with batch and
@@ -746,23 +760,33 @@ def _ivf_centroid_rows(emb: DataFrame) -> list:
     let the Spark and oracle K disagree when invalid rows straddle a
     ladder threshold.  Sorted by
     centroid_id so numpy argmax's first-max-wins reproduces the oracle's
-    centroid_id ASC tie-break."""
-    k = _ivf_k_for(emb.count())
-    return sorted(
-        emb.select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("ed").alias("c_ed"),
-            F.col("norm").alias("c_norm"),
-            F.md5(F.concat(F.lit(_IVF_SALT), F.col("vec_id").cast("string"))).alias(
-                "_h"
-            ),
-        )
-        .orderBy("_h", "centroid_id")
-        .limit(k)
-        .drop("_h")
-        .collect(),
-        key=lambda r: r.centroid_id,
-    )
+    centroid_id ASC tie-break.
+
+    r11-opt: the count and the selection fuse into ONE job when the corpus
+    sits at the ladder floor.  The first rung covers every n <= 4096 with
+    K = 64, so collecting the top (4096 + 1) rows by salted hash either
+    returns the WHOLE corpus (len <= 4096 -> n is the length, K is the
+    floor, and the first 64 rows of the hash-ordered result ARE the
+    centroid set — no second job) or overflows the probe, in which case the
+    exact two-job path (count, then top-K(n)) runs as before.  Same
+    centroid set either way; one fewer Spark job per index build at every
+    test scale factor."""
+    floor_bound = _IVF_K_LADDER[0][0]  # 4096: n <= bound -> K = _IVF_K
+    sel = emb.select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("ed").alias("c_ed"),
+        F.col("norm").alias("c_norm"),
+        F.md5(F.concat(F.lit(_IVF_SALT), F.col("vec_id").cast("string"))).alias(
+            "_h"
+        ),
+    ).orderBy("_h", "centroid_id")
+    probe = sel.limit(floor_bound + 1).drop("_h").collect()
+    if len(probe) <= floor_bound:
+        rows = probe[:_IVF_K]
+    else:
+        k = _ivf_k_for(emb.count())
+        rows = sel.limit(k).drop("_h").collect()
+    return sorted(rows, key=lambda r: r.centroid_id)
 
 
 def _cos_fold(
@@ -852,7 +876,7 @@ def q_ivf_argmax_margin_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLOAT_QUALS.md).  Scale: the same shuffle-free narrow map as
     ``_ivf_assignment`` (codebook in the UDF closure) feeding a single
     all-reduce aggregate — no join, no exchange before the final combine."""
-    emb = _ivf_valid_emb(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
     centroid_rows = _ivf_centroid_rows(emb)
     c_mat = np.array([r.c_ed for r in centroid_rows], dtype=np.float64)
     c_norm_vec = np.array([r.c_norm for r in centroid_rows], dtype=np.float64)
@@ -948,7 +972,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan."""
     from pyspark.sql import Window
 
-    emb = _ivf_valid_emb(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
     centroid_rows = _ivf_centroid_rows(emb)
     assignment = _ivf_assignment(emb, centroid_rows)
     centroids = _ivf_centroid_frame(spark, centroid_rows)
@@ -1190,7 +1214,7 @@ def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a K-key rollup for the report.  The whole step is two metadata
     shuffles per iteration at any scale; a 100 TB training run loops this
     exact plan."""
-    emb = _ivf_valid_emb(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
     centroid_rows = _ivf_centroid_rows(emb)
     assignment = _ivf_assignment(emb, centroid_rows)
     centroids = _ivf_centroid_frame(spark, centroid_rows)
@@ -1399,7 +1423,7 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured Streaming frame of arriving vectors against an
     offline-trained codebook — the train-offline / encode-online
     lifecycle, pinned batch-vs-stream in tests/test_vector_index.py."""
-    emb = _ivf_valid_emb(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
     return pq_encode(emb, _pq_codebook_rows(emb))
 
 
@@ -1512,7 +1536,7 @@ def sim_bruteforce_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k per query before the final exchange."""
     from pyspark.sql import Window
 
-    emb = _ivf_valid_emb(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
     queries = F.broadcast(
         emb.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("ed").alias("q_ed")
@@ -1686,7 +1710,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact L2 truth set; production stacks raise it by re-ranking an
     ADC shortlist with exact distances (sim_pq_adc_rerank_topk — both
     stages are registered here)."""
-    emb = _ivf_valid_emb(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
     ranked = _pq_adc_ranked(spark, sf_dir, emb).filter(F.col("rk") <= _TOP_K)
     labels = emb.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1861,7 +1885,7 @@ def sim_pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit-prunes to top-k (_exact_l2_rerank — the stage shared
     with sim_ivfpq_topk).  The expensive exact metric touches a constant
     512 vectors per query of a 100 TB corpus instead of all of it."""
-    emb = _ivf_valid_emb(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
     adc = _pq_adc_ranked(spark, sf_dir, emb)
     shortlist = adc.filter(F.col("rk") <= _PQ_RERANK).select(
         "query_id", "neighbor_id"
@@ -2052,7 +2076,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal-multiple point with usable recall; both endpoints of the dial
     (this search and the corpus-wide q_pq_recall_rerank) stay registered
     and measured."""
-    emb = _ivf_valid_emb(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
     return _ivfpq_search(spark, sf_dir, emb, _ivf_centroid_rows(emb))
 
 
@@ -2250,7 +2274,7 @@ def sim_ivfpq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     float), 1e-6-quantized mean updates, and list(ORDER BY dim) array
     re-assembly keep both engines' quantizers bit-identical at every
     iteration."""
-    emb = _ivf_valid_emb(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
     return _ivfpq_search(spark, sf_dir, emb, _trained_centroid_rows(emb))
 
 
@@ -2500,15 +2524,19 @@ def _pqr_lut_frame(
     )
 
 
-def _pqr_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pqr_adc_ranked(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """The residual ADC ranking (query_id, neighbor_id, adc_q, rk) —
-    shared by the full search (shortlist + exact re-rank) and the
-    ADC-stage recall measurement."""
+    shared by the full search (shortlist + exact re-rank, which passes its
+    own persisted corpus so the build shares ONE cache) and the ADC-stage
+    recall measurement."""
     from pyspark.sql import Window
 
     from ._util import persist_tracked
 
-    emb = _ivf_valid_emb(spark, sf_dir)
+    if emb is None:
+        emb = _persisted_valid_emb(spark, sf_dir)
     centroid_rows = _ivf_centroid_rows(emb)
     resid = persist_tracked(_residual_frame(spark, emb, centroid_rows))
     code_rows = _pq_codebook_rows(resid, salt=_PQR_SALT)
@@ -2574,11 +2602,12 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles; encoder and LUT fold the same left-associated
     (x-y)^2 chains as every PQ path, HALF-UP quantized to the shared 1e-9
     BIGINT grid; the ADC sum and ranking are pure integer arithmetic."""
-    adc = _pqr_adc_ranked(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
+    adc = _pqr_adc_ranked(spark, sf_dir, emb=emb)
     shortlist = adc.filter(F.col("rk") <= _PQ_RERANK).select(
         "query_id", "neighbor_id"
     )
-    return _exact_l2_rerank(_ivf_valid_emb(spark, sf_dir), shortlist)
+    return _exact_l2_rerank(emb, shortlist)
 
 
 @register(
@@ -3051,7 +3080,7 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
 
     from ._util import persist_tracked
 
-    emb = _ivf_valid_emb(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
     cents = _ivf_centroid_rows(emb)
     cq_rows = []
     for r in cents:
@@ -3519,7 +3548,7 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ._util import persist_tracked
 
-    emb = _ivf_valid_emb(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
     cents = _ivf_centroid_rows(emb)
     mem = persist_tracked(
         _ivf_assignment(emb, cents)
@@ -3787,7 +3816,7 @@ def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid relation with the 1-row total — output is metadata-sized
     (K(n) rows, 64 at the floor, 65,536 at the cap) at any corpus
     size."""
-    emb = _ivf_valid_emb(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
     centroid_rows = _ivf_centroid_rows(emb)
     k_cells = len(centroid_rows)
     cells = (
@@ -3871,7 +3900,7 @@ def q_ivf_k_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment pass as every IVF spec into a K(n)-key combinable
     groupBy, reduced to a 1-row measured aggregate cross-joined with the
     3-row multiplier relation — output is 3 rows at any corpus size."""
-    emb = _ivf_valid_emb(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
     n = emb.count()
     centroid_rows = _ivf_centroid_rows(emb)
     cells = (
@@ -4228,7 +4257,7 @@ def q_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate concentration by construction."""
     from ._util import persist_tracked
 
-    emb = _ivf_valid_emb(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
     centroid_rows = _ivf_centroid_rows(emb)
     asn = _ivf_assignment(emb, centroid_rows)
     members = persist_tracked(
@@ -4375,7 +4404,7 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is md5 of the vector id (salted), so the sample is stable
     across runs, engines, and partitionings — reproducibility is part of
     the curation contract."""
-    emb = _ivf_valid_emb(spark, sf_dir)
+    emb = _persisted_valid_emb(spark, sf_dir)
     centroid_rows = _ivf_centroid_rows(emb)
     asn = _ivf_assignment(emb, centroid_rows).select(
         "vec_id", "label", "centroid_id"
