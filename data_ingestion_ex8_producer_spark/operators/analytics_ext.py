@@ -794,6 +794,41 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COPURCHASE_TOPK = 25
 
 
+def _order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order sorted distinct part basket — the shared first stage of
+    every co-purchase graph operator (pairs, triangles, PMI, pagerank).
+    ONE orderkey-keyed aggregation (collect_set partially aggregates
+    map-side) replaces the previous `distinct + self-join on l_orderkey`,
+    which scanned lineitem once per unpersisted subtree reference and paid
+    the 2-column distinct exchange PLUS an orderkey re-shuffle on both join
+    inputs (r11-opt)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+
+
+def _basket_pairs(baskets: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Expand each sorted basket into its C(|basket|,2) ordered part pairs
+    INSIDE the row — the same fan-out the self-join produced (TPC-H baskets
+    hold <= ~7 distinct parts), with u < v guaranteed by the array sort and
+    bit-identical per-pair multiplicities."""
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    return baskets.select(F.explode(pair_structs).alias("e")).select(
+        F.col("e.u").alias(u), F.col("e.v").alias(v)
+    )
+
+
 @register(
     "q_copurchase_pairs",
     oracle=f"""
@@ -836,21 +871,8 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     would quadratically fan out — the same skew class q_key_skew_profile
     exists to surveil; the TPC-H generator caps order size by
     construction."""
-    op = (
-        t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey").isNotNull())
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("p1")
-    )
-    b = op.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
-    )
     pairs = (
-        a.join(b, ["l_orderkey"])
-        .filter(F.col("p2") > F.col("p1"))
+        _basket_pairs(_order_baskets(spark, sf_dir), "p1", "p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
@@ -967,17 +989,8 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist is released before returning (persisted_scope) — unlike
     # builders whose RESULT plans reference their cached relations.
     with persisted_scope():
-        op = (
-            t(spark, sf_dir, "lineitem")
-            .filter(F.col("l_partkey").isNotNull())
-            .select("l_orderkey", "l_partkey")
-            .distinct()
-        )
-        a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
-        b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
         edges = persist_tracked(
-            a.join(b, "l_orderkey")
-            .filter(F.col("v") > F.col("u"))
+            _basket_pairs(_order_baskets(spark, sf_dir))
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).alias("w"))
             .filter(F.col("w") >= _TRI_MIN_W)
@@ -1142,33 +1155,11 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex degree >= 1."""
     from ._util import persist_tracked
 
-    # Pair generation rewritten r11-opt: ONE orderkey-keyed aggregation
-    # (collect_set is partially aggregated map-side) replaces the previous
-    # distinct + self-join, which scanned lineitem twice and paid three
-    # corpus-sized exchanges (the 2-column distinct hash-partitioning is not
-    # the join's orderkey partitioning, so both join inputs re-shuffled).
-    # Pairs expand INSIDE each order's sorted basket array — fan-out is the
-    # same C(basket,2) the self-join produced (TPC-H baskets are <= ~7
-    # distinct parts), u < v holds by the sort, and the per-pair counts are
-    # bit-identical integers.
-    baskets = (
-        t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey").isNotNull())
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
+    # Pair generation via the shared basket shape (r11-opt; see
+    # _order_baskets / _basket_pairs): one orderkey-keyed aggregation
+    # instead of the distinct + self-join, bit-identical pair counts.
     edges = (
-        baskets.select(F.explode(pair_structs).alias("e"))
-        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        _basket_pairs(_order_baskets(spark, sf_dir))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _TRI_MIN_W_REF)
@@ -1196,13 +1187,15 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = deg.select("x", F.lit(r0).cast("long").alias("r"), "d")
     deg_b = F.broadcast(deg)
     for _ in range(_PR_ITERS):
-        # Rank is vertex-dimension metadata (the same class as the broadcast
-        # degree reattach): BROADCAST it into the edge join so the persisted
-        # edge relation is never shuffled — the r11-opt fix for the plan's
-        # three SortMergeJoins, which exchanged+sorted both sides per
-        # iteration.  The one exchange per iteration is the dst-keyed SUM of
-        # (x, c) longs, map-side combined to vertex cardinality.
-        contrib = F.broadcast(rank).join(dirn, rank["x"] == dirn["u"]).select(
+        # The rank-side join strategy is deliberately left to AQE: rank is
+        # vertex-dimension metadata, and at runtime AQE converts the static
+        # sort-merge into a broadcast per iteration (EXPLAINS.md's AQE
+        # section).  A STATIC F.broadcast(rank) hint was tried in r11-opt
+        # and measured 40% SLOWER (5.11 s vs 3.63 s interleaved min-of-5):
+        # each hinted BroadcastExchange builds the whole prior-iteration
+        # chain as its own blocking job, where the AQE path reuses the
+        # previous iteration's shuffle output.
+        contrib = rank.join(dirn, rank["x"] == dirn["u"]).select(
             F.col("v").alias("x"), F.expr("r div d").alias("c")
         )
         summed = contrib.groupBy("x").agg(F.sum("c").cast("long").alias("s"))
@@ -1311,23 +1304,21 @@ def q_item_pmi_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join when the catalog outgrows the threshold — plus the
     1-row N broadcast; the final top-k is a TakeOrderedAndProject heap.
     No all-pairs stage anywhere."""
-    op = (
-        t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey").isNotNull())
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    from ._util import persist_tracked
+
+    # The basket relation feeds three subtrees (the order count, the
+    # per-part counts, and the pair expansion) — persist it so the one
+    # orderkey shuffle runs once (r11-opt; consumers release via
+    # persisted_scope, the standing contract).
+    baskets = persist_tracked(_order_baskets(spark, sf_dir))
+    n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    cp = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    n = op.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
-    )
-    cp = op.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("p2"))
     pairs = (
-        a.join(b, ["l_orderkey"])
-        .filter(F.col("p1") < F.col("p2"))
+        _basket_pairs(baskets, "p1", "p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
         .filter(F.col("c_ab") >= _PMI_MIN_PAIRS)

@@ -789,14 +789,29 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     is why novelty scoring scales where all-pairs similarity cannot."""
     from ..functions.text import with_shingles
 
-    sh = with_shingles(
-        t(spark, sf_dir, "documents").select("doc_id", "text"), _NOVELTY_K
-    ).select("doc_id", F.explode("shingle_set").alias("shingle"))
+    from ._util import persist_tracked
+
+    # r11-opt: the shingle pipeline (regex tokenize + k slices + distinct)
+    # fed two unpersisted subtrees, so the scan+shingle work ran twice; and
+    # the per-doc total is simply size(shingle_set) — a narrow projection —
+    # not a second corpus-wide groupBy.  One persisted doc-level relation,
+    # one shuffle total (the first-occurrence MIN).  Docs with zero shingles
+    # are filtered exactly as the oracle's explode drops them.
+    docs_sh = persist_tracked(
+        with_shingles(
+            t(spark, sf_dir, "documents").select("doc_id", "text"), _NOVELTY_K
+        )
+        .select("doc_id", "shingle_set")
+        .filter(F.size("shingle_set") > 0)
+    )
+    sh = docs_sh.select("doc_id", F.explode("shingle_set").alias("shingle"))
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_novel")
     )
-    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    tot = docs_sh.select(
+        "doc_id", F.size("shingle_set").cast("long").alias("n_shingles")
+    )
     return tot.join(novel, "doc_id", "left").select(
         "doc_id",
         F.col("n_shingles").cast("long").alias("n_shingles"),

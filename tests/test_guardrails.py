@@ -264,7 +264,12 @@ def test_ivf_argmax_margin_canary_escalation_trigger(spark, sf_dir) -> None:
         q_ivf_argmax_margin_canary,
     )
 
-    row = q_ivf_argmax_margin_canary(spark, sf_dir).collect()[0]
+    from data_ingestion_ex8_producer_spark.operators._util import (
+        persisted_scope,
+    )
+
+    with persisted_scope():  # the builder persists the valid corpus
+        row = q_ivf_argmax_margin_canary(spark, sf_dir).collect()[0]
     assert row["n_vectors"] > 0
     assert row["n_below_1em12"] == 0, (
         f"{row['n_below_1em12']} vectors within 1e-12 of the IVF argmax "

@@ -52,9 +52,10 @@ def test_ivf_k_policy_ladder_and_measured_row(spark) -> None:
         q_ivf_k_policy,
     )
 
-    rows = sorted(
-        q_ivf_k_policy(spark, SF).collect(), key=lambda r: r["scale_mult"]
-    )
+    with persisted_scope():  # the builder persists the valid corpus
+        rows = sorted(
+            q_ivf_k_policy(spark, SF).collect(), key=lambda r: r["scale_mult"]
+        )
     assert [r["scale_mult"] for r in rows] == [1, 10, 100]
     n = rows[0]["projected_n"]
     for r in rows:

@@ -88,7 +88,12 @@ def test_daily_autocorr_bounds(spark) -> None:
 
 
 def test_item_pmi_gates_hold(spark) -> None:
-    rows = all_specs()["q_item_pmi_similarity"].builder(spark, SF).collect()
+    from data_ingestion_ex8_producer_spark.operators._util import (
+        persisted_scope,
+    )
+
+    with persisted_scope():  # the builder persists its basket relation
+        rows = all_specs()["q_item_pmi_similarity"].builder(spark, SF).collect()
     assert rows
     for r in rows:
         assert r.p1 < r.p2
@@ -143,13 +148,18 @@ def test_lexical_diversity_buckets(spark) -> None:
 def test_no_python_udf_in_plan(spark, name: str) -> None:
     """The whole batch claims scan-stage built-in expressions — assert no
     Python evaluation node appears in the physical plan."""
-    plan = (
-        all_specs()[name]
-        .builder(spark, SF)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+    from data_ingestion_ex8_producer_spark.operators._util import (
+        persisted_scope,
     )
+
+    with persisted_scope():  # q_item_pmi_similarity persists its baskets
+        plan = (
+            all_specs()[name]
+            .builder(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
