@@ -1165,10 +1165,22 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= _TRI_MIN_W_REF)
         .select("u", "v")
     )
+    # Both orientations exploded from ONE reference to the edge pipeline —
+    # the previous unionAll(edges, edges.reversed) evaluated the unpersisted
+    # basket+pair+aggregate subtree twice at materialization (r11-opt).
+    # Row-for-row identical to the union (order never matters downstream:
+    # dirn feeds joins and aggregates only).
     dirn = persist_tracked(
-        edges.unionAll(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
     )
     deg = persist_tracked(
         dirn.groupBy(F.col("u").alias("x")).agg(

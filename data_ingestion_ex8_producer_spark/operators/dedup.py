@@ -875,9 +875,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     component and would NOT be the engine-side plan).
     """
     edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    sym = persist_tracked(edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ))
+    # Both orientations exploded from ONE reference: union(edges,
+    # edges.reversed) evaluated the whole unpersisted Jaccard pipeline
+    # (shingle scan + DF cap + pair join) twice at materialization
+    # (r11-opt; row-for-row identical, order never matters downstream).
+    sym = persist_tracked(
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a"), F.col("doc_b")),
+                    F.struct(
+                        F.col("doc_b").alias("doc_a"),
+                        F.col("doc_a").alias("doc_b"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.doc_a", "e.doc_b")
+    )
     labels = sym.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     ).localCheckpoint()
@@ -1230,14 +1244,20 @@ def q_dedup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic anchor, which is the point of running the measurement at
     evaluation scale).  The evaluation itself joins pair-id sets (tiny) and
     emits 2 rows."""
-    truth = dedup_ngram_jaccard_exact(spark, sf_dir).select("doc_a", "doc_b")
+    # The truth anchor (deliberately quadratic) was re-evaluated THREE
+    # times (its count + one join per method) and each method's pair set
+    # twice; all three are small pair lists — persist them (r11-opt;
+    # consumers release via persisted_scope, the standing contract).
+    truth = persist_tracked(
+        dedup_ngram_jaccard_exact(spark, sf_dir).select("doc_a", "doc_b")
+    )
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     parts = []
     for method, pred_df in (
         ("df_capped", dedup_ngram_jaccard(spark, sf_dir)),
         ("minhash_lsh", dedup_minhash_lsh(spark, sf_dir)),
     ):
-        pred = pred_df.select("doc_a", "doc_b")
+        pred = persist_tracked(pred_df.select("doc_a", "doc_b"))
         n_pred = pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
         n_common = (
             pred.join(truth, ["doc_a", "doc_b"])

@@ -659,18 +659,22 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (3, "quality_ttr", "quality_ok"),
         (4, "exact_dedup", "dedup_ok"),
     ]
-    parts = [
-        agg.select(
-            F.lit(i).alias("stage"),
-            F.lit(name).alias("stage_name"),
-            F.col(src).cast("long").alias("n_docs"),
-        )
-        for i, name, src in stages
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    # The 5 report rows explode from ONE reference to the 1-row aggregate —
+    # the previous per-stage unionAll re-evaluated the whole scan+window
+    # subtree five times (r11-opt; identical rows, column-for-column).
+    stage_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(name).alias("stage_name"),
+                F.col(src).cast("long").alias("n_docs"),
+            )
+            for i, name, src in stages
+        ]
+    )
+    return agg.select(F.explode(stage_structs).alias("e")).select(
+        "e.stage", "e.stage_name", "e.n_docs"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -852,9 +852,18 @@ def q_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         key = F.concat(F.lit(salt), col.cast("string"))
         return hash48(key) % _BLOOM_M
 
+    # Both hash lanes explode from ONE reference to the build-side scan —
+    # the unionAll form re-scanned the filtered orders once per lane
+    # (r11-opt; identical bit set).
     bits = (
-        build.select(_h(F.col("o_orderkey"), "").alias("b"))
-        .unionAll(build.select(_h(F.col("o_orderkey"), "b:").alias("b")))
+        build.select(
+            F.explode(
+                F.array(
+                    _h(F.col("o_orderkey"), ""),
+                    _h(F.col("o_orderkey"), "b:"),
+                )
+            ).alias("b")
+        )
         .distinct()
     )
     probe = li.select(
