@@ -592,13 +592,19 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id — every stage shuffles on the SAME key (co-partitioning reused),
     and each stage's output is a strict subset of the previous, so the joins
     shrink monotonically.  No window over full event history is needed."""
+    from ._util import persist_tracked
+
     ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
+    # Each stage relation feeds the next stage AND its own count row;
+    # unpersisted, the chained references re-scanned events six times
+    # (r11-opt scan-duplication audit).  The persisted relations are
+    # user-dimension, monotonically shrinking sets.
+    v = persist_tracked(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
-    c = (
+    c = persist_tracked(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") >= F.col("t1"))
@@ -1459,22 +1465,28 @@ def q_column_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(dec[a] * dec[b]).cast("double").alias(f"sx_{a}_{b}")
             )
     s = t(spark, sf_dir, "lineitem").agg(*aggs)
-    out = None
+    # r11-opt: the 6 pair rows explode from ONE reference to the 1-row
+    # moment aggregate — the per-pair unionByName re-ran the full-scan
+    # aggregate once per pair (6 scans -> 1; identical rows).
     n = F.col("n")
+    pair_structs = []
     for a, b in pairs:
         sa, sb = F.col(f"s_{a}"), F.col(f"s_{b}")
         ssa, ssb = F.col(f"ss_{a}"), F.col(f"ss_{b}")
         sxy = F.col(f"sx_{a}_{b}")
-        row = s.select(
-            F.lit(a).alias("col_x"),
-            F.lit(b).alias("col_y"),
-            F.col("n_rows"),
-            F.round((n * sxy - sa * sb) / n / n, 9).alias("cov_pop"),
-            F.round(
-                (n * sxy - sa * sb)
-                / F.sqrt((n * ssa - sa * sa) * (n * ssb - sb * sb)),
-                9,
-            ).alias("corr"),
+        pair_structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n_rows").alias("n_rows"),
+                F.round((n * sxy - sa * sb) / n / n, 9).alias("cov_pop"),
+                F.round(
+                    (n * sxy - sa * sb)
+                    / F.sqrt((n * ssa - sa * sa) * (n * ssb - sb * sb)),
+                    9,
+                ).alias("corr"),
+            )
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    return s.select(F.explode(F.array(*pair_structs)).alias("e")).select(
+        "e.col_x", "e.col_y", "e.n_rows", "e.cov_pop", "e.corr"
+    )

@@ -1992,31 +1992,38 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_cur = F.when(
         F.col("ts") >= F.lit(_DRIFT_SPLIT).cast("timestamp"), 1
     ).otherwise(0)
-    arms = [
-        ev.select(
+    # r11-opt: the three feature arms explode from ONE scan (the per-arm
+    # unionByName scanned events three times), and the per-bucket census —
+    # |features| x |buckets| rows of metadata — persists because both the
+    # totals and the deviation join consume it (6 scans -> 1).
+    from ..operators._util import persist_tracked
+
+    arm_structs = F.array(
+        F.struct(
             F.lit("event_type").alias("feature"),
             F.col("event_type").alias("bucket"),
-            is_cur.alias("is_cur"),
         ),
-        ev.select(
+        F.struct(
             F.lit("hour_of_day").alias("feature"),
             F.hour("ts").cast("string").alias("bucket"),
-            is_cur.alias("is_cur"),
         ),
-        ev.select(
+        F.struct(
             F.lit("value_log2_centi").alias("feature"),
             (
                 F.length(F.bin(F.floor(F.col("value") * 100).cast("long"))) - 1
             )
             .cast("string")
             .alias("bucket"),
-            is_cur.alias("is_cur"),
         ),
-    ]
-    b = arms[0].unionByName(arms[1]).unionByName(arms[2])
-    per_bucket = b.groupBy("feature", "bucket").agg(
-        F.sum(F.lit(1) - F.col("is_cur")).alias("nr"),
-        F.sum("is_cur").alias("nc"),
+    )
+    b = ev.select(
+        F.explode(arm_structs).alias("e"), is_cur.alias("is_cur")
+    ).select("e.feature", "e.bucket", "is_cur")
+    per_bucket = persist_tracked(
+        b.groupBy("feature", "bucket").agg(
+            F.sum(F.lit(1) - F.col("is_cur")).alias("nr"),
+            F.sum("is_cur").alias("nc"),
+        )
     )
     totals = per_bucket.groupBy("feature").agg(
         F.sum("nr").alias("n_ref"), F.sum("nc").alias("n_cur")

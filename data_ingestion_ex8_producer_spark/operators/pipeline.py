@@ -1867,18 +1867,27 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import spread
     from .analytics_ext import _rfm_rank_two_phase
 
+    from ._util import persist_tracked
+
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.explode(tokens()).alias("term")
     )
     toks = spread(d, spark, "doc_id")
-    raw = toks.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt_r")
+    # r11-opt: raw/tgt (vocabulary-sized) and per_doc (document-sized) each
+    # feed 2-3 downstream references; unpersisted, the chained references
+    # re-ran the token explode FOURTEEN times (scan-duplication audit).
+    # Persisting the three metadata relations leaves exactly the 3
+    # fundamental corpus passes (raw counts, target counts, per-doc rollup).
+    raw = persist_tracked(
+        toks.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt_r")
+        )
     )
     tot = raw.agg(
         F.sum("cnt_r").cast("long").alias("total_r"),
         F.count(F.lit(1)).cast("long").alias("vocab"),
     )
-    tgt = (
+    tgt = persist_tracked(
         toks.filter(F.col("lang") == _DSIR_TARGET_LANG)
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt_t"))
@@ -1909,7 +1918,7 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bits_t"),
         )
     )
-    per_doc = (
+    per_doc = persist_tracked(
         toks.join(bits, "term")
         .groupBy("doc_id")
         .agg(
@@ -2497,6 +2506,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the allocation error is measured, not hidden.  All counts BIGINT;
     the checksum is a sum of 48-bit values (no overflow before ~2^15
     docs per stratum x 2^48 — and the driver compares exact integers)."""
+    # r11-opt note: the scan-duplication audit counts 5 static references
+    # to the documents scan here, but persisting the census/allocation
+    # relations measured SLOWER locally (the q_pareto_frontier finding:
+    # AQE reuses the census exchange at runtime and the cache write is
+    # pure overhead) — deliberately left unpersisted.
     docs = t(spark, sf_dir, "documents")
     s = docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs")

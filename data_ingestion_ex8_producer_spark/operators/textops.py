@@ -1728,12 +1728,21 @@ def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     annotate join shuffled on the term key.  The vocabulary relation is
     Zipf-bounded, so the join's build side stays small at any corpus
     size."""
+    from ._util import persist_tracked
+
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.explode(tokens()).alias("term")
     )
     docs = spread(docs, spark, "doc_id")
-    cnts = docs.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    # r11-opt: the vocabulary relation feeds the total AND the per-term
+    # surprisal, and the total is just SUM(cnt) over it — the previous
+    # corpus-wide count re-ran the token explode a third time.
+    cnts = persist_tracked(
+        docs.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+    )
+    tot = cnts.agg(F.sum("cnt").cast("long").alias("total"))
     bits = (
         F.length(F.bin(F.expr("total div cnt"))) - 1
     ).cast("long")
@@ -1850,7 +1859,15 @@ def q_doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "doc_id",
     )
-    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("cnt12"))
+    from ._util import persist_tracked
+
+    # r11-opt: the bigram-count relation feeds the context rollup and the
+    # per-bigram bits join; unpersisted it re-ran the bigram explode twice.
+    c12 = persist_tracked(
+        bg.groupBy("bigram").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt12")
+        )
+    )
     ctx = c12.groupBy(
         F.substring_index("bigram", " ", 1).alias("w1")
     ).agg(F.sum("cnt12").cast("long").alias("cnt_ctx"))
@@ -2032,7 +2049,15 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark,
     )
-    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("cnt12"))
+    from ._util import persist_tracked
+
+    # r11-opt: the bigram-count relation feeds the context rollup and the
+    # per-bigram bits join; unpersisted it re-ran the bigram explode twice.
+    c12 = persist_tracked(
+        bg.groupBy("bigram").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt12")
+        )
+    )
     c12 = persist_tracked(c12)
     uni = c12.groupBy(
         F.substring_index("bigram", " ", 1).alias("w")
@@ -2703,12 +2728,21 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateless comparisons — this spec IS the exact-census anchor such a
     sampled path is validated against.  Output is |langs| x {_PPL_BUCKETS}
     rows at any corpus size."""
+    from ._util import persist_tracked
+
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.explode(tokens()).alias("term")
     )
     docs = spread(docs, spark, "doc_id")
-    cnts = docs.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    # r11-opt: the vocabulary relation feeds the total AND the per-term
+    # surprisal, and the total is just SUM(cnt) over it — the previous
+    # corpus-wide count re-ran the token explode a third time.
+    cnts = persist_tracked(
+        docs.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+    )
+    tot = cnts.agg(F.sum("cnt").cast("long").alias("total"))
     bits = (F.length(F.bin(F.expr("total div cnt"))) - 1).cast("long")
     tsurp = cnts.crossJoin(F.broadcast(tot)).select("term", bits.alias("bits"))
     per_doc = (

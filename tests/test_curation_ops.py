@@ -71,19 +71,20 @@ def test_pii_redact_leaves_no_deny_term(spark) -> None:
 def test_bigram_lm_counts_and_bounds(spark) -> None:
     """n_bigrams == n_tokens - 1 for every doc (the chain rule's shape) and
     conditional bits are non-negative with mean <= max."""
-    bg = q_doc_bigram_lm(spark, SF)
-    toks = text_token_stats(spark, SF).select("doc_id", "n_tokens")
-    bad = (
-        bg.join(toks, "doc_id")
-        .filter(
-            (F.col("n_bigrams") != F.col("n_tokens") - 1)
-            | (F.col("sum_bits") < 0)
-            | (F.col("max_bits") * F.col("n_bigrams") < F.col("sum_bits"))
+    with persisted_scope():  # the builder persists its bigram counts
+        bg = q_doc_bigram_lm(spark, SF)
+        toks = text_token_stats(spark, SF).select("doc_id", "n_tokens")
+        bad = (
+            bg.join(toks, "doc_id")
+            .filter(
+                (F.col("n_bigrams") != F.col("n_tokens") - 1)
+                | (F.col("sum_bits") < 0)
+                | (F.col("max_bits") * F.col("n_bigrams") < F.col("sum_bits"))
+            )
+            .count()
         )
-        .count()
-    )
-    assert bad == 0
-    assert bg.count() > 0
+        assert bad == 0
+        assert bg.count() > 0
 
 
 def test_source_similarity_is_a_valid_jaccard_matrix(spark) -> None:
@@ -196,7 +197,8 @@ def test_quality_gate_verdicts_are_consistent(spark) -> None:
         q_quality_gate,
     )
 
-    rows = q_quality_gate(spark, SF).collect()
+    with persisted_scope():  # the composed builders persist vocab relations
+        rows = q_quality_gate(spark, SF).collect()
     docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert len(rows) == docs == len({r.doc_id for r in rows})
     keeps = sum(r.keep for r in rows)
