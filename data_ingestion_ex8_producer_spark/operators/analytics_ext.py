@@ -727,26 +727,29 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the customer relation.  Monetary buckets totally order across
     boundaries (floor(x) DESC then x DESC within), which makes the
     composition exactly the global ORDER BY."""
+    from ._util import persist_tracked
+
     orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
-    ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("_ref_d"))
-    cust = (
-        orders.groupBy(F.col("o_custkey").alias("custkey"))
-        .agg(
+    # r11-opt: the corpus-max reference date is MAX over the per-customer
+    # last dates, so it derives from the persisted customer aggregate —
+    # the previous separate orders aggregate scanned the fact table twice.
+    cust_base = persist_tracked(
+        orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
             F.max(F.to_date("o_orderdate")).alias("_last_d"),
             F.count(F.lit(1)).cast("long").alias("frequency"),
             F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias(
                 "monetary_dec"
             ),
         )
-        .crossJoin(F.broadcast(ref))
+    )
+    ref = cust_base.agg(F.max("_last_d").alias("_ref_d"))
+    cust = (
+        cust_base.crossJoin(F.broadcast(ref))
         .withColumn(
             "recency_days", F.datediff("_ref_d", "_last_d").cast("long")
         )
         .drop("_ref_d", "_last_d")
     )
-    from ._util import persist_tracked
-
-    cust = persist_tracked(cust)
     n_df = F.broadcast(
         cust.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     )
