@@ -3,9 +3,10 @@
 Usage:
     python tools/plan_dump.py <suffix> [query ...]
 
-Writes plans/r11/<query>_<suffix>.txt for every bench-flagged query (or the
-named subset).  <suffix> is `before` / `after` — the optimization-round
-evidence files the judge checks plan claims against.
+Writes plans/<round>/<query>_<suffix>.txt for every bench-flagged query (or
+the named subset), where <round> comes from $SPARK_GRAFT_PLAN_ROUND (default
+r12).  <suffix> is `before` / `after` — the optimization-round evidence files
+the judge checks plan claims against.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ from data_ingestion_ex8_producer_spark.plans.registry import all_specs  # noqa: 
 from data_ingestion_ex8_producer_spark.session import build_session  # noqa: E402
 
 _OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "plans", "r11")
+                        "plans", os.getenv("SPARK_GRAFT_PLAN_ROUND", "r12"))
 
 
 def main() -> None:
